@@ -1,0 +1,227 @@
+"""Clipping kernels.
+
+- ``clip_segment`` / ``clip_polyline``: Liang-Barsky polyline↔bbox clipping
+  mirroring the reference's ``general/LineClipper.java:41-252`` — integer
+  high-precision coordinates, ``checkSide`` parameter tests, new endpoints
+  rounded half-away-from-zero (``LineClipper.calcCoord``), degenerate
+  (zero-length) clipped segments dropped, and closed ways re-joined across
+  the start point.
+- ``sutherland_hodgman``: polygon↔rectangle clipping mirroring
+  ``util/ShapeSplitter.clipSinglePathWithSutherlandHodgman``
+  (``ShapeSplitter.java:129-157``): clip successively against the four
+  rectangle edges, emitting edge intersections in double precision.
+
+All inputs are hp (2^30) integer coordinate arrays; the clip window is an
+hp-inclusive rectangle ``(min_lat, min_lon, max_lat, max_lon)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _round_half_away_scalar(y: float) -> int:
+    return int(y + 0.5) if y >= 0 else int(y - 0.5)
+
+
+def clip_segment(
+    x0: int, y0: int, x1: int, y1: int, rect: tuple[int, int, int, int]
+) -> tuple[int, int, int, int] | None:
+    """Liang-Barsky clip of one segment (x=lon_hp, y=lat_hp) to ``rect`` =
+    (min_lat, min_lon, max_lat, max_lon) in hp units.
+
+    Returns clipped endpoints or None if fully outside / degenerate.
+    Mirrors ``LineClipper.clip(Area, Coord[])`` (``LineClipper.java:104-227``).
+    """
+    min_lat, min_lon, max_lat, max_lon = rect
+    if (
+        min_lon <= x0 <= max_lon
+        and min_lon <= x1 <= max_lon
+        and min_lat <= y0 <= max_lat
+        and min_lat <= y1 <= max_lat
+    ):
+        return (x0, y0, x1, y1)
+
+    dx = x1 - x0
+    dy = y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, -(min_lon - x0)),
+        (dx, max_lon - x0),
+        (-dy, -(min_lat - y0)),
+        (dy, max_lat - y0),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+        else:
+            r = q / p
+            if p < 0:
+                if r > t1:
+                    return None
+                if r > t0:
+                    t0 = r
+            else:
+                if r < t0:
+                    return None
+                if r < t1:
+                    t1 = r
+    nx0, ny0, nx1, ny1 = x0, y0, x1, y1
+    if t0 > 0:
+        nx0 = _round_half_away_scalar(x0 + t0 * dx)
+        ny0 = _round_half_away_scalar(y0 + t0 * dy)
+    if t1 < 1:
+        nx1 = _round_half_away_scalar(x0 + t1 * dx)
+        ny1 = _round_half_away_scalar(y0 + t1 * dy)
+    if t0 >= t1 or (nx0 == nx1 and ny0 == ny1):
+        return None
+    return (nx0, ny0, nx1, ny1)
+
+
+def clip_polyline(
+    lat_hp: np.ndarray, lon_hp: np.ndarray, rect: tuple[int, int, int, int]
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Clip a polyline to ``rect``; may emit several sublines
+    (``LineClipper.clip``, ``LineClipper.java:41-102``).
+
+    Returns a list of (lat_hp, lon_hp) int64 array pairs. If the whole line
+    is inside, returns the original arrays as the single entry. Closed input
+    (first point == last point) re-joins the first and last emitted sublines
+    when they meet at the original start point.
+    """
+    lat_hp = np.asarray(lat_hp, dtype=np.int64)
+    lon_hp = np.asarray(lon_hp, dtype=np.int64)
+    min_lat, min_lon, max_lat, max_lon = rect
+    inside = (
+        (lat_hp >= min_lat)
+        & (lat_hp <= max_lat)
+        & (lon_hp >= min_lon)
+        & (lon_hp <= max_lon)
+    )
+    if inside.all():
+        return [(lat_hp, lon_hp)]
+
+    out: list[tuple[list[int], list[int]]] = []
+    cur_lat: list[int] | None = None
+    cur_lon: list[int] | None = None
+    last: tuple[int, int] | None = None
+    for i in range(len(lat_hp) - 1):
+        y0, x0 = int(lat_hp[i]), int(lon_hp[i])
+        y1, x1 = int(lat_hp[i + 1]), int(lon_hp[i + 1])
+        if y0 == y1 and x0 == x1:
+            continue
+        seg = clip_segment(x0, y0, x1, y1, rect)
+        if seg is None:
+            cur_lat = cur_lon = None
+            continue
+        sx0, sy0, sx1, sy1 = seg
+        if cur_lat is None or (sx0, sy0) != last:
+            cur_lat, cur_lon = [sy0, sy1], [sx0, sx1]
+            out.append((cur_lat, cur_lon))
+        else:
+            cur_lat.append(sy1)
+            cur_lon.append(sx1)
+        last = (sx1, sy1)
+
+    # closed way: join last subline into first when they meet
+    if (
+        len(out) >= 2
+        and lat_hp[0] == lat_hp[-1]
+        and lon_hp[0] == lon_hp[-1]
+        and out[0][0][0] == out[-1][0][-1]
+        and out[0][1][0] == out[-1][1][-1]
+    ):
+        first = out.pop(0)
+        out[-1] = (out[-1][0] + first[0][1:], out[-1][1] + first[1][1:])
+
+    return [
+        (np.asarray(la, dtype=np.int64), np.asarray(lo, dtype=np.int64))
+        for la, lo in out
+    ]
+
+
+def _clip_edge(
+    lat: np.ndarray, lon: np.ndarray, edge: int, val: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Clip polygon against one rectangle half-plane; vectorized.
+
+    edge: 0 = lon >= val (left), 1 = lon <= val (right),
+          2 = lat >= val (bottom), 3 = lat <= val (top).
+    """
+    n = len(lat)
+    if n == 0:
+        return lat, lon
+    coord = lon if edge in (0, 1) else lat
+    if edge in (0, 2):
+        inside = coord >= val
+    else:
+        inside = coord <= val
+    prev = np.roll(np.arange(n), 1)
+    ins_p = inside[prev]
+    cross = inside != ins_p
+
+    # intersection of segment (prev -> cur) with edge line
+    la0, lo0 = lat[prev], lon[prev]
+    la1, lo1 = lat, lon
+    if edge in (0, 1):
+        denom = lo1 - lo0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom != 0, (val - lo0) / denom, 0.0)
+        ix_lat = la0 + t * (la1 - la0)
+        ix_lon = np.full(n, float(val))
+    else:
+        denom = la1 - la0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom != 0, (val - la0) / denom, 0.0)
+        ix_lon = lo0 + t * (lo1 - lo0)
+        ix_lat = np.full(n, float(val))
+
+    counts = cross.astype(np.int64) + inside.astype(np.int64)
+    total = int(counts.sum())
+    out_lat = np.empty(total, dtype=np.float64)
+    out_lon = np.empty(total, dtype=np.float64)
+    offs = np.cumsum(counts) - counts
+    # intersections go first in each slot, then the inside vertex
+    ci = offs[cross]
+    out_lat[ci] = ix_lat[cross]
+    out_lon[ci] = ix_lon[cross]
+    vi = offs[inside] + cross[inside].astype(np.int64)
+    out_lat[vi] = la1[inside]
+    out_lon[vi] = lo1[inside]
+    return out_lat, out_lon
+
+
+def sutherland_hodgman(
+    lat_hp: np.ndarray, lon_hp: np.ndarray, rect: tuple[int, int, int, int]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Sutherland-Hodgman polygon clip against an hp rectangle
+    (``ShapeSplitter.clipSinglePathWithSutherlandHodgman``,
+    ``ShapeSplitter.java:129-157``).
+
+    The input ring may or may not repeat its first point; the output ring is
+    open (no repeated first point), rounded back to int64 hp coordinates
+    half-away-from-zero, with consecutive duplicates collapsed. Returns None
+    when fewer than 3 points survive.
+    """
+    lat = np.asarray(lat_hp, dtype=np.float64)
+    lon = np.asarray(lon_hp, dtype=np.float64)
+    if len(lat) >= 2 and lat[0] == lat[-1] and lon[0] == lon[-1]:
+        lat, lon = lat[:-1], lon[:-1]
+    if len(lat) < 3:
+        return None
+    min_lat, min_lon, max_lat, max_lon = rect
+    for edge, val in ((0, min_lon), (1, max_lon), (2, min_lat), (3, max_lat)):
+        lat, lon = _clip_edge(lat, lon, edge, float(val))
+        if len(lat) < 3:
+            return None
+    ilat = np.trunc(np.where(lat >= 0, lat + 0.5, lat - 0.5)).astype(np.int64)
+    ilon = np.trunc(np.where(lon >= 0, lon + 0.5, lon - 0.5)).astype(np.int64)
+    # collapse consecutive duplicates (including wrap-around)
+    keep = np.ones(len(ilat), dtype=bool)
+    keep[1:] = (ilat[1:] != ilat[:-1]) | (ilon[1:] != ilon[:-1])
+    ilat, ilon = ilat[keep], ilon[keep]
+    while len(ilat) > 1 and ilat[0] == ilat[-1] and ilon[0] == ilon[-1]:
+        ilat, ilon = ilat[:-1], ilon[:-1]
+    if len(ilat) < 3:
+        return None
+    return ilat, ilon

@@ -1,0 +1,145 @@
+"""Unit tests for the clipping kernel, modeled on the reference's
+LineClipperTest / ShapeSplitterTest strategy (hand-computed cases + random
+segments against a brute-force check)."""
+
+import numpy as np
+import pytest
+
+from mkgmap_ray.geom.clip import (
+    clip_polyline,
+    clip_segment,
+    sutherland_hodgman,
+)
+
+RECT = (0, 0, 1000, 1000)  # (min_lat, min_lon, max_lat, max_lon)
+
+
+class TestClipSegment:
+    def test_fully_inside_unchanged(self):
+        assert clip_segment(10, 20, 900, 800, RECT) == (10, 20, 900, 800)
+
+    def test_fully_outside_left(self):
+        assert clip_segment(-500, 100, -10, 900, RECT) is None
+
+    def test_crossing_left_edge(self):
+        # horizontal segment y=500 from x=-500 to x=500 → clipped at x=0
+        assert clip_segment(-500, 500, 500, 500, RECT) == (0, 500, 500, 500)
+
+    def test_crossing_whole_box(self):
+        # diagonal through the box corners
+        assert clip_segment(-1000, -1000, 2000, 2000, RECT) == (0, 0, 1000, 1000)
+
+    def test_degenerate_after_clip(self):
+        # touches only the corner → zero-length → dropped
+        assert clip_segment(-10, 10, 10, -10, RECT) is None
+
+    def test_inside_endpoint_kept_exact(self):
+        got = clip_segment(500, 500, 1500, 500, RECT)
+        assert got == (500, 500, 1000, 500)
+
+    def test_random_segments_match_brute_force(self):
+        rng = np.random.default_rng(42)
+        for _ in range(500):
+            x0, y0, x1, y1 = rng.integers(-2000, 3000, size=4)
+            got = clip_segment(int(x0), int(y0), int(x1), int(y1), RECT)
+            # brute force: sample the parametric segment densely
+            t = np.linspace(0, 1, 2001)
+            xs = x0 + t * (x1 - x0)
+            ys = y0 + t * (y1 - y0)
+            ins = (xs >= 0) & (xs <= 1000) & (ys >= 0) & (ys <= 1000)
+            if got is None:
+                # allow corner-touch / sliver cases that clip to zero length
+                frac_inside = ins.mean()
+                assert frac_inside < 0.005 or (x0 == x1 and y0 == y1)
+            else:
+                gx0, gy0, gx1, gy1 = got
+                for gx, gy in ((gx0, gy0), (gx1, gy1)):
+                    assert -1 <= gx <= 1001 and -1 <= gy <= 1001
+                    d = np.hypot(xs - gx, ys - gy).min()
+                    assert d < 2.0  # endpoints lie on the original segment
+
+
+class TestClipPolyline:
+    def test_all_inside_returns_original(self):
+        lat = np.array([10, 500, 900])
+        lon = np.array([10, 500, 900])
+        out = clip_polyline(lat, lon, RECT)
+        assert len(out) == 1
+        np.testing.assert_array_equal(out[0][0], lat)
+
+    def test_meander_produces_multiple_lines(self):
+        # in, out, back in → two sublines (LineClipper.java:41 doc)
+        lat = np.array([500, 500, 500, 500])
+        lon = np.array([100, 1500, 1800, 900])
+        out = clip_polyline(lat, lon, RECT)
+        assert len(out) == 2
+        np.testing.assert_array_equal(out[0][1], [100, 1000])
+        np.testing.assert_array_equal(out[1][1], [1000, 900])
+
+    def test_closed_way_rejoined(self):
+        # square crossing the right edge; first/last sublines joined
+        lat = np.array([100, 100, 900, 900, 100])
+        lon = np.array([500, 1500, 1500, 500, 500])
+        out = clip_polyline(lat, lon, RECT)
+        assert len(out) == 1
+        (la, lo) = out[0]
+        # starts at the re-entry on the right edge, ends at exit
+        assert lo[0] == 1000 and lo[-1] == 1000
+
+    def test_fully_outside(self):
+        lat = np.array([2000, 3000])
+        lon = np.array([2000, 3000])
+        assert clip_polyline(lat, lon, RECT) == []
+
+
+class TestSutherlandHodgman:
+    def test_square_inside_unchanged(self):
+        lat = np.array([100, 100, 900, 900])
+        lon = np.array([100, 900, 900, 100])
+        out = sutherland_hodgman(lat, lon, RECT)
+        assert out is not None
+        la, lo = out
+        assert set(zip(la.tolist(), lo.tolist())) == {
+            (100, 100),
+            (100, 900),
+            (900, 900),
+            (900, 100),
+        }
+
+    def test_square_clipped_to_quarter(self):
+        lat = np.array([500, 500, 1500, 1500])
+        lon = np.array([500, 1500, 1500, 500])
+        out = sutherland_hodgman(lat, lon, RECT)
+        la, lo = out
+        assert set(zip(la.tolist(), lo.tolist())) == {
+            (500, 500),
+            (500, 1000),
+            (1000, 1000),
+            (1000, 500),
+        }
+
+    def test_triangle_cut_by_edge(self):
+        lat = np.array([0, 2000, 0])
+        lon = np.array([0, 500, 1000])
+        out = sutherland_hodgman(lat, lon, RECT)
+        la, lo = out
+        pts = set(zip(la.tolist(), lo.tolist()))
+        assert (1000, 250) in pts and (1000, 750) in pts
+        assert (0, 0) in pts and (0, 1000) in pts
+
+    def test_fully_outside_none(self):
+        lat = np.array([2000, 2000, 3000])
+        lon = np.array([2000, 3000, 2000])
+        assert sutherland_hodgman(lat, lon, RECT) is None
+
+    def test_area_preserved_when_inside(self):
+        rng = np.random.default_rng(7)
+        # random convex polygon inside the rect: area before == after
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
+        la = (500 + 400 * np.sin(ang)).astype(np.int64)
+        lo = (500 + 400 * np.cos(ang)).astype(np.int64)
+        out = sutherland_hodgman(la, lo, RECT)
+        assert out is not None
+        from mkgmap_ray.geom.polyfilters import signed_area2
+
+        assert abs(signed_area2(out[0], out[1])) == abs(signed_area2(la, lo))

@@ -1,0 +1,132 @@
+import numpy as np
+import pytest
+
+from mkgmap_ray.geom.area import Area, round_pof2
+from mkgmap_ray.geom.coords import (
+    DELTA_SHIFT,
+    deg_to_hp,
+    deg_to_mu,
+    hp_to_mu,
+    mu_to_hp,
+)
+from mkgmap_ray.geom.pip import point_in_polygon, points_in_polygon, points_in_rings
+from mkgmap_ray.geom.polyfilters import (
+    remove_obsolete_points,
+    round_coords,
+    signed_area2,
+    split_long_line,
+)
+
+
+class TestCoords:
+    def test_roundtrip_mu_hp(self):
+        mu = np.array([-100000, 0, 12345, 1 << 23])
+        assert (hp_to_mu(mu_to_hp(mu)) == mu).all()
+
+    def test_deg_to_mu_known(self):
+        # 180 deg = 2^23 map units
+        assert int(deg_to_mu(180.0)) == 1 << 23
+        assert int(deg_to_hp(180.0)) == 1 << 29
+
+    def test_rounding_half_away(self):
+        # 360/2^24 deg per unit; half a unit rounds away from zero
+        half_unit_deg = 360.0 / (1 << 24) / 2
+        assert int(deg_to_mu(half_unit_deg)) == 1
+        assert int(deg_to_mu(-half_unit_deg)) == -1
+
+
+class TestArea:
+    def test_round_pof2(self):
+        assert round_pof2(100, 4) == 96
+        assert round_pof2(104, 4) == 112
+        assert round_pof2(100, 0) == 100
+
+    def test_split_2x1_aligned(self):
+        a = Area(0, 0, 1000, 2000)
+        parts = a.split(2, 1, 4)
+        assert len(parts) == 2
+        assert parts[0].min_lon == 0 and parts[1].max_lon == 2000
+        assert parts[0].max_lon == parts[1].min_lon
+        assert parts[0].max_lon % 16 == 0
+
+    def test_split_fails_when_too_small(self):
+        a = Area(0, 0, 10, 10)
+        assert a.split(2, 1, 4) is None  # rounds to an empty half
+
+    def test_contains_hp_inclusive(self):
+        a = Area(0, 0, 100, 100)
+        assert a.contains_hp(100 << DELTA_SHIFT, 100 << DELTA_SHIFT)
+        assert not a.contains_hp((100 << DELTA_SHIFT) + 1, 0)
+
+
+class TestPIP:
+    SQ_LAT = np.array([0, 0, 100, 100])
+    SQ_LON = np.array([0, 100, 100, 0])
+
+    def test_inside_outside(self):
+        assert point_in_polygon(50, 50, self.SQ_LAT, self.SQ_LON)
+        assert not point_in_polygon(150, 50, self.SQ_LAT, self.SQ_LON)
+
+    def test_on_edge_inside(self):
+        assert point_in_polygon(0, 50, self.SQ_LAT, self.SQ_LON)
+        assert point_in_polygon(100, 100, self.SQ_LAT, self.SQ_LON)
+
+    def test_concave(self):
+        # U-shape: notch at the top middle
+        lat = np.array([0, 0, 100, 100, 10, 10, 100, 100])
+        lon = np.array([0, 100, 100, 60, 60, 40, 40, 0])
+        assert point_in_polygon(5, 50, lat, lon)  # in the base
+        assert not point_in_polygon(50, 50, lat, lon)  # in the notch
+        assert point_in_polygon(50, 20, lat, lon)  # left arm
+
+    def test_holes_even_odd(self):
+        outer = (np.array([0, 0, 100, 100]), np.array([0, 100, 100, 0]))
+        hole = (np.array([40, 40, 60, 60]), np.array([40, 60, 60, 40]))
+        res = points_in_rings(
+            np.array([50, 20, 150]), np.array([50, 20, 50]), [outer, hole]
+        )
+        assert res.tolist() == [False, True, False]
+
+    def test_vectorized_matches_scalar(self):
+        rng = np.random.default_rng(5)
+        lat = rng.integers(-20, 120, 200)
+        lon = rng.integers(-20, 120, 200)
+        vec = points_in_polygon(lat, lon, self.SQ_LAT, self.SQ_LON)
+        for i in range(200):
+            exp = (0 <= lat[i] <= 100) and (0 <= lon[i] <= 100)
+            assert vec[i] == exp
+
+
+class TestPolyFilters:
+    def test_round_coords_grid(self):
+        lat, lon = round_coords([1000, 1031, 1033], [0, -31, -33], shift=0)
+        # grid = 2^6 = 64 hp units at resolution 24
+        assert lat.tolist() == [1024, 1024, 1024]
+        assert lon.tolist() == [0, 0, -64]  # -31 is nearer 0; -33 nearer -64
+
+    def test_remove_collinear(self):
+        lat = np.array([0, 0, 0, 50])
+        lon = np.array([0, 50, 100, 100])
+        keep = remove_obsolete_points(lat, lon)
+        assert keep.tolist() == [True, False, True, True]
+
+    def test_remove_duplicates(self):
+        keep = remove_obsolete_points(np.array([0, 0, 10]), np.array([0, 0, 10]))
+        assert keep.tolist() == [True, False, True]
+
+    def test_split_long_line_limits(self):
+        for n in (251, 400, 500, 1000, 10_000):
+            ranges = split_long_line(n)
+            assert ranges[0][0] == 0 and ranges[-1][1] == n
+            for (s0, e0), (s1, e1) in zip(ranges[:-1], ranges[1:]):
+                assert e0 - 1 == s1  # share boundary point
+            for s, e in ranges:
+                assert 2 <= e - s <= 250
+                assert e - s >= 125 or len(ranges) == 1
+
+    def test_signed_area(self):
+        # CCW square in (x=lon, y=lat) plane
+        lat = np.array([0, 0, 10, 10])
+        lon = np.array([0, 10, 10, 0])
+        assert signed_area2(lat, lon) == 200
+        assert signed_area2(lat[::-1], lon[::-1]) == -200
