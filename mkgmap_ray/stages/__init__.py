@@ -1,0 +1,1 @@
+"""Ray Data stages: batch transforms, actor-pool joins, aggregations."""

@@ -1,0 +1,190 @@
+"""Tile assignment: narrow projection → refinement loop → cell column.
+
+The distributed counterpart of ``build/MapSplitter.java`` +
+``build/MapArea.pickArea``:
+
+1. ``narrow_stats`` (map_batches, Arrow in/out): per feature compute the
+   center (``MapLine.getLocation`` bbox-midpoint rule), the point count and
+   the ``MapArea.addSize`` byte estimate — a ~40-byte row regardless of
+   geometry size, the engine's projection pushdown.
+2. ``build_split_tree``: driver loop — every pass assigns features to the
+   current leaves with a vectorized tree walk and aggregates per-leaf stats
+   as *partial aggregates inside map_batches* (one tiny table per batch,
+   summed on the driver; no all-to-all shuffle), then splits every violating
+   leaf (``MapSplitter.addAreasToList`` policy). Passes = tree depth
+   (O(log n)), each pass touches only the narrow projection.
+3. ``assign_cells``: map_batches adding ``cell`` (leaf node id) and
+   ``tile_id`` (dense leaf rank) to the full feature table; the packed tree
+   (a few KB of numpy arrays) rides the task closure — broadcast once per
+   task, not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.area import Area
+from ..geom.coords import DELTA_SHIFT
+from ..grid import SplitTree, assign_nodes, feature_centers
+from ..splitter import STAT_COLS, SplitLimits, element_stats, refine
+from ..util import list_lengths, list_minmax
+
+
+def narrow_stats_batch(batch: pa.Table) -> pa.Table:
+    """Arrow batch of FEATURES → narrow per-feature stats table."""
+    kind = np.asarray(batch["kind"].combine_chunks(), dtype=np.int64)
+    lat_min_hp, lat_max_hp = list_minmax(batch["lat_hp"])
+    lon_min_hp, lon_max_hp = list_minmax(batch["lon_hp"])
+    n_points = list_lengths(batch["lat_hp"]).astype(np.int64)
+
+    # centers are computed from MAP-UNIT bboxes (MapLine.getLocation uses the
+    # map-unit bbox midpoint, then pickArea shifts back to hp)
+    lat_c, lon_c = feature_centers(
+        kind,
+        lat_min_hp >> DELTA_SHIFT,
+        lat_max_hp >> DELTA_SHIFT,
+        lon_min_hp >> DELTA_SHIFT,
+        lon_max_hp >> DELTA_SHIFT,
+    )
+    n_pt, n_ln, n_sh, est, n_split = element_stats(kind, n_points)
+    return pa.table(
+        {
+            "feature_id": batch["feature_id"],
+            "lat_c": pa.array(lat_c, pa.int64()),
+            "lon_c": pa.array(lon_c, pa.int64()),
+            "n_pt": pa.array(n_pt, pa.int64()),
+            "n_ln": pa.array(n_ln, pa.int64()),
+            "n_sh": pa.array(n_sh, pa.int64()),
+            "est": pa.array(est, pa.int64()),
+            "n_split": pa.array(n_split, pa.int64()),
+        }
+    )
+
+
+def narrow_stats(features_ds):
+    return features_ds.map_batches(narrow_stats_batch, batch_format="pyarrow")
+
+
+def _partial_agg_fn(packed):
+    """Build the per-batch partial aggregator for the current tree."""
+
+    def agg(batch: pa.Table) -> pa.Table:
+        lat = np.asarray(batch["lat_c"].combine_chunks(), np.int64)
+        lon = np.asarray(batch["lon_c"].combine_chunks(), np.int64)
+        leaf = assign_nodes(packed, lat, lon)
+        uniq, inv = np.unique(leaf, return_inverse=True)
+        out = {"node": pa.array(uniq, pa.int64())}
+        for c in STAT_COLS:
+            vals = np.asarray(batch[c].combine_chunks(), np.int64)
+            out[c] = pa.array(np.bincount(inv, weights=vals, minlength=len(uniq))
+                              .astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return agg
+
+
+def compute_bounds(narrow_ds) -> Area:
+    """Global map-unit bbox of all feature centers (``initialArea``)."""
+    agg = narrow_ds.aggregate(
+        *(
+            a
+            for col in ("lat_c", "lon_c")
+            for a in _minmax_aggs(col)
+        )
+    )
+    return Area(
+        int(agg["min(lat_c)"]) >> DELTA_SHIFT,
+        int(agg["min(lon_c)"]) >> DELTA_SHIFT,
+        (int(agg["max(lat_c)"]) >> DELTA_SHIFT) + 1,
+        (int(agg["max(lon_c)"]) >> DELTA_SHIFT) + 1,
+    )
+
+
+def _minmax_aggs(col):
+    from ray.data.aggregate import Max, Min
+
+    return (Min(col), Max(col))
+
+
+def build_split_tree(
+    narrow_ds,
+    shift: int,
+    limits: SplitLimits = SplitLimits(),
+    bounds: Area | None = None,
+) -> SplitTree:
+    """Run the MapSplitter refinement loop against a Ray Dataset of narrow
+    per-feature stats. The narrow projection is materialized once (it is a
+    few percent of the input width) and re-scanned per depth level."""
+    narrow_ds = narrow_ds.materialize()
+    if bounds is None:
+        bounds = compute_bounds(narrow_ds)
+    tree = SplitTree.root(bounds, shift)
+    tree.split_max_size(limits.max_division_size)
+
+    def stats_fn(packed):
+        parts = narrow_ds.map_batches(
+            _partial_agg_fn(packed), batch_format="pyarrow"
+        ).to_pandas()
+        if len(parts) == 0:
+            return {}
+        g = parts.groupby("node", sort=True).sum()
+        n = int(g.index.max()) + 1
+        out = {}
+        for c in STAT_COLS:
+            arr = np.zeros(n, dtype=np.int64)
+            arr[g.index.to_numpy()] = g[c].to_numpy()
+            out[c] = arr
+        return out
+
+    return refine(tree, stats_fn, limits)
+
+
+class CellAssigner:
+    """map_batches callable adding ``cell`` and ``tile_id`` columns to the
+    full FEATURES table (``MapArea.pickArea`` center rule)."""
+
+    def __init__(self, packed, leaf_rank: dict[int, int]):
+        self.packed = packed
+        n = int(max(leaf_rank)) + 1 if leaf_rank else 1
+        self.rank = np.full(n, -1, dtype=np.int64)
+        for node, r in leaf_rank.items():
+            self.rank[node] = r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kind = np.asarray(batch["kind"].combine_chunks(), dtype=np.int64)
+        lat_min_hp, lat_max_hp = list_minmax(batch["lat_hp"])
+        lon_min_hp, lon_max_hp = list_minmax(batch["lon_hp"])
+        lat_c, lon_c = feature_centers(
+            kind,
+            lat_min_hp >> DELTA_SHIFT,
+            lat_max_hp >> DELTA_SHIFT,
+            lon_min_hp >> DELTA_SHIFT,
+            lon_max_hp >> DELTA_SHIFT,
+        )
+        leaf = assign_nodes(self.packed, lat_c, lon_c)
+        batch = batch.append_column("cell", pa.array(leaf, pa.int64()))
+        return batch.append_column(
+            "tile_id", pa.array(self.rank[leaf], pa.int64())
+        )
+
+
+def assign_cells(features_ds, tree: SplitTree):
+    """Return (dataset with cell/tile_id columns, tile metadata table)."""
+    leaves = tree.leaves()
+    leaf_rank = {n: i for i, n in enumerate(leaves)}
+    packed = tree.pack()
+    ds = features_ds.map_batches(
+        CellAssigner(packed, leaf_rank), batch_format="pyarrow"
+    )
+    meta = pa.table(
+        {
+            "tile_id": pa.array(range(len(leaves)), pa.int64()),
+            "cell": pa.array(leaves, pa.int64()),
+            "min_lat": pa.array([tree.bounds[n].min_lat for n in leaves], pa.int32()),
+            "min_lon": pa.array([tree.bounds[n].min_lon for n in leaves], pa.int32()),
+            "max_lat": pa.array([tree.bounds[n].max_lat for n in leaves], pa.int32()),
+            "max_lon": pa.array([tree.bounds[n].max_lon for n in leaves], pa.int32()),
+        }
+    )
+    return ds, meta

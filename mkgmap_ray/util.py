@@ -1,0 +1,45 @@
+"""Arrow helpers shared by the stages (no Ray imports)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_column_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """Return (flat_values, offsets) of a list column as numpy arrays.
+
+    Accepts a ChunkedArray or Array of list<numeric>. Offsets have length
+    n+1. Zero-copy where Arrow allows.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
+        offsets = np.asarray(col.offsets)
+        values = np.asarray(col.values)
+        # account for a sliced array whose offsets don't start at 0
+        return values, offsets.astype(np.int64)
+    raise TypeError(f"not a list column: {type(col)}")
+
+
+def list_lengths(col) -> np.ndarray:
+    values, offsets = list_column_parts(col)
+    return offsets[1:] - offsets[:-1]
+
+
+def list_minmax(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (min, max) of a list<numeric> column; rows must be non-empty."""
+    values, offsets = list_column_parts(col)
+    starts = offsets[:-1]
+    if len(values) == 0 or len(starts) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    vmin = np.minimum.reduceat(values, starts)
+    vmax = np.maximum.reduceat(values, starts)
+    return vmin.astype(np.int64), vmax.astype(np.int64)
+
+
+def rebuild_list_array(values: np.ndarray, offsets: np.ndarray,
+                       value_type=pa.int32()) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(values, type=value_type)
+    )
