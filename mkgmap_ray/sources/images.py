@@ -1,0 +1,182 @@
+"""Deterministic image+caption table generator + codecs.
+
+Produces exactly the input_hint column shape from BASELINE.json:
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)`` plus geo columns ``lat:float64,
+lon:float64`` (80% uniform in the bbox, 20% in 3 dense hotspots — the skew
+driver for salting tests; see FIXTURES.md T1).
+
+Formats:
+- ``png``: real lossless PNG via ``png.py`` — decode is bit-exact;
+- ``qraw``: the *lossy* stand-in for JPEG (no JPEG codec in this
+  container): pixels quantized to 5 bits per channel and zlib-compressed
+  (error ≤ 4/255 → PSNR ≈ 40.7 dB, above the 40 dB invariant).
+  Header ``b"QRAW" + w:u32 + h:u32``. A real deployment swaps
+  ``decode_image``'s qraw branch for a JPEG codec; the Ray-side plumbing
+  (schema, batch size, actor signature) is identical.
+
+``phash``: 64-bit average-hash of the decoded pixels (8×8 block-mean of
+grayscale, bit = block > mean), stable across encode/decode for both
+formats.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .png import decode_png, encode_png
+
+HOTSPOTS = ((0.2, 0.3), (0.7, 0.6), (0.5, 0.85))  # fractions of the bbox
+
+
+def encode_qraw(rgb: np.ndarray) -> bytes:
+    h, w = rgb.shape[:2]
+    q = (rgb >> 3).astype(np.uint8)  # 5-bit quantization (lossy, ~40.7 dB)
+    return (
+        b"QRAW"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def decode_qraw(data: bytes) -> np.ndarray:
+    assert data[:4] == b"QRAW"
+    w = int.from_bytes(data[4:8], "big")
+    h = int.from_bytes(data[8:12], "big")
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
+    return ((q << 3) | 4).astype(np.uint8)  # dequantize to bin center
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "qraw":
+        return decode_qraw(data)
+    raise NotImplementedError(
+        f"format {fmt!r}: real image codecs (jpeg/webp) are not available in "
+        "this container; plug a codec into decode_image"
+    )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit average hash: 8×8 block means of grayscale, bit set where the
+    block exceeds the global mean. Bit-stable across lossless round-trips;
+    lossy round-trips may flip a few borderline-block bits (the pipeline
+    invariant is Hamming distance ≤ 4, see tests)."""
+    gray = rgb.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def make_pixels(row: int, w: int, h: int) -> np.ndarray:
+    """Seeded RGB gradient+noise image, deterministic per row index."""
+    rng = np.random.default_rng(42 + row)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 / max(w - 1, 1)),
+            (yy * 255 / max(h - 1, 1)),
+            ((xx + yy) * 255 / max(w + h - 2, 1)),
+        ],
+        axis=2,
+    )
+    noise = rng.integers(0, 32, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+_WORDS = (
+    "tile map cell river road park image pixel caption garmin osm "
+    "north south east west clip merge split index"
+).split()
+
+
+def make_caption(row: int) -> str:
+    w1 = _WORDS[row % len(_WORDS)]
+    w2 = _WORDS[(row * 7 + 3) % len(_WORDS)]
+    uni = " – λ°" if row % 7 == 0 else ""
+    return f"caption for img{row} {w1} {w2}{uni}"
+
+
+def geo_tags(n: int, seed: int = 42, bbox=(0.0, 0.0, 1.0, 1.0)):
+    """(lat, lon) float64 arrays: 80% uniform, 20% clustered in 3 hotspots."""
+    rng = np.random.default_rng(seed)
+    min_lat, min_lon, max_lat, max_lon = bbox
+    lat = rng.uniform(min_lat, max_lat, n)
+    lon = rng.uniform(min_lon, max_lon, n)
+    n_hot = n // 5
+    which = rng.integers(0, len(HOTSPOTS), n_hot)
+    span_lat, span_lon = max_lat - min_lat, max_lon - min_lon
+    for k, (fy, fx) in enumerate(HOTSPOTS):
+        m = which == k
+        cnt = int(m.sum())
+        lat[:n_hot][m] = np.clip(
+            rng.normal(min_lat + fy * span_lat, span_lat / 100, cnt), min_lat, max_lat
+        )
+        lon[:n_hot][m] = np.clip(
+            rng.normal(min_lon + fx * span_lon, span_lon / 100, cnt), min_lon, max_lon
+        )
+    return lat, lon
+
+
+def generate_images(
+    n: int, seed: int = 42, bbox=(0.0, 0.0, 1.0, 1.0), with_geo: bool = True
+) -> pa.Table:
+    """Build the images table (FIXTURES.md T1). Sizes cycle {32,64,128} ×
+    {32,48,96}; formats alternate png / qraw."""
+    ws = [32, 64, 128]
+    hs = [32, 48, 96]
+    cols = {
+        "image_id": [],
+        "bytes": [],
+        "w": [],
+        "h": [],
+        "fmt": [],
+        "caption": [],
+        "phash": [],
+    }
+    for row in range(n):
+        w, h = ws[row % 3], hs[row % 3]
+        fmt = "png" if row % 2 == 0 else "qraw"
+        rgb = make_pixels(row, w, h)
+        data = encode_png(rgb) if fmt == "png" else encode_qraw(rgb)
+        cols["image_id"].append(f"img{row:012d}")
+        cols["bytes"].append(data)
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["fmt"].append(fmt)
+        cols["caption"].append(make_caption(row))
+        cols["phash"].append(phash64(rgb))
+    table = pa.table(
+        {
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string()),
+            "phash": pa.array(cols["phash"], pa.int64()),
+        }
+    )
+    if with_geo:
+        lat, lon = geo_tags(n, seed=seed, bbox=bbox)
+        table = table.append_column("lat", pa.array(lat, pa.float64()))
+        table = table.append_column("lon", pa.array(lon, pa.float64()))
+    return table
