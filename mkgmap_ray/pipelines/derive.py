@@ -1,0 +1,138 @@
+"""Deterministic derivation of geo features from the driver's parquet
+tables (region/nation/.../lineitem/events).
+
+The driver's correctness gate compares every Ray query against DuckDB SQL
+over the SAME tables, so each derivation here is integer arithmetic that a
+SQL oracle mirrors verbatim (multiplicative hashes mod 2**16; no floats).
+The constants below are referenced by ``__ray_entry__.oracle_sql``.
+
+Coordinates are 24-bit map units in a 65536×65536-unit square (≈1.4°×1.4°,
+the reference's ``MAX_DIVISION_SIZE``-scale tile, ``MapSplitter.java:44``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.coords import DELTA_SHIFT
+from ..schema import KIND_LINE, KIND_POINT, KIND_SHAPE
+
+SPAN = 1 << 16  # map units
+A_LAT = 48271  # minstd multipliers — SQL-mirrorable integer hashes
+A_LON = 16807
+CLIP_RECT_MU = (16384, 16384, 49152, 49152)  # (min_lat, min_lon, max_lat, max_lon)
+
+# fixed grid for the SQL-oracle cell assignment: 16×16 cells of 4096 units
+GRID_SHIFT = 12
+GRID_N = SPAN >> GRID_SHIFT
+
+
+def event_points_np(event_id: np.ndarray):
+    """lat/lon map units of event-derived points (mirrored in SQL)."""
+    eid = event_id.astype(np.int64)
+    lat = (eid * A_LAT) % SPAN
+    lon = (eid * A_LON) % SPAN
+    return lat, lon
+
+
+def lineitem_segments_np(orderkey, partkey, suppkey, linenumber):
+    """Segment endpoints (map units) per lineitem row (mirrored in SQL)."""
+    ok = orderkey.astype(np.int64)
+    pk = partkey.astype(np.int64)
+    sk = suppkey.astype(np.int64)
+    ln = linenumber.astype(np.int64)
+    y0 = (ok * A_LAT + ln * 977) % SPAN
+    x0 = (ok * A_LON + ln * 661) % SPAN
+    y1 = y0 + (pk % 8192) - 4096
+    x1 = x0 + ((sk * 131) % 8192) - 4096
+    return x0, y0, x1, y1
+
+
+def order_triangles_np(orderkey):
+    """Triangle vertices (map units) per order (mirrored in SQL)."""
+    ok = orderkey.astype(np.int64)
+    cy = (ok * A_LAT) % SPAN
+    cx = (ok * A_LON) % SPAN
+    r = 256 + ok % 1024
+    # vertices: (cy+r, cx), (cy-r, cx+r), (cy-r, cx-r)
+    return cy, cx, r
+
+
+def features_from_testdata(sf_dir: str) -> pa.Table:
+    """events → points, lineitem → 2-point lines, orders → triangle shapes.
+
+    Feature ids are disjoint: events ``eid``, lineitem ``2^40 + ok*8+ln``,
+    orders ``2^41 + ok``.
+    """
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    od = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    eid = np.asarray(ev["event_id"], dtype=np.int64)
+    plat, plon = event_points_np(eid)
+
+    ok = np.asarray(li["l_orderkey"], dtype=np.int64)
+    ln = np.asarray(li["l_linenumber"], dtype=np.int64)
+    x0, y0, x1, y1 = lineitem_segments_np(
+        ok,
+        np.asarray(li["l_partkey"], dtype=np.int64),
+        np.asarray(li["l_suppkey"], dtype=np.int64),
+        ln,
+    )
+
+    ook = np.asarray(od["o_orderkey"], dtype=np.int64)
+    cy, cx, r = order_triangles_np(ook)
+
+    ne, nl, ns = len(eid), len(ok), len(ook)
+    # lineitem (orderkey, linenumber) is NOT unique in the synthetic data —
+    # use the row position for a unique feature id (ids never appear in the
+    # SQL oracles, which key on the geometry columns themselves)
+    ids = np.concatenate(
+        [eid, (1 << 40) + np.arange(nl, dtype=np.int64), (1 << 41) + ook]
+    )
+    kinds = np.concatenate(
+        [
+            np.full(ne, KIND_POINT, np.int8),
+            np.full(nl, KIND_LINE, np.int8),
+            np.full(ns, KIND_SHAPE, np.int8),
+        ]
+    )
+    # flat coordinate arrays: 1 pt per event, 2 per lineitem, 3 per order
+    flat_lat = np.concatenate(
+        [
+            plat,
+            np.stack([y0, y1], axis=1).ravel(),
+            np.stack([cy + r, cy - r, cy - r], axis=1).ravel(),
+        ]
+    ) << DELTA_SHIFT
+    flat_lon = np.concatenate(
+        [
+            plon,
+            np.stack([x0, x1], axis=1).ravel(),
+            np.stack([cx, cx + r, cx - r], axis=1).ravel(),
+        ]
+    ) << DELTA_SHIFT
+    lengths = np.concatenate(
+        [np.full(ne, 1), np.full(nl, 2), np.full(ns, 3)]
+    )
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+
+    return pa.table(
+        {
+            "feature_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.int8()),
+            "lat_hp": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_lat.astype(np.int32))
+            ),
+            "lon_hp": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_lon.astype(np.int32))
+            ),
+            "image_id": pa.array([None] * len(ids), pa.string()),
+        }
+    )

@@ -1,0 +1,136 @@
+"""Clipping stages (map_batches over Arrow batches).
+
+Two uses, mirroring the reference:
+
+- ``clip_to_bbox``: ingest-time clip of every feature to the job bounding
+  box (the reference clips at the tile boundary in
+  ``StyledConverter.addLine`` via ``AreaClipper``/``LineClipper``; elements
+  fully outside are dropped like ``UnusedElementsRemoverHook``);
+- ``ClipToCell``: sink-time clip of each feature to its assigned cell so
+  per-tile outputs are self-contained (the analogue of
+  ``MapArea.splitIntoAreas`` → ``ShapeSplitter.clipToBounds`` for elements
+  crossing subdivision edges; the reference only forces this for oversized
+  elements — we apply it at the sink and keep the owning-cell rule from the
+  center assignment, so each source feature appears exactly once unclipped
+  semantics-wise: fragments carry ``part`` indexes).
+
+Fast path: a vectorized bbox check skips features entirely inside; only
+crossing features take the per-feature Python path (rare at sane cell
+sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.area import Area
+from ..geom.clip import clip_polyline, sutherland_hodgman
+from ..schema import KIND_LINE, KIND_POINT, KIND_SHAPE
+from ..util import list_column_parts, list_minmax
+
+
+def _clip_batch_to_rects(batch: pa.Table, rects: np.ndarray) -> pa.Table:
+    """Clip each feature row to its own hp rect (n×4 array of
+    min_lat, min_lon, max_lat, max_lon). Returns a new table where crossing
+    lines/shapes are replaced by their clipped parts (``part`` column)."""
+    if "part" in batch.column_names:  # re-clipping (bbox then cell)
+        batch = batch.drop_columns(["part"])
+    n = batch.num_rows
+    kind = np.asarray(batch["kind"].combine_chunks(), dtype=np.int64)
+    lat_vals, lat_off = list_column_parts(batch["lat_hp"])
+    lon_vals, lon_off = list_column_parts(batch["lon_hp"])
+    lat_min, lat_max = list_minmax(batch["lat_hp"])
+    lon_min, lon_max = list_minmax(batch["lon_hp"])
+
+    inside = (
+        (lat_min >= rects[:, 0])
+        & (lat_max <= rects[:, 2])
+        & (lon_min >= rects[:, 1])
+        & (lon_max <= rects[:, 3])
+    )
+    # points outside their rect are dropped; lines/shapes clipped
+    sel_rows: list[int] = []
+    out_lat: list[np.ndarray] = []
+    out_lon: list[np.ndarray] = []
+    out_part: list[int] = []
+    lat64 = lat_vals.astype(np.int64)
+    lon64 = lon_vals.astype(np.int64)
+    for i in range(n):
+        if inside[i]:
+            sel_rows.append(i)
+            out_lat.append(lat64[lat_off[i] : lat_off[i + 1]])
+            out_lon.append(lon64[lon_off[i] : lon_off[i + 1]])
+            out_part.append(0)
+            continue
+        rect = tuple(int(v) for v in rects[i])
+        la = lat64[lat_off[i] : lat_off[i + 1]]
+        lo = lon64[lon_off[i] : lon_off[i + 1]]
+        if kind[i] == KIND_POINT:
+            continue  # outside its rect
+        if kind[i] == KIND_LINE:
+            for part, (pla, plo) in enumerate(clip_polyline(la, lo, rect)):
+                sel_rows.append(i)
+                out_lat.append(pla)
+                out_lon.append(plo)
+                out_part.append(part)
+        elif kind[i] == KIND_SHAPE:
+            res = sutherland_hodgman(la, lo, rect)
+            if res is not None:
+                sel_rows.append(i)
+                out_lat.append(res[0])
+                out_lon.append(res[1])
+                out_part.append(0)
+
+    if not sel_rows:
+        empty = batch.slice(0, 0)
+        empty = empty.drop_columns(["lat_hp", "lon_hp"])
+        empty = empty.append_column("lat_hp", pa.array([], pa.list_(pa.int32())))
+        empty = empty.append_column("lon_hp", pa.array([], pa.list_(pa.int32())))
+        return empty.append_column("part", pa.array([], pa.int32()))
+
+    idx = pa.array(sel_rows, pa.int64())
+    taken = batch.drop_columns(["lat_hp", "lon_hp"]).take(idx)
+    lengths = np.asarray([len(a) for a in out_lat], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    flat_lat = np.concatenate(out_lat) if out_lat else np.empty(0, np.int64)
+    flat_lon = np.concatenate(out_lon) if out_lon else np.empty(0, np.int64)
+    lat_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat_lat, pa.int32())
+    )
+    lon_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat_lon, pa.int32())
+    )
+    taken = taken.append_column("lat_hp", lat_arr)
+    taken = taken.append_column("lon_hp", lon_arr)
+    return taken.append_column("part", pa.array(out_part, pa.int32()))
+
+
+def clip_to_bbox(ds, bbox: Area):
+    """Clip every feature to the job bbox (drops outside features)."""
+    rect = np.asarray(bbox.hp_bounds(), dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rects = np.broadcast_to(rect, (batch.num_rows, 4))
+        return _clip_batch_to_rects(batch, rects)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class ClipToCell:
+    """Actor-pool/map_batches callable: clip each feature to the bounds of
+    its assigned ``cell`` column (tile self-containment at the sink)."""
+
+    def __init__(self, cell_bounds_hp: dict[int, tuple[int, int, int, int]]):
+        n = max(cell_bounds_hp) + 1
+        self.rects = np.zeros((n, 4), dtype=np.int64)
+        for c, r in cell_bounds_hp.items():
+            self.rects[c] = r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cells = np.asarray(batch["cell"].combine_chunks(), dtype=np.int64)
+        return _clip_batch_to_rects(batch, self.rects[cells])
+
+
+def cell_bounds_hp(tree) -> dict[int, tuple[int, int, int, int]]:
+    return {leaf: tree.bounds[leaf].hp_bounds() for leaf in tree.leaves()}
