@@ -1,0 +1,153 @@
+"""PIP join, kNN join and raster sampling vs brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mkgmap_ray.geom.pip import points_in_rings
+from mkgmap_ray.stages.knn import GridKnnIndex, KnnJoin, knn_bruteforce
+from mkgmap_ray.stages.pipjoin import PIPJoin, PolygonIndex
+from mkgmap_ray.stages.raster import RasterSampler, bilinear, make_raster, UNDEF
+
+
+def square(cy, cx, r):
+    return (
+        np.array([cy - r, cy - r, cy + r, cy + r]),
+        np.array([cx - r, cx + r, cx + r, cx - r]),
+    )
+
+
+POLYS = [
+    (1, [square(1 << 20, 1 << 20, 1 << 19)]),          # big square
+    (2, [square(1 << 20, 1 << 20, 1 << 17)]),          # nested smaller square
+    (3, [square(3 << 20, 3 << 20, 1 << 18),            # square with a hole
+         square(3 << 20, 3 << 20, 1 << 16)]),
+]
+
+
+class TestPolygonIndex:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(4)
+        lat = rng.integers(0, 4 << 20, 3000)
+        lon = rng.integers(0, 4 << 20, 3000)
+        idx = PolygonIndex(POLYS, raster_shift=19)
+        rows, pids = idx.query(lat, lon)
+        got = set(zip(rows.tolist(), pids.tolist()))
+        exp = set()
+        for pid, rings in POLYS:
+            inside = points_in_rings(lat, lon, rings)
+            for r in np.flatnonzero(inside):
+                exp.add((int(r), pid))
+        assert got == exp
+
+    def test_nested_multiple_matches(self):
+        idx = PolygonIndex(POLYS)
+        rows, pids = idx.query(np.array([1 << 20]), np.array([1 << 20]))
+        assert sorted(pids.tolist()) == [1, 2]
+
+    def test_hole_excludes(self):
+        idx = PolygonIndex(POLYS)
+        rows, pids = idx.query(np.array([3 << 20]), np.array([3 << 20]))
+        assert pids.tolist() == []  # center is inside the hole
+
+
+class TestPIPJoinStage:
+    def test_explode_and_left_join(self, ray_session):
+        batch = pa.table(
+            {
+                "pid": pa.array([0, 1], pa.int64()),
+                "lat_hp": pa.array([1 << 20, 0], pa.int64()),
+                "lon_hp": pa.array([1 << 20, 0], pa.int64()),
+            }
+        )
+        j = PIPJoin(POLYS)
+        out = j(batch)
+        assert out["pid"].to_pylist() == [0, 0]
+        assert sorted(out["boundary_id"].to_pylist()) == [1, 2]
+        j2 = PIPJoin(POLYS, keep_unmatched=True)
+        out2 = j2(batch)
+        assert out2.num_rows == 3
+        assert out2["boundary_id"].to_pylist()[-1] is None
+
+
+class TestKnn:
+    def test_grid_matches_brute(self):
+        rng = np.random.default_rng(11)
+        n_ref, n_p = 5000, 2000
+        rlat = rng.integers(0, 1 << 22, n_ref)
+        rlon = rng.integers(0, 1 << 22, n_ref)
+        rids = rng.permutation(n_ref).astype(np.int64)
+        plat = rng.integers(-(1 << 18), (1 << 22) + (1 << 18), n_p)
+        plon = rng.integers(-(1 << 18), (1 << 22) + (1 << 18), n_p)
+        idx = GridKnnIndex(rids, rlat, rlon, cell_size=1 << 18)
+        bid, bd2 = knn_bruteforce(plat, plon, rids, rlat, rlon)
+        for i in range(n_p):
+            gid, gd2 = idx.nearest(int(plat[i]), int(plon[i]))
+            assert gd2 == bd2[i], i
+            assert gid == bid[i], i
+
+    def test_max_dist_filter(self):
+        idx = GridKnnIndex([7], [0], [0], cell_size=100)
+        assert idx.nearest(1000, 0, max_dist2=999_999) == (-1, -1)
+        assert idx.nearest(1000, 0, max_dist2=1_000_000) == (7, 1_000_000)
+
+    def test_join_stage_brute_path(self, ray_session):
+        batch = pa.table(
+            {
+                "hid": pa.array([0, 1], pa.int64()),
+                "lat_hp": pa.array([10, 500], pa.int64()),
+                "lon_hp": pa.array([10, 500], pa.int64()),
+            }
+        )
+        j = KnnJoin(([1, 2], [0, 400], [0, 400]))
+        out = j(batch)
+        assert out["nn_id"].to_pylist() == [1, 2]
+        assert out["nn_dist2"].to_pylist() == [200, 20000]
+
+
+class TestRaster:
+    def test_exact_at_grid_nodes(self):
+        t = make_raster(res=8, n_voids=0)
+        s = RasterSampler(t)
+        batch = pa.table(
+            {
+                "lat": pa.array([0.0, 0.5, 1.0 - 1e-9], pa.float64()),
+                "lon": pa.array([0.0, 0.25, 0.75], pa.float64()),
+            }
+        )
+        out = s(batch)
+        # node (0,0): h = 0
+        assert out["height"][0].as_py() == 0.0
+
+    def test_bilinear_midpoint(self):
+        grid = np.array([[0, 10], [20, 30]], dtype=np.int64)
+        v = bilinear(grid, np.array([0.5]), np.array([0.5]))
+        assert v[0] == (0 + 10 + 20 + 30) / 4
+
+    def test_void_is_null(self):
+        grid = np.array([[0, UNDEF], [20, 30]], dtype=np.int64)
+        v = bilinear(grid, np.array([0.5]), np.array([0.5]))
+        assert np.isnan(v[0])
+
+    def test_outside_tiles_null(self):
+        t = make_raster(res=8, n_voids=0)
+        s = RasterSampler(t)
+        batch = pa.table(
+            {
+                "lat": pa.array([5.0], pa.float64()),
+                "lon": pa.array([5.0], pa.float64()),
+            }
+        )
+        assert s(batch)["height"][0].as_py() is None
+
+    def test_closed_form_oracle(self):
+        # away from voids the closed form h = (j*31 + i*17) % 1000 holds
+        t = make_raster(res=100, n_voids=0)
+        s = RasterSampler(t)
+        lat, lon = 0.25, 0.75  # exact quarter positions → fy=25, fx=75
+        out = s(
+            pa.table(
+                {"lat": pa.array([lat]), "lon": pa.array([lon])}
+            )
+        )
+        assert out["height"][0].as_py() == (25 * 31 + 75 * 17) % 1000
