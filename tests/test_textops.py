@@ -1,0 +1,180 @@
+"""Text analysis, dedup, and ANN operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mkgmap_ray.stages.ann import lsh_bucketed_cosine_pairs, quantize, topk_dot
+from mkgmap_ray.stages.dedup import (
+    MinHasher,
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash64,
+    simhash_candidates,
+)
+from mkgmap_ray.stages.text import TextStats, fingerprint64
+
+
+class TestTextStats:
+    def test_counts(self):
+        ts = TextStats()
+        df = ts(pd.DataFrame({"text": ["Hello, world! This is a test."]}))
+        assert df["n_chars_calc"][0] == 29
+        assert df["n_tokens"][0] == 6
+        assert df["n_punct"][0] == 3  # comma, two terminal marks
+
+    def test_langid(self):
+        ts = TextStats()
+        df = ts(
+            pd.DataFrame(
+                {
+                    "text": [
+                        "the cat and the dog went to the park for a walk",
+                        "der Hund und die Katze sind nicht zu Hause auf dem Tisch",
+                        "le chat et la souris sont dans les maisons pour une nuit",
+                        "这是一个中文句子 测试 语言 检测",
+                    ]
+                }
+            )
+        )
+        assert df["lang_pred"].tolist() == ["en", "de", "fr", "zh"]
+
+    def test_fingerprint_deterministic_and_order_sensitive(self):
+        assert fingerprint64("abc") == fingerprint64("abc")
+        assert fingerprint64("abc") != fingerprint64("acb")
+
+    def test_quality_range(self):
+        ts = TextStats()
+        df = ts(pd.DataFrame({"text": ["x", "the " * 100]}))
+        assert ((df["quality"] >= 0) & (df["quality"] <= 1)).all()
+        assert df["quality"][1] > df["quality"][0]
+
+
+class TestMinHash:
+    def test_identical_docs_full_match(self):
+        mh = MinHasher()
+        a = mh.signature("the quick brown fox jumps over the lazy dog" * 3)
+        b = mh.signature("the quick brown fox jumps over the lazy dog" * 3)
+        assert (a == b).all()
+
+    def test_est_tracks_true_jaccard(self):
+        mh = MinHasher(num_perm=128)
+        t1 = "the quick brown fox jumps over the lazy dog " * 5
+        t2 = t1.replace("quick", "slow")
+        est = mh.jaccard_est(mh.signature(t1), mh.signature(t2))
+        true = ngram_jaccard(t1, t2, 5)
+        assert abs(est - true) < 0.2
+
+    def test_disjoint_docs_low(self):
+        mh = MinHasher()
+        est = mh.jaccard_est(
+            mh.signature("aaaa bbbb cccc dddd eeee"),
+            mh.signature("zzzz yyyy xxxx wwww vvvv"),
+        )
+        assert est < 0.2
+
+
+class TestSimHash:
+    def test_similar_docs_close(self):
+        a = simhash64("the quick brown fox jumps over the lazy dog extra words here".split())
+        b = simhash64("the quick brown fox jumps over the lazy dog extra words there".split())
+        ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham <= 12
+
+    def test_identical_zero(self):
+        toks = "alpha beta gamma delta".split()
+        assert simhash64(toks) == simhash64(toks)
+
+
+def docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again %d" % i
+        for i in range(20)
+    ]
+    texts = base + [base[3], base[7].replace("lazy", "lazy old"), "totally different content here"]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+class TestDedupRay:
+    def test_exact_dedup(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(docs_with_dups())
+        out = exact_dedup(ds).to_pandas()
+        # doc 20 is an exact dup of doc 3 → keeper 3 with n_dups 2
+        row = out[out["keep_id"] == 3]
+        assert len(row) == 1 and row["n_dups"].iloc[0] == 2
+        assert 20 not in set(out["keep_id"])
+        assert out["n_dups"].sum() == 23
+
+    def test_minhash_finds_exact_and_near(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(docs_with_dups())
+        pairs = minhash_candidates(ds, threshold=0.5).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (3, 20) in got  # exact dup
+        assert (7, 21) in got  # near dup
+
+    def test_simhash_candidates(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(docs_with_dups())
+        pairs = simhash_candidates(ds, max_hamming=4).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (3, 20) in got
+
+
+class TestAnn:
+    def test_quantize_half_away(self):
+        assert quantize(np.array([0.0004883, -0.0004883])).tolist() == [1, -1]
+
+    def test_topk_dot_matches_brute(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(2)
+        n, d = 500, 16
+        emb = rng.standard_normal((n, d))
+        table = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    emb.tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = rd.from_arrow(table).repartition(4)
+        q = emb[:3]
+        res = topk_dot(ds, [0, 1, 2], q, k=5)
+        # brute force in int space (float32 round-trip like the dataset)
+        qi = quantize(q)
+        ei = quantize(np.asarray(table["embedding"].combine_chunks().values)
+                      .reshape(n, d))
+        scores = ei @ qi.T
+        for qid in range(3):
+            order = np.lexsort((np.arange(n), -scores[:, qid]))[:5]
+            got = res[res["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+            assert got == order.tolist()
+
+    def test_lsh_cosine_pairs_find_duplicates(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((100, 16))
+        emb[50] = emb[10] * 2.0  # same direction → cosine 1
+        table = pa.table(
+            {
+                "vec_id": pa.array(range(100), pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        ds = rd.from_arrow(table)
+        pairs = lsh_bucketed_cosine_pairs(ds, dim=16, threshold=0.99).to_pandas()
+        assert (10, 50) in set(zip(pairs["a"], pairs["b"]))
