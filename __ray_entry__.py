@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the mkgmap_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship tiling pipeline (MapSplitter-style refinement +
+  assignment) over /root/testdata/sf0.001 derived features.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (+ the training-data operators), each over ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+  (column names matched exactly; all numerics int64 / strings so the
+  value-hash compare is float-free). Non-SQL-expressible operators
+  (Douglas-Peucker, MinHash/SimHash LSH, langid, fingerprints, LSH cosine,
+  full quadtree refinement) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before importing this module; nothing here
+calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +19,244 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from mkgmap_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: derived features of sf0.001 → MapSplitter refinement →
+    per-tile bounds + counts table."""
+    return Q.q_tile_refine("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8)
+        "cell_assign_grid": Q.q_cell_assign_grid,
+        "clip_segments": Q.q_clip_segments,
+        "pip_regions": Q.q_pip_regions,
+        "knn_join": Q.q_knn_join,
+        "tile_refine": Q.q_tile_refine,
+        "raster_sample": Q.q_raster_sample,
+        "simplify_dp": Q.q_simplify_dp,
+        "images_tiles": Q.q_images_tiles,
+        # relational core (groupby / join / sort / window)
+        "q1_pricing": Q.q_q1_pricing,
+        "q3_top_orders": Q.q_q3_top_orders,
+        "q5_nation_revenue": Q.q_q5_nation_revenue,
+        "events_window": Q.q_events_window,
+        "top_users": Q.q_top_users,
+        # documents / training-data operators
+        "doc_stats": Q.q_doc_stats,
+        "doc_lang_counts": Q.q_doc_lang_counts,
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_minhash": Q.q_dedup_minhash,
+        "dedup_simhash": Q.q_dedup_simhash,
+        "langid": Q.q_langid,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        # embeddings
+        "ann_topk_dot": Q.q_ann_topk_dot,
+        "ann_cosine_pairs": Q.q_ann_cosine_pairs,
+        "emb_label_sums": Q.q_emb_label_sums,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CLIP = "WHERE l_shipdate < TIMESTAMP '1998-09-01'"
+
+_REV = (
+    "CAST(round(l_extendedprice*100) AS BIGINT)"
+    " * (10000 - CAST(round(l_discount*100) AS BIGINT)*100)"
+)
+
+
+def _pip_region_sql(rid: int, pts: list[tuple[int, int]]) -> str:
+    conds = []
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        conds.append(
+            f"({x2}-{x1})*(y-{y1}) - ({y2}-{y1})*(x-{x1}) >= 0"
+        )
+    return (
+        f"SELECT event_id, CAST({rid} AS BIGINT) AS region_id FROM p WHERE "
+        + " AND ".join(conds)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pip_parts = " UNION ALL ".join(
+        _pip_region_sql(rid, pts) for rid, pts in Q.PIP_REGIONS
+    )
+    return {
+        "cell_assign_grid": """
+            SELECT ((event_id * 48271) % 65536) // 4096 * 16
+                 + ((event_id * 16807) % 65536) // 4096 AS cell,
+                   count(*) AS n
+            FROM events GROUP BY cell
+        """,
+        "clip_segments": """
+            WITH seg AS (
+              SELECT l_orderkey,
+                     CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                     (l_orderkey*16807 + l_linenumber*661) % 65536 AS x0,
+                     (l_orderkey*48271 + l_linenumber*977) % 65536 AS y0,
+                     (l_orderkey*16807 + l_linenumber*661) % 65536
+                       + ((l_suppkey*131) % 8192) - 4096 AS x1,
+                     (l_orderkey*48271 + l_linenumber*977) % 65536
+                       + (l_partkey % 8192) - 4096 AS y1
+              FROM lineitem),
+            d AS (SELECT *, x1-x0 AS dx, y1-y0 AS dy FROM seg
+                  WHERE NOT (x1 = x0 AND y1 = y0)),
+            t AS (SELECT *,
+               GREATEST(0.0,
+                 CASE WHEN dx <> 0 THEN LEAST(CAST(16384-x0 AS DOUBLE)/dx,
+                                              CAST(49152-x0 AS DOUBLE)/dx)
+                      ELSE -1e300 END,
+                 CASE WHEN dy <> 0 THEN LEAST(CAST(16384-y0 AS DOUBLE)/dy,
+                                              CAST(49152-y0 AS DOUBLE)/dy)
+                      ELSE -1e300 END) AS t0,
+               LEAST(1.0,
+                 CASE WHEN dx <> 0 THEN GREATEST(CAST(16384-x0 AS DOUBLE)/dx,
+                                                 CAST(49152-x0 AS DOUBLE)/dx)
+                      ELSE 1e300 END,
+                 CASE WHEN dy <> 0 THEN GREATEST(CAST(16384-y0 AS DOUBLE)/dy,
+                                                 CAST(49152-y0 AS DOUBLE)/dy)
+                      ELSE 1e300 END) AS t1
+              FROM d
+              WHERE NOT (dx = 0 AND (x0 < 16384 OR x0 > 49152))
+                AND NOT (dy = 0 AND (y0 < 16384 OR y0 > 49152))),
+            c AS (SELECT l_orderkey, l_linenumber,
+               CASE WHEN t0 > 0 THEN CAST(CASE WHEN x0+t0*dx >= 0
+                    THEN floor(x0+t0*dx+0.5) ELSE ceil(x0+t0*dx-0.5) END AS BIGINT)
+                    ELSE x0 END AS x0c,
+               CASE WHEN t0 > 0 THEN CAST(CASE WHEN y0+t0*dy >= 0
+                    THEN floor(y0+t0*dy+0.5) ELSE ceil(y0+t0*dy-0.5) END AS BIGINT)
+                    ELSE y0 END AS y0c,
+               CASE WHEN t1 < 1 THEN CAST(CASE WHEN x0+t1*dx >= 0
+                    THEN floor(x0+t1*dx+0.5) ELSE ceil(x0+t1*dx-0.5) END AS BIGINT)
+                    ELSE x1 END AS x1c,
+               CASE WHEN t1 < 1 THEN CAST(CASE WHEN y0+t1*dy >= 0
+                    THEN floor(y0+t1*dy+0.5) ELSE ceil(y0+t1*dy-0.5) END AS BIGINT)
+                    ELSE y1 END AS y1c
+              FROM t WHERE t0 < t1)
+            SELECT * FROM c WHERE NOT (x0c = x1c AND y0c = y1c)
+        """,
+        "pip_regions": f"""
+            WITH p AS (SELECT event_id,
+                              (event_id*16807) % 65536 AS x,
+                              (event_id*48271) % 65536 AS y
+                       FROM events)
+            {pip_parts}
+        """,
+        "knn_join": """
+            WITH h AS (SELECT c_custkey,
+                              (c_custkey*48271) % 65536 AS hy,
+                              (c_custkey*16807) % 65536 AS hx FROM customer),
+            r AS (SELECT s_suppkey,
+                         (s_suppkey*48271 + 777) % 65536 AS ry,
+                         (s_suppkey*16807 + 333) % 65536 AS rx FROM supplier),
+            d AS (SELECT h.c_custkey, r.s_suppkey,
+                         (h.hy-r.ry)*(h.hy-r.ry) + (h.hx-r.rx)*(h.hx-r.rx) AS dist2
+                  FROM h CROSS JOIN r),
+            m AS (SELECT c_custkey, min(dist2*1048576 + s_suppkey) AS comb
+                  FROM d GROUP BY c_custkey)
+            SELECT c_custkey, comb % 1048576 AS road_id,
+                   comb // 1048576 AS dist2 FROM m
+        """,
+        "raster_sample": """
+            WITH p AS (SELECT event_id,
+               (event_id*7919) % 1024 AS x0,
+               (event_id*104729) % 1024 AS y0,
+               ((event_id*3) % 4)/4.0 AS fx,
+               ((event_id*5) % 4)/4.0 AS fy FROM events)
+            SELECT event_id, CAST(round(16*(
+               (1-fy)*((1-fx)*((y0*31 + x0*17) % 1000)
+                       + fx*((y0*31 + (x0+1)*17) % 1000))
+               + fy*((1-fx)*(((y0+1)*31 + x0*17) % 1000)
+                     + fx*(((y0+1)*31 + (x0+1)*17) % 1000))
+             )) AS BIGINT) AS height16 FROM p
+        """,
+        "q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+              CAST(sum({_REV}) AS BIGINT) AS sum_disc_price_c,
+              count(*) AS n
+            FROM lineitem {_CLIP}
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": f"""
+            SELECT l.l_orderkey AS l_orderkey, CAST(sum({_REV}) AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue_c DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": f"""
+            SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+                   CAST(sum({_REV}) AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "events_window": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS window,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id
+            LIMIT 20
+        """,
+        "doc_stats": r"""
+            SELECT doc_id,
+              length(text) AS n_chars_calc,
+              length(list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '')) AS n_tokens,
+              length(text) - length(regexp_replace(text,
+                  '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "doc_lang_counts": """
+            SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "ann_topk_dot": f"""
+            WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id < {Q.N_ANN_QUERIES}),
+            e AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS ev
+               FROM embeddings),
+            s AS (SELECT query_id, vec_id,
+                  CAST(list_sum(list_transform(list_zip(qv, ev),
+                           p -> p[1]*p[2])) AS BIGINT) AS score
+               FROM q CROSS JOIN e),
+            r AS (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+               FROM s)
+            SELECT query_id, rank, vec_id, score FROM r
+            WHERE rank <= {Q.ANN_K}
+        """,
+        "emb_label_sums": """
+            SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+              CAST(sum(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT))) AS BIGINT)) AS BIGINT) AS sum_q
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -78,6 +78,68 @@ def clip_segment(
     return (nx0, ny0, nx1, ny1)
 
 
+def clip_segments_np(x0, y0, x1, y1, rect):
+    """Vectorized Liang-Barsky over independent segments (same semantics as
+    ``clip_segment``; the parametric interval form ``tmin = max(0,
+    min(tx_lo,tx_hi), min(ty_lo,ty_hi))`` is algebraically identical to the
+    reference's per-edge ``checkSide`` updates — IEEE division/negation are
+    exact, so the computed t values match bit-for-bit).
+
+    Degenerate input segments (both endpoints equal) are rejected, mirroring
+    ``LineClipper.clip``'s polyline loop which skips them.
+
+    Returns (keep_mask, cx0, cy0, cx1, cy1) int64 arrays (full length;
+    values only meaningful where keep_mask).
+    """
+    x0 = np.asarray(x0, np.int64)
+    y0 = np.asarray(y0, np.int64)
+    x1 = np.asarray(x1, np.int64)
+    y1 = np.asarray(y1, np.int64)
+    min_lat, min_lon, max_lat, max_lon = (int(v) for v in rect)
+    dx = x1 - x0
+    dy = y1 - y0
+
+    NEG = -1e300
+    POS = 1e300
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx_lo = (min_lon - x0) / dx
+        tx_hi = (max_lon - x0) / dx
+        ty_lo = (min_lat - y0) / dy
+        ty_hi = (max_lat - y0) / dy
+    x_ok = dx != 0
+    y_ok = dy != 0
+    t0 = np.maximum(
+        0.0,
+        np.maximum(
+            np.where(x_ok, np.minimum(tx_lo, tx_hi), NEG),
+            np.where(y_ok, np.minimum(ty_lo, ty_hi), NEG),
+        ),
+    )
+    t1 = np.minimum(
+        1.0,
+        np.minimum(
+            np.where(x_ok, np.maximum(tx_lo, tx_hi), POS),
+            np.where(y_ok, np.maximum(ty_lo, ty_hi), POS),
+        ),
+    )
+    reject = (
+        (~x_ok & ((x0 < min_lon) | (x0 > max_lon)))
+        | (~y_ok & ((y0 < min_lat) | (y0 > max_lat)))
+        | (t0 >= t1)
+        | (~x_ok & ~y_ok)
+    )
+
+    def rha(v):
+        return np.trunc(np.where(v >= 0, v + 0.5, v - 0.5)).astype(np.int64)
+
+    cx0 = np.where(t0 > 0, rha(x0 + t0 * dx), x0)
+    cy0 = np.where(t0 > 0, rha(y0 + t0 * dy), y0)
+    cx1 = np.where(t1 < 1, rha(x0 + t1 * dx), x1)
+    cy1 = np.where(t1 < 1, rha(y0 + t1 * dy), y1)
+    reject |= (cx0 == cx1) & (cy0 == cy1)
+    return ~reject, cx0, cy0, cx1, cy1
+
+
 def clip_polyline(
     lat_hp: np.ndarray, lon_hp: np.ndarray, rect: tuple[int, int, int, int]
 ) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -1,0 +1,681 @@
+"""The engine's query catalogue over the driver's parquet tables.
+
+Every function takes ``sf_dir`` and returns a small result (pandas /
+pyarrow); each has a matching DuckDB oracle in ``__ray_entry__.oracle_sql``
+unless marked rows-only. All numeric outputs are int64 (or strings) so
+value-hash comparison is float-free; money sums use integer cents
+(``CAST(round(x*100) AS BIGINT)`` both sides).
+
+Never calls ``ray.init`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom.clip import clip_segments_np
+from ..stages.ann import topk_dot, quantize
+from ..stages.dedup import exact_dedup, minhash_candidates, simhash_candidates
+from ..stages.knn import KnnJoin
+from ..stages.pipjoin import PIPJoin
+from ..stages.raster import RasterSampler, make_raster
+from ..stages.text import TextStats
+from .derive import (
+    A_LAT,
+    A_LON,
+    CLIP_RECT_MU,
+    GRID_SHIFT,
+    SPAN,
+    event_points_np,
+    features_from_testdata,
+    lineitem_segments_np,
+)
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def cents(x: np.ndarray) -> np.ndarray:
+    v = np.asarray(x, np.float64) * 100.0
+    return np.trunc(np.where(v >= 0, v + 0.5, v - 0.5)).astype(np.int64)
+
+
+# --- geo / tiling -----------------------------------------------------------
+
+
+def q_cell_assign_grid(sf_dir: str):
+    """events → fixed-grid cell id (16×16 of 4096 map units) → counts.
+    The SQL-checkable face of ``MapArea.pickArea``-style center assignment."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        lat, lon = event_points_np(eid)
+        cell = (lat >> GRID_SHIFT) * (SPAN >> GRID_SHIFT) + (lon >> GRID_SHIFT)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = ds.groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas()
+    return out.astype({"cell": "int64", "n": "int64"})
+
+
+def q_clip_segments(sf_dir: str):
+    """lineitem-derived segments × Liang-Barsky clip to the quarter box —
+    one output row per surviving segment with clipped int endpoints
+    (``general/LineClipper.java`` semantics; see clip_segments_np)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        pk = np.asarray(batch["l_partkey"].combine_chunks(), np.int64)
+        sk = np.asarray(batch["l_suppkey"].combine_chunks(), np.int64)
+        ln = np.asarray(batch["l_linenumber"].combine_chunks(), np.int64)
+        x0, y0, x1, y1 = lineitem_segments_np(ok, pk, sk, ln)
+        keep, cx0, cy0, cx1, cy1 = clip_segments_np(
+            x0, y0, x1, y1, CLIP_RECT_MU
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[keep], pa.int64()),
+                "l_linenumber": pa.array(ln[keep], pa.int64()),
+                "x0c": pa.array(cx0[keep], pa.int64()),
+                "y0c": pa.array(cy0[keep], pa.int64()),
+                "x1c": pa.array(cx1[keep], pa.int64()),
+                "y1c": pa.array(cy1[keep], pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+# three convex regions in map units (x=lon, y=lat), CCW in (x, y)
+PIP_REGIONS = [
+    (1, [(10000, 10000), (50000, 14000), (30000, 40000)]),  # triangle (x,y)
+    (2, [(30000, 20000), (62000, 20000), (62000, 60000), (30000, 60000)]),
+    (3, [(5000, 45000), (20000, 42000), (26000, 52000), (12000, 61000)]),
+]
+
+
+def q_pip_regions(sf_dir: str):
+    """event points × convex regions point-in-polygon join (explode form) —
+    the ``LocationHook`` boundary join over SQL-checkable polygons."""
+    polys = [
+        (rid, [(np.asarray([y for x, y in pts]), np.asarray([x for x, y in pts]))])
+        for rid, pts in PIP_REGIONS
+    ]
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        lat, lon = event_points_np(eid)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "lat_hp": pa.array(lat, pa.int64()),
+                "lon_hp": pa.array(lon, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        add_coords, batch_format="pyarrow"
+    )
+    joined = ds.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs=dict(polygons_ref=polys, raster_shift=14),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = joined.to_pandas()[["event_id", "boundary_id"]]
+    return out.rename(columns={"boundary_id": "region_id"}).astype("int64")
+
+
+def q_knn_join(sf_dir: str):
+    """customer-derived houses → nearest supplier-derived road point
+    (integer squared distance, ties to smallest road id) — the
+    ``HousenumberGenerator``/``KdTree.findNextPoint`` join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = np.asarray(sup["s_suppkey"], np.int64)
+    ry = (sk * A_LAT + 777) % SPAN
+    rx = (sk * A_LON + 333) % SPAN
+    ref = ray.put((sk, ry, rx))
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["c_custkey"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "lat_hp": pa.array((ck * A_LAT) % SPAN, pa.int64()),
+                "lon_hp": pa.array((ck * A_LON) % SPAN, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        add_coords, batch_format="pyarrow"
+    )
+    joined = ds.map_batches(
+        KnnJoin,
+        fn_constructor_kwargs=dict(ref=ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = joined.to_pandas()[["c_custkey", "nn_id", "nn_dist2"]]
+    return out.rename(columns={"nn_id": "road_id", "nn_dist2": "dist2"}).astype(
+        "int64"
+    )
+
+
+def q_tile_refine(sf_dir: str):
+    """Full MapSplitter tile refinement over all derived features → per-tile
+    bounds + counts (rows-only: checked against the recursive oracle in
+    pytest)."""
+    from .tiling import build_tiles, tile_summary
+
+    table = features_from_testdata(sf_dir)
+    ds = _rd().from_arrow(table)
+    assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
+    summary = tile_summary(assigned).to_pandas()
+    meta_pd = meta.to_pandas()
+    out = meta_pd.merge(summary, on="tile_id", how="left").fillna(0)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+RASTER_RES = 1024  # power of two → exact fixed-point interpolation
+
+
+def q_raster_sample(sf_dir: str):
+    """event-derived probe points × bilinear elevation sampling
+    (``HGTConverter`` semantics) on the closed-form raster; output scaled
+    ×16 so the quarter-cell fractions are exact integers."""
+    import ray
+
+    raster = make_raster(res=RASTER_RES, n_voids=0)
+    ref = ray.put(raster)
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        px = (eid * 7919) % RASTER_RES
+        py = (eid * 104729) % RASTER_RES
+        fx = px + ((eid * 3) % 4) / 4.0
+        fy = py + ((eid * 5) % 4) / 4.0
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "lat": pa.array(fy / RASTER_RES, pa.float64()),
+                "lon": pa.array(fx / RASTER_RES, pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        add_coords, batch_format="pyarrow"
+    )
+    sampled = ds.map_batches(
+        RasterSampler,
+        fn_constructor_kwargs=dict(raster_ref=ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = sampled.to_pandas()[["event_id", "height"]]
+    out["height16"] = (out["height"] * 16).round().astype("int64")
+    return out[["event_id", "height16"]]
+
+
+def q_simplify_dp(sf_dir: str):
+    """orders-derived 5-point zigzags → Douglas-Peucker at resolution 20 →
+    points kept per feature (rows-only; DP is not SQL-expressible)."""
+    from ..geom.simplify import douglas_peucker
+    from ..geom.coords import DELTA_SHIFT
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = len(ok)
+        kept = np.empty(n, np.int64)
+        base_y = (ok * A_LAT) % SPAN
+        base_x = (ok * A_LON) % SPAN
+        amp = 16 + (ok % 512)
+        for i in range(n):
+            xs = base_x[i] + np.arange(5) * 1024
+            ys = base_y[i] + np.array([0, amp[i], 0, amp[i], 0])
+            keep = douglas_peucker(
+                ys << DELTA_SHIFT, xs << DELTA_SHIFT, allowed_error=2.7 * 16
+            )
+            kept[i] = int(keep.sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "n_kept": pa.array(kept, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# --- relational (TPC-H-ish) -------------------------------------------------
+
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: filter + groupby + integer-cent sums (partial
+    aggregation per batch, then a small shuffle)."""
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1998-09-01")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"].to_numpy() < cutoff]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "qty_c", "price_c",
+                         "disc_price_c", "n"]
+            )
+        g = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": cents(b["l_quantity"].to_numpy()),
+                "price_c": cents(b["l_extendedprice"].to_numpy()),
+                "disc_price_c": cents(b["l_extendedprice"].to_numpy())
+                * (10000 - cents(b["l_discount"].to_numpy()) * 100),
+                "n": 1,
+            }
+        )
+        return (
+            g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    ).map_batches(partial, batch_format="pandas")
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("disc_price_c", alias_name="sum_disc_price_c"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns[2:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_q3_top_orders(sf_dir: str):
+    """Join shape: broadcast the filtered customer keys into an orders
+    filter, then partial-aggregate lineitem revenue per order (broadcast
+    hash-join, no shuffle join)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = set(
+        np.asarray(cust["c_custkey"], np.int64)[
+            np.asarray(cust["c_mktsegment"]) == "BUILDING"
+        ].tolist()
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    karr = np.asarray(sorted(keys), np.int64)
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"].combine_chunks(), np.int64)
+        return batch.filter(pa.array(np.isin(ck, karr)))
+
+    okeys = np.unique(
+        np.asarray(
+            orders.map_batches(ofilter, batch_format="pyarrow")
+            .to_pandas()["o_orderkey"],
+            np.int64,
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        m = np.isin(ok, okeys)
+        if not m.any():
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "revenue_c": pa.array([], pa.int64())}
+            )
+        rev = cents(
+            np.asarray(batch["l_extendedprice"].combine_chunks(), np.float64)[m]
+        ) * (
+            10000
+            - cents(
+                np.asarray(batch["l_discount"].combine_chunks(), np.float64)[m]
+            )
+            * 100
+        )
+        uniq, inv = np.unique(ok[m], return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "revenue_c": pa.array(
+                    np.bincount(inv, weights=rev, minlength=len(uniq)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = ds.groupby("l_orderkey").aggregate(
+        _Sum("revenue_c", alias_name="revenue_c")
+    )
+    out = agg.to_pandas()
+    out = out.sort_values(
+        ["revenue_c", "l_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out.reset_index(drop=True).astype("int64")
+
+
+def q_q5_nation_revenue(sf_dir: str):
+    """Multi-join via two broadcast maps: customer→nation, then revenue per
+    nation name."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    c2n = dict(
+        zip(
+            np.asarray(cust["c_custkey"], np.int64).tolist(),
+            np.asarray(cust["c_nationkey"], np.int64).tolist(),
+        )
+    )
+    n2name = dict(
+        zip(
+            np.asarray(nation["n_nationkey"], np.int64).tolist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    ok_arr = np.asarray(orders["o_orderkey"], np.int64)
+    ock = np.asarray(orders["o_custkey"], np.int64)
+    # searchsorted lookup table (orderkeys may be missing → inner-join drop)
+    o_sorted = np.argsort(ok_arr)
+    ok_sorted = ok_arr[o_sorted]
+    nk_sorted = np.asarray(
+        [c2n.get(int(c), -1) for c in ock], np.int64
+    )[o_sorted]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        rev = cents(
+            np.asarray(batch["l_extendedprice"].combine_chunks(), np.float64)
+        ) * (
+            10000
+            - cents(np.asarray(batch["l_discount"].combine_chunks(), np.float64))
+            * 100
+        )
+        pos = np.searchsorted(ok_sorted, ok)
+        pos = np.clip(pos, 0, len(ok_sorted) - 1)
+        found = ok_sorted[pos] == ok
+        nk = np.where(found, nk_sorted[pos], -1)
+        m = nk >= 0
+        df = pd.DataFrame({"nationkey": nk[m], "revenue_c": rev[m]})
+        return df.groupby("nationkey", as_index=False).sum()
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow")
+    out = (
+        ds.groupby("nationkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    out["n_name"] = out["nationkey"].map(n2name)
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    out["nationkey"] = out["nationkey"].astype("int64")
+    return out[["nationkey", "n_name", "revenue_c"]]
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value cents sum
+    (streaming-shaped workload expressed as groupby over window keys)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        win = us // (3600 * 1_000_000)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "window": win,
+                "value_c": cents(batch["value"].to_numpy()),
+                "n": 1,
+            }
+        )
+        return df.groupby(["event_type", "window"], as_index=False).sum()
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = (
+        ds.groupby(["event_type", "window"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in ("window", "value_c", "n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_top_users(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "n": 1,
+                "value_c": cents(batch["value"].to_numpy()),
+            }
+        )
+        return df.groupby("user_id", as_index=False).sum()
+
+    ds = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = (
+        ds.groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "user_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True).astype("int64")
+
+
+# --- documents --------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        TextStats, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out[["doc_id", "n_chars_calc", "n_tokens", "n_punct"]].astype("int64")
+
+
+def q_doc_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"lang": batch["lang"], "n": 1, "chars": batch["n_chars"]}
+        )
+        return df.groupby("lang", as_index=False).sum()
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = (
+        ds.groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out.astype("int64")
+
+
+def q_dedup_minhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_candidates(ds, threshold=0.5).to_pandas()
+    return out[["a", "b"]].astype("int64")
+
+
+def q_dedup_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_candidates(ds, max_hamming=3).to_pandas()
+    return out[["a", "b", "hamming"]].astype("int64")
+
+
+def q_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        TextStats, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out[["doc_id", "lang_pred"]]
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        TextStats, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out[["doc_id", "fingerprint"]].astype("int64")
+
+
+# --- embeddings -------------------------------------------------------------
+
+
+N_ANN_QUERIES = 8
+ANN_K = 10
+
+
+def q_ann_topk_dot(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import pyarrow.compute as pc
+
+    q_all = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = q_all.filter(pc.less(q_all["vec_id"], N_ANN_QUERIES))
+    q_ids = np.asarray(q["vec_id"], np.int64)
+    dim = len(q["embedding"][0])
+    q_mat = np.asarray(q["embedding"].combine_chunks().values, np.float64).reshape(
+        -1, dim
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_dot(ds, q_ids, q_mat, k=ANN_K)
+    return out.astype("int64")
+
+
+def q_ann_cosine_pairs(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ][0]
+    )
+    from ..stages.ann import lsh_bucketed_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_cosine_pairs(
+        ds, dim=dim, threshold=0.35, n_bits=4
+    ).to_pandas()
+    if "a" not in out.columns:  # no buckets produced any pair
+        out = pd.DataFrame({"a": [], "b": []})
+    return out[["a", "b"]].astype("int64")
+
+
+def q_emb_label_sums(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = np.asarray(batch["label"].combine_chunks(), np.int64)
+        arr = batch["embedding"].combine_chunks()
+        dim = len(arr[0])
+        mat = quantize(
+            np.asarray(arr.values, np.float64).reshape(-1, dim)
+        )
+        df = pd.DataFrame({"label": lab, "sum_q": mat.sum(axis=1), "n": 1})
+        return df.groupby("label", as_index=False).sum()
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = (
+        ds.groupby("label")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
+        .to_pandas()
+    )
+    return out.astype("int64")
+
+
+# --- images (rows-only: no testdata table; deterministic synthetic input) ---
+
+
+def q_images_tiles(sf_dir: str):
+    """The image+caption flagship slice: generate the deterministic images
+    table, make point features, tile-assign with refinement, verify pixel /
+    caption invariants on a sample, return per-tile counts."""
+    from ..sources.geo import features_from_images
+    from ..sources.images import decode_image, generate_images, phash64, hamming64
+    from .tiling import build_tiles, tile_summary
+
+    n = 2000
+    images = generate_images(n, bbox=(0.0, 0.0, 1.4, 1.4))
+    # row-level invariants on a deterministic sample
+    for i in range(0, n, 251):
+        rgb = decode_image(images["bytes"][i].as_py(), images["fmt"][i].as_py())
+        assert rgb.shape[0] == images["h"][i].as_py()
+        assert hamming64(phash64(rgb), images["phash"][i].as_py()) <= 4
+    feats = features_from_images(images)
+    ds = _rd().from_arrow(feats)
+    assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
+    out = tile_summary(assigned).to_pandas()
+    return out.astype("int64")
