@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness for the mkgmap_ray engine.
+
+Default: run the headline pipeline (tile assignment + clip + spatial joins,
+the engine's analogue of mkgmap's per-tile compile) plus the query catalogue
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+print ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "features": N, "features_per_sec": N}
+
+``--scaling``: run the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency (the BASELINE.json north-rule two-cluster-size
+criterion, evidenced via two parallelism levels in this sandbox).
+
+This script OWNS its Ray session (unlike __ray_entry__ / the library).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+METRIC = "tile-assignment + spatial-join throughput (features/sec)"
+
+# queries worth timing individually (each <~10 s at sf0.1); the headline
+# pipeline is timed separately and is the scaling-run workload.
+QUERY_NAMES = [
+    "cell_assign_grid",
+    "clip_segments",
+    "pip_regions",
+    "knn_join",
+    "raster_sample",
+    "simplify_dp",
+    "q1_pricing",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "events_window",
+    "top_users",
+    "doc_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk_dot",
+    "images_tiles",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_headline(sf_dir: str) -> dict:
+    """Headline: derived features → MapSplitter refinement → tile assignment
+    → per-cell Sutherland-Hodgman/Liang-Barsky clip → per-tile summary, plus
+    the PIP boundary join over event points. Returns features processed and
+    wall seconds."""
+    from mkgmap_ray.pipelines.derive import features_dataset
+    from mkgmap_ray.pipelines.tiling import build_tiles, tile_summary
+    from mkgmap_ray.pipelines import queries as Q
+
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    ds = features_dataset(sf_dir)
+    # derivation is 1 feature per source row: count from parquet metadata
+    n_features = sum(
+        pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
+        for t in ("events", "lineitem", "orders")
+    )
+    assigned, meta, tree = build_tiles(ds, shift=0, clip=True)
+    summary = tile_summary(assigned)
+    n_out = (
+        sum(summary["n_points"].to_pylist())
+        + sum(summary["n_lines"].to_pylist())
+        + sum(summary["n_shapes"].to_pylist())
+    )
+    pip = Q.q_pip_regions(sf_dir)
+    n_pip = len(pip)
+    sec = time.perf_counter() - t0
+    total = n_features + n_pip
+    return {
+        "features": int(total),
+        "tiles": int(meta.num_rows),
+        "assigned_out": int(n_out),
+        "pip_matches": int(n_pip),
+        "sec": sec,
+        "features_per_sec": total / sec if sec > 0 else 0.0,
+    }
+
+
+def run_full(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from mkgmap_ray.pipelines import queries as Q
+
+    head = run_headline(sf_dir)
+    qtimes: dict[str, float] = {}
+    if not headline_only:
+        allq = {name: getattr(Q, f"q_{name}") for name in QUERY_NAMES}
+        for name, fn in allq.items():
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            # force lazy Datasets to execute
+            if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+                res = res.to_pandas()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": METRIC,
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "features": head["features"],
+        "features_per_sec": round(head["features_per_sec"], 1),
+        "tiles": head["tiles"],
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Fresh process per parallelism level (clean Ray session each)."""
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(
+                f"scaling run num_cpus={cpus} produced no JSON: {out.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(line[-1])
+    fps_lo = results[lo]["features_per_sec"]
+    fps_hi = results[hi]["features_per_sec"]
+    eff = (fps_hi / fps_lo) / (hi / lo) if fps_lo > 0 else 0.0
+    return {
+        "metric": f"scaling efficiency {lo}->{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "num_cpus": hi,
+        "queries": {},
+        "throughput": {
+            f"cpus_{lo}": fps_lo,
+            f"cpus_{hi}": fps_hi,
+        },
+        "seconds": {
+            f"cpus_{lo}": results[lo]["value"],
+            f"cpus_{hi}": results[hi]["value"],
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(
+        os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scale-lo", type=int, default=8)
+    ap.add_argument("--scale-hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
+    else:
+        out = run_full(args.sf_dir, args.cpus, args.headline_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

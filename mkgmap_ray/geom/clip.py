@@ -88,6 +88,9 @@ def clip_segments_np(x0, y0, x1, y1, rect):
     Degenerate input segments (both endpoints equal) are rejected, mirroring
     ``LineClipper.clip``'s polyline loop which skips them.
 
+    ``rect`` may be four scalars or four arrays (per-segment rects, used by
+    the per-cell clip stage).
+
     Returns (keep_mask, cx0, cy0, cx1, cy1) int64 arrays (full length;
     values only meaningful where keep_mask).
     """
@@ -95,7 +98,9 @@ def clip_segments_np(x0, y0, x1, y1, rect):
     y0 = np.asarray(y0, np.int64)
     x1 = np.asarray(x1, np.int64)
     y1 = np.asarray(y1, np.int64)
-    min_lat, min_lon, max_lat, max_lon = (int(v) for v in rect)
+    min_lat, min_lon, max_lat, max_lon = (
+        np.asarray(v, np.int64) for v in rect
+    )
     dx = x1 - x0
     dy = y1 - y0
 

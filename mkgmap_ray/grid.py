@@ -145,16 +145,25 @@ class SplitTree:
         }
 
 
-def assign_nodes(packed: dict[str, np.ndarray], lat_hp, lon_hp) -> np.ndarray:
+def assign_nodes(
+    packed: dict[str, np.ndarray], lat_hp, lon_hp, start=None
+) -> np.ndarray:
     """Vectorized tree walk: leaf node id per feature center.
 
     Each level: ``cell = clamp((x - xbase)/dx, 0, nx-1)`` (Java truncating
     division, ``MapArea.pickArea``), child id = ``child_off + xcell*ny +
     ycell``. Iterates to the tree depth; O(depth) vectorized passes.
+
+    ``start``: optional previous assignment (node id per feature) to resume
+    the walk from — features whose node is still a leaf cost nothing
+    (incremental re-assignment during the refinement loop).
     """
     lat = np.asarray(lat_hp, dtype=np.int64)
     lon = np.asarray(lon_hp, dtype=np.int64)
-    assign = np.zeros(len(lat), dtype=np.int64)
+    if start is not None:
+        assign = np.asarray(start, dtype=np.int64).copy()
+    else:
+        assign = np.zeros(len(lat), dtype=np.int64)
     child_off = packed["child_off"]
     while True:
         off = child_off[assign]

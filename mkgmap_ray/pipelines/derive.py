@@ -136,3 +136,78 @@ def features_from_testdata(sf_dir: str) -> pa.Table:
             "image_id": pa.array([None] * len(ids), pa.string()),
         }
     )
+
+
+def _mk_features(ids, kinds, flat_lat_mu, flat_lon_mu, pts_per_row: int):
+    """FEATURES-schema Arrow table from fixed-arity per-row geometry
+    (map-unit flats are shifted to hp here)."""
+    n = len(ids)
+    offsets = pa.array(
+        np.arange(0, pts_per_row * (n + 1), pts_per_row, dtype=np.int32)
+    )
+    return pa.table(
+        {
+            "feature_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "kind": pa.array(np.full(n, kinds, np.int8), pa.int8()),
+            "lat_hp": pa.ListArray.from_arrays(
+                offsets,
+                pa.array((flat_lat_mu << DELTA_SHIFT).astype(np.int32)),
+            ),
+            "lon_hp": pa.ListArray.from_arrays(
+                offsets,
+                pa.array((flat_lon_mu << DELTA_SHIFT).astype(np.int32)),
+            ),
+            "image_id": pa.array([None] * n, pa.string()),
+        }
+    )
+
+
+def _events_to_features(batch: pa.Table) -> pa.Table:
+    eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+    lat, lon = event_points_np(eid)
+    return _mk_features(eid, KIND_POINT, lat, lon, 1)
+
+
+def _lineitem_to_features(batch: pa.Table) -> pa.Table:
+    ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+    pk = np.asarray(batch["l_partkey"].combine_chunks(), np.int64)
+    sk = np.asarray(batch["l_suppkey"].combine_chunks(), np.int64)
+    ln = np.asarray(batch["l_linenumber"].combine_chunks(), np.int64)
+    x0, y0, x1, y1 = lineitem_segments_np(ok, pk, sk, ln)
+    # content-derived id (block-independent): duplicate source tuples yield
+    # identical geometry, so a shared id is harmless downstream
+    ids = (1 << 40) + (
+        ((ok * 8 + ln) * 1_000_003 + pk * 2_654_435_761 + sk * 97)
+        & ((1 << 39) - 1)
+    )
+    flat_lat = np.stack([y0, y1], axis=1).ravel()
+    flat_lon = np.stack([x0, x1], axis=1).ravel()
+    return _mk_features(ids, KIND_LINE, flat_lat, flat_lon, 2)
+
+
+def _orders_to_features(batch: pa.Table) -> pa.Table:
+    ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+    cy, cx, r = order_triangles_np(ook)
+    flat_lat = np.stack([cy + r, cy - r, cy - r], axis=1).ravel()
+    flat_lon = np.stack([cx, cx + r, cx - r], axis=1).ravel()
+    return _mk_features((1 << 41) + ook, KIND_SHAPE, flat_lat, flat_lon, 3)
+
+
+def features_dataset(sf_dir: str):
+    """Streaming FEATURES derivation: three parquet sources → per-batch
+    geometry synthesis → union. Never materializes on the driver (the
+    100-TB path; ``features_from_testdata`` is the small driver-side twin
+    used in unit tests)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    ).map_batches(_events_to_features, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    ).map_batches(_lineitem_to_features, batch_format="pyarrow")
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(_orders_to_features, batch_format="pyarrow")
+    return ev.union(li, od)

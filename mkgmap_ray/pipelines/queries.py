@@ -187,9 +187,9 @@ def q_tile_refine(sf_dir: str):
     bounds + counts (rows-only: checked against the recursive oracle in
     pytest)."""
     from .tiling import build_tiles, tile_summary
+    from .derive import features_dataset
 
-    table = features_from_testdata(sf_dir)
-    ds = _rd().from_arrow(table)
+    ds = features_dataset(sf_dir)
     assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
     summary = tile_summary(assigned).to_pandas()
     meta_pd = meta.to_pandas()

@@ -107,6 +107,62 @@ def _minmax_aggs(col):
     return (Min(col), Max(col))
 
 
+def _round_pof2_np(val: np.ndarray, shift: int) -> np.ndarray:
+    if shift <= 0:
+        return val
+    half = 1 << (shift - 1)
+    return ((val + half) >> shift) << shift
+
+
+def _descend_terminals(lat_mu, lon_mu, node_bounds, shift: int, min_dim: int):
+    """Vectorized descent of the deterministic *potential* split tree.
+
+    Split positions never depend on feature stats — only the DECISION to
+    split does (``MapSplitter.addAreasToList`` always halves along the
+    longer axis at ``Area.split``'s aligned midpoint). So each feature
+    center can be walked down to its terminal potential cell (too small to
+    divide, or cut collapse) in one pass; the refinement loop then only
+    needs stats per terminal cell, not a rescan per depth level.
+
+    ``node_bounds``: (n,4) map-unit (ymin, xmin, ymax, xmax) of each
+    feature's initial leaf. Returns terminal (ymin, xmin) per feature —
+    disjoint terminal rects have unique min corners, so that's the cell key.
+    """
+    ymin = node_bounds[:, 0].copy()
+    xmin = node_bounds[:, 1].copy()
+    ymax = node_bounds[:, 2].copy()
+    xmax = node_bounds[:, 3].copy()
+    done = np.zeros(len(ymin), dtype=bool)
+    lim = min_dim << shift
+    while True:
+        w = xmax - xmin
+        h = ymax - ymin
+        done |= np.maximum(w, h) <= lim
+        todo = ~done
+        if not todo.any():
+            break
+        wider = w > h
+        use_x = todo & wider
+        use_y = todo & ~wider
+        cut_x = _round_pof2_np(xmin + w // 2, shift)
+        cut_y = _round_pof2_np(ymin + h // 2, shift)
+        ok_x = use_x & (cut_x > xmin) & (cut_x < xmax)
+        ok_y = use_y & (cut_y > ymin) & (cut_y < ymax)
+        done |= (use_x & ~ok_x) | (use_y & ~ok_y)  # cut collapse → terminal
+        right = ok_x & (lon_mu >= cut_x)
+        left = ok_x & ~right
+        xmin[right] = cut_x[right]
+        xmax[left] = cut_x[left]
+        top = ok_y & (lat_mu >= cut_y)
+        bot = ok_y & ~top
+        ymin[top] = cut_y[top]
+        ymax[bot] = cut_y[bot]
+    return ymin, xmin
+
+
+_KEY_OFF = 1 << 24  # map units are 24-bit signed; bias keys positive
+
+
 def build_split_tree(
     narrow_ds,
     shift: int,
@@ -114,28 +170,71 @@ def build_split_tree(
     bounds: Area | None = None,
 ) -> SplitTree:
     """Run the MapSplitter refinement loop against a Ray Dataset of narrow
-    per-feature stats. The narrow projection is materialized once (it is a
-    few percent of the input width) and re-scanned per depth level."""
+    per-feature stats.
+
+    ONE distributed scan aggregates per-feature stats into terminal
+    potential-tree cells (see ``_descend_terminals``); the refinement loop
+    itself then runs driver-side over the compact per-cell aggregate (≤ one
+    row per occupied min-dimension cell — bounded by the region's area, not
+    the feature count, so this holds at 10^12 features)."""
     narrow_ds = narrow_ds.materialize()
     if bounds is None:
         bounds = compute_bounds(narrow_ds)
     tree = SplitTree.root(bounds, shift)
     tree.split_max_size(limits.max_division_size)
+    init_packed = tree.pack()
+    leaf_bounds = np.asarray(
+        [[a.min_lat, a.min_lon, a.max_lat, a.max_lon] for a in tree.bounds],
+        np.int64,
+    )
+    min_dim = limits.min_dimension
+    t_shift = tree.shift
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = np.asarray(batch["lat_c"].combine_chunks(), np.int64)
+        lon = np.asarray(batch["lon_c"].combine_chunks(), np.int64)
+        leaf = assign_nodes(init_packed, lat, lon)
+        tymin, txmin = _descend_terminals(
+            lat >> DELTA_SHIFT, lon >> DELTA_SHIFT,
+            leaf_bounds[leaf], t_shift, min_dim,
+        )
+        key = ((tymin + _KEY_OFF) << 26) | (txmin + _KEY_OFF)
+        uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+        out = {
+            "key": pa.array(uniq, pa.int64()),
+            # any member center works as the cell representative: the cell is
+            # a rect fully inside whatever actual leaf covers it
+            "lat_r": pa.array(lat[first], pa.int64()),
+            "lon_r": pa.array(lon[first], pa.int64()),
+        }
+        for c in STAT_COLS:
+            vals = np.asarray(batch[c].combine_chunks(), np.int64)
+            out[c] = pa.array(
+                np.bincount(inv, weights=vals, minlength=len(uniq)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    parts = narrow_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return refine(tree, lambda packed: {}, limits)
+    g = parts.groupby("key", sort=True)
+    lat_r = g["lat_r"].first().to_numpy()
+    lon_r = g["lon_r"].first().to_numpy()
+    cols = {c: g[c].sum().to_numpy() for c in STAT_COLS}
+
+    cur = {"leaf": None}  # incremental assignment across refine passes
 
     def stats_fn(packed):
-        parts = narrow_ds.map_batches(
-            _partial_agg_fn(packed), batch_format="pyarrow"
-        ).to_pandas()
-        if len(parts) == 0:
-            return {}
-        g = parts.groupby("node", sort=True).sum()
-        n = int(g.index.max()) + 1
-        out = {}
-        for c in STAT_COLS:
-            arr = np.zeros(n, dtype=np.int64)
-            arr[g.index.to_numpy()] = g[c].to_numpy()
-            out[c] = arr
-        return out
+        leaf = assign_nodes(packed, lat_r, lon_r, start=cur["leaf"])
+        cur["leaf"] = leaf
+        n = len(packed["child_off"])
+        return {
+            c: np.bincount(leaf, weights=cols[c], minlength=n).astype(np.int64)
+            for c in STAT_COLS
+        }
 
     return refine(tree, stats_fn, limits)
 
