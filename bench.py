@@ -63,7 +63,17 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_headline(sf_dir: str) -> dict:
+def _warmup(num_cpus: int) -> None:
+    """Force Ray worker-pool spin-up before the timed section so worker
+    process startup isn't attributed to the pipeline."""
+    import ray.data as rd
+
+    rd.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b
+    ).count()
+
+
+def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
     """Headline: derived features → MapSplitter refinement → tile assignment
     → per-cell Sutherland-Hodgman/Liang-Barsky clip → per-tile summary, plus
     the PIP boundary join over event points. Returns features processed and
@@ -74,10 +84,11 @@ def run_headline(sf_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
+    _warmup(num_cpus)
     t0 = time.perf_counter()
-    ds = features_dataset(sf_dir)
-    # derivation is 1 feature per source row: count from parquet metadata
-    n_features = sum(
+    ds = features_dataset(sf_dir, repeat=repeat)
+    # derivation is `repeat` features per source row: count from metadata
+    n_features = repeat * sum(
         pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
         for t in ("events", "lineitem", "orders")
     )
@@ -102,7 +113,9 @@ def run_headline(sf_dir: str) -> dict:
     }
 
 
-def run_full(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def run_full(
+    sf_dir: str, num_cpus: int, headline_only: bool, repeat: int = 1
+) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -112,7 +125,7 @@ def run_full(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         )
     from mkgmap_ray.pipelines import queries as Q
 
-    head = run_headline(sf_dir)
+    head = run_headline(sf_dir, repeat=repeat, num_cpus=num_cpus)
     qtimes: dict[str, float] = {}
     if not headline_only:
         allq = {name: getattr(Q, f"q_{name}") for name in QUERY_NAMES}
@@ -137,15 +150,19 @@ def run_full(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
-    """Fresh process per parallelism level (clean Ray session each)."""
+def run_scaling(sf_dir: str, lo: int, hi: int, repeat: int) -> dict:
+    """Fresh process per parallelism level (clean Ray session each).
+
+    Uses a `repeat`-replicated input so compute dominates fixed overheads
+    (the sandbox stand-in for the north rule's N vs 4N node clusters)."""
     results = {}
     for cpus in (lo, hi):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            [sys.executable, os.path.abspath(__file__), "--headline-only",
+             "--repeat", str(repeat)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -185,12 +202,18 @@ def main() -> None:
         os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scale-lo", type=int, default=8)
     ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--scale-repeat", type=int, default=12)
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
+        out = run_scaling(
+            args.sf_dir, args.scale_lo, args.scale_hi, args.scale_repeat
+        )
     else:
-        out = run_full(args.sf_dir, args.cpus, args.headline_only)
+        out = run_full(
+            args.sf_dir, args.cpus, args.headline_only, repeat=args.repeat
+        )
     print(json.dumps(out))
 
 

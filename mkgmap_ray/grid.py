@@ -132,6 +132,35 @@ class SplitTree:
         if xsplit > 1 or ysplit > 1:
             self.split_node(0, xsplit, ysplit)
 
+    def canonicalize(self, n_initial: int) -> "SplitTree":
+        """Rebuild with the canonical node numbering the iterative
+        ``refine`` loop produces: FIFO breadth-first — nodes processed in
+        ascending id, a split node's children appended at processing time.
+        ``n_initial`` = node count after root + ``split_max_size`` (those
+        ids are construction-identical). Needed because tile ids are dense
+        leaf ranks over node order; the round-based recursion allocates
+        depth-first and must renumber to match the oracle."""
+        out = SplitTree(shift=self.shift)
+        out._add_node(self.bounds[0], parent=-1)
+        if n_initial > 1:
+            out.split_node(0, self.nx[0], self.ny[0])
+        assert out.n_nodes() == n_initial
+        old_of_new = list(range(n_initial))
+        i = 0
+        while i < out.n_nodes():
+            o = old_of_new[i]
+            # out.is_leaf guards the initial grid: root + its grid children
+            # were already constructed above
+            if self.child_off[o] != -1 and out.is_leaf(i):
+                ok = out.split_node(i, self.nx[o], self.ny[o])
+                assert ok
+                off = self.child_off[o]
+                old_of_new.extend(
+                    off + k for k in range(self.nx[o] * self.ny[o])
+                )
+            i += 1
+        return out
+
     # --- compact arrays for broadcast ------------------------------------
     def pack(self) -> dict[str, np.ndarray]:
         return {
@@ -173,6 +202,9 @@ def assign_nodes(
         a = assign[active]
         la, lo = lat[active], lon[active]
         nx, ny = packed["nx"][a], packed["ny"][a]
-        xcell = np.clip(java_idiv(lo - packed["xbase"][a], packed["dx"][a]), 0, nx - 1)
-        ycell = np.clip(java_idiv(la - packed["ybase"][a], packed["dy"][a]), 0, ny - 1)
+        # plain floor-division is safe here despite pickArea's Java trunc
+        # semantics: divisors are positive, and for a negative numerator both
+        # floor and trunc quotients are < 0 and get clipped to 0 identically
+        xcell = np.clip((lo - packed["xbase"][a]) // packed["dx"][a], 0, nx - 1)
+        ycell = np.clip((la - packed["ybase"][a]) // packed["dy"][a], 0, ny - 1)
         assign[active] = off[active] + xcell * ny + ycell

@@ -162,52 +162,86 @@ def _mk_features(ids, kinds, flat_lat_mu, flat_lon_mu, pts_per_row: int):
     )
 
 
-def _events_to_features(batch: pa.Table) -> pa.Table:
-    eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
-    lat, lon = event_points_np(eid)
-    return _mk_features(eid, KIND_POINT, lat, lon, 1)
+# key salt per replica copy — spreads replicated geometry deterministically
+_REPEAT_SALT = 10_000_019
 
 
-def _lineitem_to_features(batch: pa.Table) -> pa.Table:
-    ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+def _events_to_features(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    eid0 = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+    parts = []
+    for k in range(repeat):
+        eid = eid0 + k * _REPEAT_SALT
+        lat, lon = event_points_np(eid)
+        parts.append(_mk_features(eid, KIND_POINT, lat, lon, 1))
+    return parts[0] if repeat == 1 else pa.concat_tables(parts)
+
+
+def _lineitem_to_features(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    ok0 = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
     pk = np.asarray(batch["l_partkey"].combine_chunks(), np.int64)
     sk = np.asarray(batch["l_suppkey"].combine_chunks(), np.int64)
     ln = np.asarray(batch["l_linenumber"].combine_chunks(), np.int64)
-    x0, y0, x1, y1 = lineitem_segments_np(ok, pk, sk, ln)
-    # content-derived id (block-independent): duplicate source tuples yield
-    # identical geometry, so a shared id is harmless downstream
-    ids = (1 << 40) + (
-        ((ok * 8 + ln) * 1_000_003 + pk * 2_654_435_761 + sk * 97)
-        & ((1 << 39) - 1)
-    )
-    flat_lat = np.stack([y0, y1], axis=1).ravel()
-    flat_lon = np.stack([x0, x1], axis=1).ravel()
-    return _mk_features(ids, KIND_LINE, flat_lat, flat_lon, 2)
+    parts = []
+    for k in range(repeat):
+        ok = ok0 + k * _REPEAT_SALT
+        x0, y0, x1, y1 = lineitem_segments_np(ok, pk, sk, ln)
+        # content-derived id (block-independent): duplicate source tuples
+        # yield identical geometry, so a shared id is harmless downstream
+        ids = (1 << 40) + (
+            ((ok * 8 + ln) * 1_000_003 + pk * 2_654_435_761 + sk * 97)
+            & ((1 << 39) - 1)
+        )
+        flat_lat = np.stack([y0, y1], axis=1).ravel()
+        flat_lon = np.stack([x0, x1], axis=1).ravel()
+        parts.append(_mk_features(ids, KIND_LINE, flat_lat, flat_lon, 2))
+    return parts[0] if repeat == 1 else pa.concat_tables(parts)
 
 
-def _orders_to_features(batch: pa.Table) -> pa.Table:
-    ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
-    cy, cx, r = order_triangles_np(ook)
-    flat_lat = np.stack([cy + r, cy - r, cy - r], axis=1).ravel()
-    flat_lon = np.stack([cx, cx + r, cx - r], axis=1).ravel()
-    return _mk_features((1 << 41) + ook, KIND_SHAPE, flat_lat, flat_lon, 3)
+def _orders_to_features(batch: pa.Table, repeat: int = 1) -> pa.Table:
+    ook0 = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+    parts = []
+    for k in range(repeat):
+        ook = ook0 + k * _REPEAT_SALT
+        cy, cx, r = order_triangles_np(ook)
+        flat_lat = np.stack([cy + r, cy - r, cy - r], axis=1).ravel()
+        flat_lon = np.stack([cx, cx + r, cx - r], axis=1).ravel()
+        parts.append(
+            _mk_features((1 << 41) + ook, KIND_SHAPE, flat_lat, flat_lon, 3)
+        )
+    return parts[0] if repeat == 1 else pa.concat_tables(parts)
 
 
-def features_dataset(sf_dir: str):
+def features_dataset(sf_dir: str, repeat: int = 1):
     """Streaming FEATURES derivation: three parquet sources → per-batch
     geometry synthesis → union. Never materializes on the driver (the
     100-TB path; ``features_from_testdata`` is the small driver-side twin
-    used in unit tests)."""
+    used in unit tests).
+
+    ``repeat`` > 1 deterministically replicates each source row into
+    ``repeat`` distinct features (salted keys) — used by the scaling
+    benchmark to reach a compute-dominant input size from small testdata.
+    """
+    import functools
+
     import ray.data as rd
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id"]
-    ).map_batches(_events_to_features, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(_events_to_features, repeat=repeat),
+        batch_format="pyarrow", batch_size=None,
+    )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
-    ).map_batches(_lineitem_to_features, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(_lineitem_to_features, repeat=repeat),
+        batch_format="pyarrow", batch_size=None,
+    )
     od = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
-    ).map_batches(_orders_to_features, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(_orders_to_features, repeat=repeat),
+        batch_format="pyarrow", batch_size=None,
+    )
     return ev.union(li, od)

@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..geom.clip import clip_segments_np
+from ..util import pool_concurrency
 from ..stages.ann import topk_dot, quantize
 from ..stages.dedup import exact_dedup, minhash_candidates, simhash_candidates
 from ..stages.knn import KnnJoin
@@ -67,7 +68,7 @@ def q_cell_assign_grid(sf_dir: str):
         )
 
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
-        partial, batch_format="pyarrow"
+        partial, batch_format="pyarrow", batch_size=None
     )
     out = ds.groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas()
     return out.astype({"cell": "int64", "n": "int64"})
@@ -101,7 +102,7 @@ def q_clip_segments(sf_dir: str):
     return _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
-    ).map_batches(fn, batch_format="pyarrow")
+    ).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 # three convex regions in map units (x=lon, y=lat), CCW in (x, y)
@@ -132,13 +133,13 @@ def q_pip_regions(sf_dir: str):
         )
 
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
-        add_coords, batch_format="pyarrow"
+        add_coords, batch_format="pyarrow", batch_size=None
     )
     joined = ds.map_batches(
         PIPJoin,
         fn_constructor_kwargs=dict(polygons_ref=polys, raster_shift=14),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
     )
     out = joined.to_pandas()[["event_id", "boundary_id"]]
     return out.rename(columns={"boundary_id": "region_id"}).astype("int64")
@@ -168,13 +169,13 @@ def q_knn_join(sf_dir: str):
         )
 
     ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        add_coords, batch_format="pyarrow"
+        add_coords, batch_format="pyarrow", batch_size=None
     )
     joined = ds.map_batches(
         KnnJoin,
         fn_constructor_kwargs=dict(ref=ref),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
     )
     out = joined.to_pandas()[["c_custkey", "nn_id", "nn_dist2"]]
     return out.rename(columns={"nn_id": "road_id", "nn_dist2": "dist2"}).astype(
@@ -226,13 +227,13 @@ def q_raster_sample(sf_dir: str):
         )
 
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
-        add_coords, batch_format="pyarrow"
+        add_coords, batch_format="pyarrow", batch_size=None
     )
     sampled = ds.map_batches(
         RasterSampler,
         fn_constructor_kwargs=dict(raster_ref=ref),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
     )
     out = sampled.to_pandas()[["event_id", "height"]]
     out["height16"] = (out["height"] * 16).round().astype("int64")
@@ -267,7 +268,7 @@ def q_simplify_dp(sf_dir: str):
         )
 
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
-        fn, batch_format="pyarrow"
+        fn, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -348,7 +349,7 @@ def q_q3_top_orders(sf_dir: str):
 
     okeys = np.unique(
         np.asarray(
-            orders.map_batches(ofilter, batch_format="pyarrow")
+            orders.map_batches(ofilter, batch_format="pyarrow", batch_size=None)
             .to_pandas()["o_orderkey"],
             np.int64,
         )
@@ -386,7 +387,7 @@ def q_q3_top_orders(sf_dir: str):
 
     ds = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(partial, batch_format="pyarrow")
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
     from ray.data.aggregate import Sum as _Sum
 
     agg = ds.groupby("l_orderkey").aggregate(
@@ -454,7 +455,7 @@ def q_q5_nation_revenue(sf_dir: str):
 
     ds = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(partial, batch_format="pyarrow")
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
     out = (
         ds.groupby("nationkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
@@ -528,7 +529,7 @@ def q_top_users(sf_dir: str):
 def q_doc_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=(1, 4)
+        TextStats, batch_format="pandas", concurrency=pool_concurrency()
     ).to_pandas()
     return out[["doc_id", "n_chars_calc", "n_tokens", "n_punct"]].astype("int64")
 
@@ -576,7 +577,7 @@ def q_dedup_simhash(sf_dir: str):
 def q_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=(1, 4)
+        TextStats, batch_format="pandas", concurrency=pool_concurrency()
     ).to_pandas()
     return out[["doc_id", "lang_pred"]]
 
@@ -584,7 +585,7 @@ def q_langid(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=(1, 4)
+        TextStats, batch_format="pandas", concurrency=pool_concurrency()
     ).to_pandas()
     return out[["doc_id", "fingerprint"]].astype("int64")
 
@@ -646,7 +647,7 @@ def q_emb_label_sums(sf_dir: str):
         return df.groupby("label", as_index=False).sum()
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"]).map_batches(
-        partial, batch_format="pyarrow"
+        partial, batch_format="pyarrow", batch_size=None
     )
     out = (
         ds.groupby("label")

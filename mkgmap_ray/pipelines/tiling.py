@@ -37,7 +37,7 @@ def build_tiles(
     assigned, meta = assign_cells(features_ds, tree)
     if clip:
         assigned = assigned.map_batches(
-            ClipToCell(cell_bounds_hp(tree)), batch_format="pyarrow"
+            ClipToCell(cell_bounds_hp(tree)), batch_format="pyarrow", batch_size=None
         )
     return assigned, meta, tree
 
@@ -45,8 +45,10 @@ def build_tiles(
 def tile_summary(assigned_ds) -> "pa.Table":
     """Per-tile feature counts by kind — the engine's analogue of the
     reference functional tests' per-level point/line counts
-    (``test/func/SimpleTest.java:69-73``). Partial-aggregated per batch,
-    combined on the driver (no shuffle)."""
+    (``test/func/SimpleTest.java:69-73``). Partial-aggregated per batch
+    (bincount), combined with a distributed groupby so only the
+    ~tile-count final result reaches the driver."""
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         tile = np.asarray(batch["tile_id"].combine_chunks(), np.int64)
@@ -62,13 +64,26 @@ def tile_summary(assigned_ds) -> "pa.Table":
             )
         return pa.table(out)
 
-    parts = assigned_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if len(parts) == 0:
+    parts = assigned_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    g = (
+        parts.groupby("tile_id")
+        .aggregate(
+            Sum("n_points", alias_name="n_points"),
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_shapes", alias_name="n_shapes"),
+        )
+        .to_pandas()
+    )
+    if len(g) == 0:
         return pa.table(
             {c: pa.array([], pa.int64())
              for c in ("tile_id", "n_points", "n_lines", "n_shapes")}
         )
-    g = parts.groupby("tile_id", sort=True).sum().reset_index()
+    g = g.sort_values("tile_id").reset_index(drop=True)
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
@@ -110,7 +125,7 @@ def write_tiles(
             keep = ~np.isin(tid, done_arr)
             return batch.filter(pa.array(keep))
 
-        to_write = assigned_ds.map_batches(drop_done, batch_format="pyarrow")
+        to_write = assigned_ds.map_batches(drop_done, batch_format="pyarrow", batch_size=None)
     else:
         to_write = assigned_ds
 

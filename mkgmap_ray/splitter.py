@@ -94,6 +94,31 @@ def element_stats(kind, n_points):
 STAT_COLS = ("n_pt", "n_ln", "n_sh", "est", "n_split")
 
 
+def decide_split(
+    bounds, shift: int, limits: SplitLimits,
+    n_pt: int, n_ln: int, est: int, n_split: int,
+) -> bool:
+    """The per-leaf split decision (``MapSplitter.addAreasToList`` policy),
+    shared by the iterative ``refine`` loop and the distributed engine's
+    round-based recursion so both paths stay bit-identical. Returns True
+    when a geometric split should be ATTEMPTED (the attempt may still fail
+    on alignment collapse)."""
+    must = (
+        n_ln > limits.max_lines
+        or n_pt > limits.max_points
+        or est > limits.max_rgn_size
+    )
+    dim_ok = bounds.max_dimension > (limits.min_dimension << shift)
+    want = dim_ok and est > limits.wanted_size
+    if not (must or want):
+        return False
+    if n_split <= 1:  # canSplit(), MapArea.java:540-542
+        return False
+    if not dim_ok:  # too small to divide geometrically
+        return False
+    return True
+
+
 def refine(tree: SplitTree, stats_fn, limits: SplitLimits = SplitLimits(),
            max_iters: int = 64) -> SplitTree:
     """Iteratively split leaves until the reference's limits hold.
@@ -125,23 +150,17 @@ def refine(tree: SplitTree, stats_fn, limits: SplitLimits = SplitLimits(),
         for leaf in tree.leaves():
             if leaf in unsplittable:
                 continue
-            b = tree.bounds[leaf]
-            must = (
-                n_ln[leaf] > limits.max_lines
-                or n_pt[leaf] > limits.max_points
-                or est[leaf] > limits.max_rgn_size
-            )
-            want = (
-                b.max_dimension > (limits.min_dimension << tree.shift)
-                and est[leaf] > limits.wanted_size
-            )
-            if not (must or want):
-                continue
-            if n_split[leaf] <= 1:  # canSplit(), MapArea.java:540-542
-                unsplittable.add(leaf)
-                continue
-            if b.max_dimension <= (limits.min_dimension << tree.shift):
-                unsplittable.add(leaf)  # too small to divide geometrically
+            if not decide_split(
+                tree.bounds[leaf], tree.shift, limits,
+                n_pt[leaf], n_ln[leaf], est[leaf], n_split[leaf],
+            ):
+                # remember stats-independent dead-ends so they aren't
+                # re-examined (mirrors the old unsplittable bookkeeping)
+                if n_split[leaf] <= 1 or (
+                    tree.bounds[leaf].max_dimension
+                    <= (limits.min_dimension << tree.shift)
+                ):
+                    unsplittable.add(leaf)
                 continue
             to_split.append(leaf)
 

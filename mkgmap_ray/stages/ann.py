@@ -84,7 +84,7 @@ def topk_dot(ds, q_ids, q_mat, k: int = 10, id_col="vec_id", emb_col="embedding"
 
     ref = ray.put((np.asarray(q_ids, np.int64), np.asarray(q_mat, np.float64)))
     parts = ds.map_batches(
-        TopKDotPartial(ref, k, id_col, emb_col), batch_format="pyarrow"
+        TopKDotPartial(ref, k, id_col, emb_col), batch_format="pyarrow", batch_size=None
     ).to_pandas()
     out = []
     for qid, g in parts.groupby("query_id", sort=True):
@@ -121,7 +121,7 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
     recall)."""
     signed = ds.map_batches(
         RandomHyperplaneSigner(dim, n_bits, seed, emb_col),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -27,7 +27,13 @@ import pyarrow as pa
 from ..geom.area import Area
 from ..geom.coords import DELTA_SHIFT
 from ..grid import SplitTree, assign_nodes, feature_centers
-from ..splitter import STAT_COLS, SplitLimits, element_stats, refine
+from ..splitter import (
+    STAT_COLS,
+    SplitLimits,
+    b_wider,
+    decide_split,
+    element_stats,
+)
 from ..util import list_lengths, list_minmax
 
 
@@ -63,7 +69,7 @@ def narrow_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def narrow_stats(features_ds):
-    return features_ds.map_batches(narrow_stats_batch, batch_format="pyarrow")
+    return features_ds.map_batches(narrow_stats_batch, batch_format="pyarrow", batch_size=None)
 
 
 def _partial_agg_fn(packed):
@@ -114,7 +120,10 @@ def _round_pof2_np(val: np.ndarray, shift: int) -> np.ndarray:
     return ((val + half) >> shift) << shift
 
 
-def _descend_terminals(lat_mu, lon_mu, node_bounds, shift: int, min_dim: int):
+def _descend_terminals(
+    lat_mu, lon_mu, node_bounds, shift: int, min_dim: int,
+    max_levels: int | None = None,
+):
     """Vectorized descent of the deterministic *potential* split tree.
 
     Split positions never depend on feature stats — only the DECISION to
@@ -126,7 +135,14 @@ def _descend_terminals(lat_mu, lon_mu, node_bounds, shift: int, min_dim: int):
 
     ``node_bounds``: (n,4) map-unit (ymin, xmin, ymax, xmax) of each
     feature's initial leaf. Returns terminal (ymin, xmin) per feature —
-    disjoint terminal rects have unique min corners, so that's the cell key.
+    disjoint terminal rects have unique min corners, so that's the cell key
+    (descent rules are feature-independent, so a reached node is never an
+    ancestor of another reached node).
+
+    ``max_levels`` caps the number of halvings (each loop pass advances
+    every live feature one level), bounding the result cardinality to
+    ``2^max_levels`` cells per input node — the round-based refinement
+    relies on this to keep the driver-side aggregate small.
     """
     ymin = node_bounds[:, 0].copy()
     xmin = node_bounds[:, 1].copy()
@@ -134,7 +150,9 @@ def _descend_terminals(lat_mu, lon_mu, node_bounds, shift: int, min_dim: int):
     xmax = node_bounds[:, 3].copy()
     done = np.zeros(len(ymin), dtype=bool)
     lim = min_dim << shift
-    while True:
+    level = 0
+    while max_levels is None or level < max_levels:
+        level += 1
         w = xmax - xmin
         h = ymax - ymin
         done |= np.maximum(w, h) <= lim
@@ -168,75 +186,148 @@ def build_split_tree(
     shift: int,
     limits: SplitLimits = SplitLimits(),
     bounds: Area | None = None,
+    levels_per_round: int = 6,
+    max_rounds: int = 16,
 ) -> SplitTree:
-    """Run the MapSplitter refinement loop against a Ray Dataset of narrow
-    per-feature stats.
+    """Run the MapSplitter refinement against a Ray Dataset of narrow
+    per-feature stats, in rounds.
 
-    ONE distributed scan aggregates per-feature stats into terminal
-    potential-tree cells (see ``_descend_terminals``); the refinement loop
-    itself then runs driver-side over the compact per-cell aggregate (≤ one
-    row per occupied min-dimension cell — bounded by the region's area, not
-    the feature count, so this holds at 10^12 features)."""
-    narrow_ds = narrow_ds.materialize()
+    Split POSITIONS are data-independent (always the aligned midpoint of
+    the longer axis); only split DECISIONS need stats. Each round therefore
+    does one distributed scan that descends every feature center
+    ``levels_per_round`` potential levels below its current active leaf and
+    aggregates stats per reached potential cell (``_descend_terminals``
+    with a level cap). The driver then recurses the split decisions
+    (``decide_split`` — shared with the iterative oracle ``refine``) over
+    that compact aggregate; frontier leaves that still violate the limits
+    carry into the next round. Driver-side cardinality per round is ≤
+    ``2^levels_per_round × active leaves`` — bounded by the output tile
+    count, not the feature count, so this holds at 10^12 features.
+    """
+    import ray
+
+    # one block per CPU: per-round partial aggregates duplicate each
+    # occupied cell once per block, so fewer/larger blocks keep the
+    # driver-side combine linear in cell count, not block count
+    n_blocks = max(1, int(ray.cluster_resources().get("CPU", 32)))
+    narrow_ds = narrow_ds.repartition(n_blocks).materialize()
     if bounds is None:
         bounds = compute_bounds(narrow_ds)
     tree = SplitTree.root(bounds, shift)
     tree.split_max_size(limits.max_division_size)
-    init_packed = tree.pack()
-    leaf_bounds = np.asarray(
-        [[a.min_lat, a.min_lon, a.max_lat, a.max_lon] for a in tree.bounds],
-        np.int64,
-    )
+    n_initial = tree.n_nodes()
     min_dim = limits.min_dimension
     t_shift = tree.shift
+    active: list[int] = tree.leaves()
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lat = np.asarray(batch["lat_c"].combine_chunks(), np.int64)
-        lon = np.asarray(batch["lon_c"].combine_chunks(), np.int64)
-        leaf = assign_nodes(init_packed, lat, lon)
-        tymin, txmin = _descend_terminals(
-            lat >> DELTA_SHIFT, lon >> DELTA_SHIFT,
-            leaf_bounds[leaf], t_shift, min_dim,
+    for _ in range(max_rounds):
+        if not active:
+            break
+        packed = tree.pack()
+        is_active = np.zeros(tree.n_nodes(), dtype=bool)
+        is_active[active] = True
+        node_bounds = np.asarray(
+            [[a.min_lat, a.min_lon, a.max_lat, a.max_lon]
+             for a in tree.bounds],
+            np.int64,
         )
-        key = ((tymin + _KEY_OFF) << 26) | (txmin + _KEY_OFF)
-        uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
-        out = {
-            "key": pa.array(uniq, pa.int64()),
-            # any member center works as the cell representative: the cell is
-            # a rect fully inside whatever actual leaf covers it
-            "lat_r": pa.array(lat[first], pa.int64()),
-            "lon_r": pa.array(lon[first], pa.int64()),
-        }
-        for c in STAT_COLS:
-            vals = np.asarray(batch[c].combine_chunks(), np.int64)
-            out[c] = pa.array(
-                np.bincount(inv, weights=vals, minlength=len(uniq)).astype(
-                    np.int64
-                ),
-                pa.int64(),
+        levels = levels_per_round
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lat = np.asarray(batch["lat_c"].combine_chunks(), np.int64)
+            lon = np.asarray(batch["lon_c"].combine_chunks(), np.int64)
+            leaf = assign_nodes(packed, lat, lon)
+            m = is_active[leaf]
+            empty = pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "leaf": pa.array([], pa.int64()),
+                    "lat_r": pa.array([], pa.int64()),
+                    "lon_r": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.int64()) for c in STAT_COLS},
+                }
             )
-        return pa.table(out)
+            if not m.any():
+                return empty
+            lat, lon, leaf = lat[m], lon[m], leaf[m]
+            tymin, txmin = _descend_terminals(
+                lat >> DELTA_SHIFT, lon >> DELTA_SHIFT,
+                node_bounds[leaf], t_shift, min_dim, max_levels=levels,
+            )
+            key = ((tymin + _KEY_OFF) << 26) | (txmin + _KEY_OFF)
+            uniq, first, inv = np.unique(
+                key, return_index=True, return_inverse=True
+            )
+            out = {
+                "key": pa.array(uniq, pa.int64()),
+                "leaf": pa.array(leaf[first], pa.int64()),
+                # any member center works as the cell representative: the
+                # cell is a rect fully inside whatever node covers it
+                "lat_r": pa.array(lat[first], pa.int64()),
+                "lon_r": pa.array(lon[first], pa.int64()),
+            }
+            for c in STAT_COLS:
+                vals = np.asarray(batch[c].combine_chunks(), np.int64)[m]
+                out[c] = pa.array(
+                    np.bincount(inv, weights=vals, minlength=len(uniq))
+                    .astype(np.int64),
+                    pa.int64(),
+                )
+            return pa.table(out)
 
-    parts = narrow_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if len(parts) == 0:
-        return refine(tree, lambda packed: {}, limits)
-    g = parts.groupby("key", sort=True)
-    lat_r = g["lat_r"].first().to_numpy()
-    lon_r = g["lon_r"].first().to_numpy()
-    cols = {c: g[c].sum().to_numpy() for c in STAT_COLS}
+        parts = narrow_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if len(parts) == 0:
+            break
+        g = parts.groupby("key", sort=True)
+        cell_leaf = g["leaf"].first().to_numpy()
+        lat_mu = g["lat_r"].first().to_numpy() >> DELTA_SHIFT
+        lon_mu = g["lon_r"].first().to_numpy() >> DELTA_SHIFT
+        cols = {c: g[c].sum().to_numpy() for c in STAT_COLS}
 
-    cur = {"leaf": None}  # incremental assignment across refine passes
+        # group cell indices by their active leaf
+        order = np.argsort(cell_leaf, kind="stable")
+        sorted_leaf = cell_leaf[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_leaf[1:] != sorted_leaf[:-1]]
+        )
+        ends = np.r_[starts[1:], len(sorted_leaf)]
 
-    def stats_fn(packed):
-        leaf = assign_nodes(packed, lat_r, lon_r, start=cur["leaf"])
-        cur["leaf"] = leaf
-        n = len(packed["child_off"])
-        return {
-            c: np.bincount(leaf, weights=cols[c], minlength=n).astype(np.int64)
-            for c in STAT_COLS
-        }
+        new_active: list[int] = []
 
-    return refine(tree, stats_fn, limits)
+        def recurse(node: int, idx: np.ndarray, depth_left: int) -> None:
+            stats = [int(cols[c][idx].sum()) for c in STAT_COLS]
+            n_pt, n_ln, n_sh, est, n_split = stats
+            if not decide_split(
+                tree.bounds[node], t_shift, limits, n_pt, n_ln, est, n_split
+            ):
+                return
+            if depth_left == 0:
+                new_active.append(node)  # needs finer stats next round
+                return
+            wide = b_wider(tree, node)
+            ok = tree.split_node(node, 2, 1) if wide else tree.split_node(
+                node, 1, 2
+            )
+            if not ok:
+                return  # alignment collapse: stays a leaf
+            c0 = tree.child_off[node]
+            if wide:
+                cut = tree.bounds[c0].max_lon
+                hi = lon_mu[idx] >= cut
+            else:
+                cut = tree.bounds[c0].max_lat
+                hi = lat_mu[idx] >= cut
+            recurse(c0, idx[~hi], depth_left - 1)
+            recurse(c0 + 1, idx[hi], depth_left - 1)
+
+        for s, e in zip(starts, ends):
+            leaf = int(sorted_leaf[s])
+            recurse(leaf, order[s:e], levels)
+        active = new_active
+
+    return tree.canonicalize(n_initial)
 
 
 class CellAssigner:
@@ -274,7 +365,7 @@ def assign_cells(features_ds, tree: SplitTree):
     leaf_rank = {n: i for i, n in enumerate(leaves)}
     packed = tree.pack()
     ds = features_ds.map_batches(
-        CellAssigner(packed, leaf_rank), batch_format="pyarrow"
+        CellAssigner(packed, leaf_rank), batch_format="pyarrow", batch_size=None
     )
     meta = pa.table(
         {

@@ -182,7 +182,7 @@ def clip_to_bbox(ds, bbox: Area):
         rects = np.broadcast_to(rect, (batch.num_rows, 4))
         return _clip_batch_to_rects(batch, rects)
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 class ClipToCell:

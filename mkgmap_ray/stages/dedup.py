@@ -19,6 +19,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from ..util import pool_concurrency
 import pandas as pd
 
 MERSENNE = (1 << 61) - 1
@@ -149,7 +151,7 @@ def minhash_candidates(ds, num_perm=64, bands=16, shingle_k=5, seed=42,
             text_col=text_col, id_col=id_col,
         ),
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=pool_concurrency(),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +249,7 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col="text", id_col="doc_id
         SimHashChunks,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=pool_concurrency(),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -131,4 +131,4 @@ class SimplifyLevel:
 
 
 def simplify_at_level(ds, resolution: int, **kw):
-    return ds.map_batches(SimplifyLevel(resolution, **kw), batch_format="pyarrow")
+    return ds.map_batches(SimplifyLevel(resolution, **kw), batch_format="pyarrow", batch_size=None)

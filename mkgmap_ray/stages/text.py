@@ -14,6 +14,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
+
+from ..util import pool_concurrency
 import pandas as pd
 
 PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"  # explicit ASCII set
@@ -98,4 +100,4 @@ class TextStats:
 
 
 def text_stats(ds, **kw):
-    return ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 8), **kw)
+    return ds.map_batches(TextStats, batch_format="pandas", concurrency=pool_concurrency(), **kw)

@@ -43,3 +43,12 @@ def rebuild_list_array(values: np.ndarray, offsets: np.ndarray,
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(values, type=value_type)
     )
+
+
+def pool_concurrency(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: (1, frac×CPUs).
+    Lazy ray import so pure-geometry callers never pull in Ray."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (lo, max(2, int(cpus * frac)))
