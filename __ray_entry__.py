@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_dot": Q.q_ann_topk_dot,
         "ann_cosine_pairs": Q.q_ann_cosine_pairs,
         "emb_label_sums": Q.q_emb_label_sums,
+        # way assembly / overview / label index / splitting
+        "way_assembly": Q.q_way_assembly,
+        "overview_grid": Q.q_overview_grid,
+        "label_prefix": Q.q_label_prefix,
+        "sorted_top100": Q.q_sorted_top100,
+        "split_lines": Q.q_split_lines,
     }
 
 
@@ -258,5 +264,70 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CAST(list_sum(list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT))) AS BIGINT)) AS BIGINT) AS sum_q
             FROM embeddings GROUP BY label
+        """,
+        "way_assembly": """
+            SELECT l.l_orderkey AS way_id,
+                   count(*) AS n_refs,
+                   CAST(sum(CASE WHEN e.event_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
+                   CAST(COALESCE(sum((e.event_id*48271) % 65536), 0)
+                        AS BIGINT) AS sum_lat,
+                   CAST(COALESCE(sum((e.event_id*16807) % 65536), 0)
+                        AS BIGINT) AS sum_lon
+            FROM lineitem l LEFT JOIN events e ON l.l_partkey = e.event_id
+            GROUP BY 1
+        """,
+        "overview_grid": """
+            WITH f AS (
+              SELECT CAST(0 AS BIGINT) AS kind,
+                     (event_id*48271) % 65536 AS lat_c,
+                     (event_id*16807) % 65536 AS lon_c
+              FROM events
+              UNION ALL
+              SELECT 1,
+                CAST(trunc((
+                   2*((l_orderkey*48271 + l_linenumber*977) % 65536)
+                   + (l_partkey % 8192) - 4096) / 2.0) AS BIGINT),
+                CAST(trunc((
+                   2*((l_orderkey*16807 + l_linenumber*661) % 65536)
+                   + ((l_suppkey*131) % 8192) - 4096) / 2.0) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 2, (o_orderkey*48271) % 65536,
+                        (o_orderkey*16807) % 65536
+              FROM orders)
+            SELECT kind,
+                   (LEAST(GREATEST(lat_c, 0), 65535) // 8192) * 8
+                   + (LEAST(GREATEST(lon_c, 0), 65535) // 8192) AS cell,
+                   count(*) AS n
+            FROM f GROUP BY 1, 2
+        """,
+        "label_prefix": """
+            SELECT substr(p_name, 1, 1) AS prefix, count(*) AS n,
+                   min(p_name) AS first_name
+            FROM part GROUP BY 1
+        """,
+        "sorted_top100": """
+            SELECT p_name, CAST(p_partkey AS BIGINT) AS p_partkey,
+                   CAST(row_number() OVER (ORDER BY p_name, p_partkey)
+                        AS BIGINT) AS rank
+            FROM part ORDER BY p_name, p_partkey LIMIT 100
+        """,
+        "split_lines": """
+            WITH s AS (SELECT o_orderkey,
+                              1 + (o_orderkey % 600) AS n_points
+                       FROM orders),
+            k AS (SELECT *,
+                    GREATEST(0, CAST(ceil((n_points - 374) / 249.0)
+                                     AS BIGINT)) AS kf
+                  FROM s),
+            p AS (SELECT o_orderkey, n_points,
+                    CASE WHEN n_points <= 250 THEN 1
+                         WHEN n_points - kf*249 > 250 THEN kf + 2
+                         ELSE kf + 1 END AS n_parts
+                  FROM k)
+            SELECT o_orderkey, n_points, n_parts,
+                   n_points + n_parts - 1 AS n_out_points
+            FROM p
         """,
     }

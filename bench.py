@@ -52,6 +52,10 @@ QUERY_NAMES = [
     "dedup_minhash",
     "ann_topk_dot",
     "images_tiles",
+    "way_assembly",
+    "overview_grid",
+    "sorted_top100",
+    "split_lines",
 ]
 
 

@@ -32,6 +32,7 @@ from .derive import (
     event_points_np,
     features_from_testdata,
     lineitem_segments_np,
+    order_triangles_np,
 )
 
 
@@ -680,3 +681,226 @@ def q_images_tiles(sf_dir: str):
     assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
     out = tile_summary(assigned).to_pandas()
     return out.astype("int64")
+
+
+# --- way assembly / overview / label index / line splitting -----------------
+
+
+def q_way_assembly(sf_dir: str):
+    """Node→way broadcast hash join + per-way reduce: lineitem rows are way
+    refs (way=l_orderkey, node ref=l_partkey), events are the node table
+    (``ElementSaver.coordMap`` resolution, ``ElementSaver.java:95-106``).
+    The node index is built once and broadcast via ``ray.put``; each refs
+    batch resolves with a vectorized probe, pre-aggregates per way inside
+    the batch, and a small groupby finishes."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.assemble import NodeJoin, make_node_index
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    nid = np.asarray(ev["event_id"], np.int64)
+    nlat, nlon = event_points_np(nid)
+    ref = ray.put(make_node_index(nid, nlat, nlon))
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        pk = np.asarray(batch["l_partkey"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "way_id": pa.array(ok, pa.int64()),
+                "node_id": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        way = np.asarray(batch["way_id"].combine_chunks(), np.int64)
+        res = np.asarray(batch["resolved"].combine_chunks(), np.int64)
+        lat = np.asarray(batch["lat"].combine_chunks(), np.int64)
+        lon = np.asarray(batch["lon"].combine_chunks(), np.int64)
+        uniq, inv = np.unique(way, return_inverse=True)
+
+        def agg(v):
+            return pa.array(
+                np.bincount(inv, weights=v, minlength=len(uniq)).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            )
+
+        return pa.table(
+            {
+                "way_id": pa.array(uniq, pa.int64()),
+                "n_refs": agg(np.ones(len(way), np.int64)),
+                "n_resolved": agg(res),
+                "sum_lat": agg(lat),
+                "sum_lon": agg(lon),
+            }
+        )
+
+    refs = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        to_refs, batch_format="pyarrow", batch_size=None
+    )
+    joined = refs.map_batches(
+        NodeJoin,
+        fn_constructor_kwargs=dict(index_ref=ref),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
+    )
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("way_id")
+        .aggregate(
+            Sum("n_refs", alias_name="n_refs"),
+            Sum("n_resolved", alias_name="n_resolved"),
+            Sum("sum_lat", alias_name="sum_lat"),
+            Sum("sum_lon", alias_name="sum_lon"),
+        )
+        .to_pandas()
+    )
+    return out.astype("int64")
+
+
+OVERVIEW_SHIFT = 13  # 8×8 overview grid over the 65536-unit square
+
+
+def q_overview_grid(sf_dir: str):
+    """Overview histogram: feature counts per (kind, coarse cell) — the
+    ``MapDetails.updateOverview`` reduce (``general/MapDetails.java:55-57``)
+    over center cells, partial per batch then a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    span = SPAN - 1
+
+    def cellify(lat_c, lon_c):
+        la = np.clip(lat_c, 0, span)
+        lo = np.clip(lon_c, 0, span)
+        return (la >> OVERVIEW_SHIFT) * 8 + (lo >> OVERVIEW_SHIFT)
+
+    def ev_part(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        lat, lon = event_points_np(eid)
+        cell = cellify(lat, lon)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        pk = np.asarray(batch["l_partkey"].combine_chunks(), np.int64)
+        sk = np.asarray(batch["l_suppkey"].combine_chunks(), np.int64)
+        ln = np.asarray(batch["l_linenumber"].combine_chunks(), np.int64)
+        x0, y0, x1, y1 = lineitem_segments_np(ok, pk, sk, ln)
+        # map-unit bbox midpoint with Java truncating division
+        lat_c = np.trunc((y0 + y1) / 2.0).astype(np.int64)
+        lon_c = np.trunc((x0 + x1) / 2.0).astype(np.int64)
+        cell = cellify(lat_c, lon_c)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(len(uniq), np.int64), pa.int64()),
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def od_part(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        cy, cx, r = order_triangles_np(ook)
+        cell = cellify(cy, cx)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "kind": pa.array(np.full(len(uniq), 2, np.int64), pa.int64()),
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["event_id"]).map_batches(
+        ev_part, batch_format="pyarrow", batch_size=None
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    ).map_batches(li_part, batch_format="pyarrow", batch_size=None)
+    od = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        od_part, batch_format="pyarrow", batch_size=None
+    )
+    out = (
+        ev.union(li, od)
+        .groupby(["kind", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.astype("int64")
+
+
+def q_label_prefix(sf_dir: str):
+    """MDR prefix index analogue (``imgfmt/app/mdr/`` Mdr8/9 prefix
+    sections): group labels by first letter → count + first label."""
+    from ray.data.aggregate import Count, Min
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "prefix", pc.utf8_slice_codeunits(
+                batch["p_name"].combine_chunks(), 0, 1
+            )
+        )
+
+    out = (
+        _read(sf_dir, "part", ["p_name"])
+        .map_batches(add_prefix, batch_format="pyarrow", batch_size=None)
+        .groupby("prefix")
+        .aggregate(Count(alias_name="n"), Min("p_name", alias_name="first_name"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_sorted_top100(sf_dir: str):
+    """Global collation-order index slice (``imgfmt/app/srt/Sort`` ordering
+    of MDR records): distributed sort by (name, key), first 100 with dense
+    rank — the rank column makes the order itself hash-checked."""
+    ds = _read(sf_dir, "part", ["p_name", "p_partkey"]).sort(
+        ["p_name", "p_partkey"]
+    )
+    top = ds.limit(100).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["p_partkey"] = top["p_partkey"].astype("int64")
+    return top
+
+
+def q_split_lines(sf_dir: str):
+    """``LineSplitterFilter`` sizing (``filters/LineSplitterFilter.java:
+    42-76``): per synthetic line of ``1 + o_orderkey % 600`` points, the
+    number of ≤250-point chunks and total output points (chunks share
+    boundary points). Closed form verified against the real range splitter
+    in tests."""
+    from ..stages.assemble import split_counts_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = 1 + (ok % 600)
+        parts, n_out = split_counts_np(n)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "n_points": pa.array(n, pa.int64()),
+                "n_parts": pa.array(parts, pa.int64()),
+                "n_out_points": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
