@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prefix": Q.q_label_prefix,
         "sorted_top100": Q.q_sorted_top100,
         "split_lines": Q.q_split_lines,
+        "style_apply": Q.q_style_apply,
     }
 
 
@@ -329,5 +330,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, n_points, n_parts,
                    n_points + n_parts - 1 AS n_out_points
             FROM p
+        """,
+        "style_apply": """
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+              CASE WHEN p_type = 'ECONOMY' AND p_size > 25 THEN 1
+                   WHEN p_type = 'ECONOMY' THEN 2
+                   WHEN p_type IN ('STANDARD', 'PROMO') THEN 3
+                   WHEN regexp_full_match(p_brand, 'Brand#1[0-9]') THEN 4
+                   ELSE 5 END AS gtype,
+              CASE WHEN p_type = 'ECONOMY' AND p_size > 25 THEN 16
+                   WHEN p_type = 'ECONOMY' THEN 18
+                   WHEN p_type IN ('STANDARD', 'PROMO') THEN 20
+                   WHEN regexp_full_match(p_brand, 'Brand#1[0-9]') THEN 22
+                   ELSE 24 END AS resolution
+            FROM part
         """,
     }

@@ -56,6 +56,7 @@ QUERY_NAMES = [
     "overview_grid",
     "sorted_top100",
     "split_lines",
+    "style_apply",
 ]
 
 

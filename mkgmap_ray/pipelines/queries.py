@@ -904,3 +904,43 @@ def q_split_lines(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+PART_STYLE = """
+# StyleTester-checkable style over part-derived tags
+highway=ECONOMY & lanes>25          [0x01 resolution 16]
+highway=ECONOMY                     [0x02 resolution 18]
+highway=STANDARD | highway=PROMO    {set cls=mid} [0x03 resolution 20]
+brand~'Brand#1[0-9]'                [0x04 resolution 22]
+highway=*                           [0x05 resolution 24]
+"""
+
+
+def q_style_apply(sf_dir: str):
+    """Style rule engine over part-derived tags (first-match-wins with a
+    regex rule; ``osmstyle/RuleSet.java:79-110`` semantics) — compiled once
+    per actor, vectorized per batch; oracle is the CASE-WHEN mirror."""
+    from ..stages.stylestage import apply_style
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"].combine_chunks().cast(pa.int64()),
+                "hw": batch["p_type"].combine_chunks(),
+                "lanes": pc.cast(batch["p_size"].combine_chunks(), pa.string()),
+                "brand": batch["p_brand"].combine_chunks(),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "part", ["p_partkey", "p_type", "p_size", "p_brand"]
+    ).map_batches(to_str, batch_format="pyarrow", batch_size=None)
+    out = apply_style(
+        ds, PART_STYLE,
+        tag_columns={"highway": "hw", "lanes": "lanes", "brand": "brand"},
+        keep=["p_partkey"],
+    ).to_pandas()
+    out = out[["p_partkey", "gtype", "resolution"]]
+    return out.astype("int64")

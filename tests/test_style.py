@@ -1,0 +1,151 @@
+"""Style rule engine: parser, evaluator, first-match/continue semantics —
+the engine's StyleTester analogue (``main/StyleTester.java``)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mkgmap_ray.style import compile_style, parse_expr
+from mkgmap_ray.style.rules import RuleSet
+
+
+def L(series):
+    return [None if pd.isna(x) else x for x in series]
+
+
+def T(**cols):
+    n = max((len(v) for v in cols.values()), default=1)
+    return {k: pd.Series(v, dtype="string") for k, v in cols.items()}, n
+
+
+class TestExpr:
+    def eval1(self, text, tags_dict):
+        tags, n = T(**{k: [v] for k, v in tags_dict.items()})
+        return bool(parse_expr(text).eval(tags, 1)[0])
+
+    def test_equals_missing_is_false(self):
+        assert not self.eval1("highway=primary", {"name": "x"})
+        assert self.eval1("highway=primary", {"highway": "primary"})
+        assert not self.eval1("highway=primary", {"highway": "trunk"})
+
+    def test_not_equals_matches_missing(self):
+        # NotEqualOp is !EqualsOp (eval/NotEqualOp.java:31-33)
+        assert self.eval1("highway!=primary", {"name": "x"})
+        assert self.eval1("highway!=primary", {"highway": "trunk"})
+        assert not self.eval1("highway!=primary", {"highway": "primary"})
+
+    def test_exists(self):
+        assert self.eval1("highway=*", {"highway": "x"})
+        assert not self.eval1("highway=*", {"name": "x"})
+        assert self.eval1("highway!=*", {"name": "x"})
+        assert not self.eval1("highway!=*", {"highway": "x"})
+
+    def test_numeric(self):
+        assert self.eval1("lanes>2", {"lanes": "3"})
+        assert not self.eval1("lanes>2", {"lanes": "2"})
+        assert not self.eval1("lanes>2", {"lanes": "many"})  # non-numeric
+        assert not self.eval1("lanes>2", {})
+        assert self.eval1("lanes<=2", {"lanes": "2"})
+
+    def test_regex_fullmatch(self):
+        assert self.eval1("ref~'A[0-9]+'", {"ref": "A12"})
+        assert not self.eval1("ref~'A[0-9]+'", {"ref": "xA12y"})
+        assert self.eval1("ref!~'A[0-9]+'", {"ref": "B1"})
+        assert self.eval1("ref!~'A[0-9]+'", {})  # negation matches missing
+
+    def test_bool_precedence(self):
+        # ! > & > |
+        e = "a=1 | b=1 & c=1"
+        assert self.eval1(e, {"a": "1"})
+        assert not self.eval1(e, {"b": "1"})
+        assert self.eval1(e, {"b": "1", "c": "1"})
+        assert self.eval1("!(a=1) & b=1", {"b": "1"})
+        assert not self.eval1("!a=1 & b=1", {"a": "1", "b": "1"})
+
+    def test_parse_errors(self):
+        for bad in ("=", "a=", "a = 1 )", "(a=1", "a ? 1"):
+            with pytest.raises(ValueError):
+                parse_expr(bad)
+
+
+STYLE = """
+# roads
+highway=motorway  [0x01 resolution 12]
+highway=primary & lanes>2 {set wide=yes} [0x02 resolution 18]
+highway=primary   [0x03 resolution 20]
+highway=*  {add surface=unknown} [0x04 resolution 22 continue]
+surface=unknown  [0x05 resolution 24]
+"""
+
+
+class TestRuleSet:
+    def test_first_match_wins(self):
+        rs = compile_style(STYLE)
+        tags, n = T(
+            highway=["motorway", "primary", "primary", "track", None],
+            lanes=[None, "4", "1", None, None],
+        )
+        out = rs.apply(tags, n)
+        assert out["gtype"].tolist() == [0x01, 0x02, 0x03, 0x04, -1]
+        assert out["resolution"].tolist() == [12, 18, 20, 22, -1]
+        # wide set only on the matched second row
+        assert L(out["tags"]["wide"]) == [None, "yes", None, None, None]
+
+    def test_continue_rule_chains(self):
+        rs = compile_style(STYLE)
+        tags, n = T(highway=["track"], lanes=[None])
+        out = rs.apply(tags, n)
+        # row matched rule 4 (continue, adds surface=unknown) — gtype is from
+        # the FIRST typed match (0x04); the continue lets rule 5 run its
+        # actions but gtype stays
+        assert out["gtype"].tolist() == [0x04]
+        assert L(out["tags"]["surface"]) == ["unknown"]
+
+    def test_add_vs_set(self):
+        rs = compile_style(
+            "a=* {add b=new; set c=new}\n"
+        )
+        tags, n = T(a=["1", "1"], b=["old", None], c=["old", None])
+        out = rs.apply(tags, n)
+        assert L(out["tags"]["b"]) == ["old", "new"]  # add keeps old
+        assert L(out["tags"]["c"]) == ["new", "new"]  # set overwrites
+
+    def test_delete_and_name(self):
+        rs = compile_style(
+            "a=* {delete secret; name '${ref} road'} [0x10]\n"
+        )
+        tags, n = T(a=["1", "1"], secret=["x", "y"], ref=["A1", None])
+        out = rs.apply(tags, n)
+        assert out["tags"]["secret"].isna().all()
+        assert L(out["name"]) == ["A1 road", None]
+
+    def test_used_tags(self):
+        rs = compile_style(STYLE)
+        assert rs.used_tags() == {"highway", "lanes", "wide", "surface"}
+
+    def test_rule_order_is_file_order(self):
+        rs = compile_style("x=1 [0x01]\nx=1 [0x02]\n")
+        tags, n = T(x=["1"])
+        assert rs.apply(tags, n)["gtype"].tolist() == [0x01]
+
+
+class TestStyleStage:
+    def test_apply_over_dataset(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mkgmap_ray.stages.stylestage import apply_style
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "hw": pa.array(["motorway", "primary", None], pa.string()),
+                "ln": pa.array([None, "4", None], pa.string()),
+            }
+        )
+        out = apply_style(
+            rd.from_arrow(t), STYLE,
+            tag_columns={"highway": "hw", "lanes": "ln"},
+            keep=["id"], concurrency=1,
+        ).to_pandas().sort_values("id")
+        assert out["gtype"].tolist() == [0x01, 0x02, -1]
