@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_top100": Q.q_sorted_top100,
         "split_lines": Q.q_split_lines,
         "style_apply": Q.q_style_apply,
+        "merge_chains": Q.q_merge_chains,
+        "ring_assembly": Q.q_ring_assembly,
     }
 
 
@@ -344,5 +346,17 @@ def oracle_sql() -> dict[str, str]:
                    WHEN regexp_full_match(p_brand, 'Brand#1[0-9]') THEN 22
                    ELSE 24 END AS resolution
             FROM part
+        """,
+        "merge_chains": """
+            SELECT o_orderkey % 64 AS grp,
+                   3 * count(*) AS n_in,
+                   count(*) AS n_out
+            FROM orders GROUP BY 1
+        """,
+        "ring_assembly": """
+            SELECT o_orderkey, CAST(1 AS BIGINT) AS n_rings,
+                   CAST(4 AS BIGINT) AS ring_pts,
+                   CAST(1 AS BIGINT) AS closed
+            FROM orders
         """,
     }

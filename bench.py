@@ -57,6 +57,8 @@ QUERY_NAMES = [
     "sorted_top100",
     "split_lines",
     "style_apply",
+    "merge_chains",
+    "ring_assembly",
 ]
 
 

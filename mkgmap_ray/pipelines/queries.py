@@ -944,3 +944,114 @@ def q_style_apply(sf_dir: str):
     ).to_pandas()
     out = out[["p_partkey", "gtype", "resolution"]]
     return out.astype("int64")
+
+
+# --- merge / ring assembly (group-local greedy, LineMergeFilter /
+# --- MultiPolygonRelation.joinWays semantics) -------------------------------
+
+
+def _chain_segments_table(ook: np.ndarray) -> pa.Table:
+    """Per order: 3 chained 2-point segments P0→P1→P2→P3 with
+    construction-unique coordinates (y = ok, x = ok*8+i), emitted in a
+    scrambled deterministic order so merging has to do real work."""
+    n = len(ook)
+    seg_i = np.repeat(np.arange(3), n)
+    ok_r = np.tile(ook, 3)
+    y = ok_r
+    x0 = ok_r * 8 + seg_i
+    x1 = x0 + 1
+    # scramble emission order deterministically
+    order = np.argsort((ok_r * 31 + seg_i * 17) % 97, kind="stable")
+    return pa.table(
+        {
+            "grp": pa.array(ok_r[order] % 64, pa.int64()),
+            "way_id": pa.array(ok_r[order] * 4 + seg_i[order], pa.int64()),
+            "y0": pa.array(y[order], pa.int64()),
+            "x0": pa.array(x0[order], pa.int64()),
+            "y1": pa.array(y[order], pa.int64()),
+            "x1": pa.array(x1[order], pa.int64()),
+        }
+    )
+
+
+def q_merge_chains(sf_dir: str):
+    """Endpoint line merging (``filters/LineMergeFilter.java:59-117``) per
+    group: each order contributes a 3-segment chain; after the group-local
+    greedy merge every chain collapses to ONE line, so per group
+    ``n_out = #orders`` and ``n_in = 3 × #orders`` — SQL-exact evidence
+    that the merge actually merged."""
+    from ..stages.merge import merge_lines
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return _chain_segments_table(ook)
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        grp = int(group["grp"][0].as_py())
+        y0 = np.asarray(group["y0"].combine_chunks(), np.int64)
+        x0 = np.asarray(group["x0"].combine_chunks(), np.int64)
+        y1 = np.asarray(group["y1"].combine_chunks(), np.int64)
+        x1 = np.asarray(group["x1"].combine_chunks(), np.int64)
+        lines = [
+            (np.asarray([y0[i], y1[i]]), np.asarray([x0[i], x1[i]]))
+            for i in range(len(y0))
+        ]
+        merged = merge_lines(lines)
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int64()),
+                "n_in": pa.array([len(lines)], pa.int64()),
+                "n_out": pa.array([len(merged)], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        to_segments, batch_format="pyarrow", batch_size=None
+    )
+    out = ds.groupby("grp").map_groups(
+        merge_group, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("grp").reset_index(drop=True).astype("int64")
+
+
+def q_ring_assembly(sf_dir: str):
+    """Ring assembly (``MultiPolygonRelation.joinWays``,
+    ``MultiPolygonRelation.java:182-380``): each order's 3 triangle edges
+    (scrambled, some reversed) must join into exactly one CLOSED ring of 3
+    distinct vertices — SQL-exact per order."""
+    from ..stages.merge import join_ways
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n_rings = np.empty(len(ook), np.int64)
+        ring_pts = np.empty(len(ook), np.int64)
+        closed = np.empty(len(ook), np.int64)
+        for i, ok in enumerate(ook):
+            # triangle vertices (unique per order by construction)
+            v = [(int(ok), int(ok) * 4 + k) for k in range(3)]
+            edges = [
+                (np.asarray([v[0][0], v[1][0]]), np.asarray([v[0][1], v[1][1]])),
+                (np.asarray([v[1][0], v[2][0]]), np.asarray([v[1][1], v[2][1]])),
+                (np.asarray([v[2][0], v[0][0]]), np.asarray([v[2][1], v[0][1]])),
+            ]
+            # scramble + reverse one edge deterministically
+            if ok % 2:
+                edges[1] = (edges[1][0][::-1], edges[1][1][::-1])
+            rot = int(ok % 3)
+            edges = edges[rot:] + edges[:rot]
+            rings = join_ways(edges)
+            n_rings[i] = len(rings)
+            ring_pts[i] = len(rings[0][0]) if rings else 0
+            closed[i] = int(bool(rings and rings[0][2]))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ook, pa.int64()),
+                "n_rings": pa.array(n_rings, pa.int64()),
+                "ring_pts": pa.array(ring_pts, pa.int64()),
+                "closed": pa.array(closed, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )

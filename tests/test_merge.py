@@ -1,0 +1,114 @@
+"""Line merging + ring assembly vs brute-force expectations."""
+
+import numpy as np
+
+from mkgmap_ray.stages.merge import join_ways, merge_lines
+
+
+def segs_of(points, scramble_rng=None, reverse_mask=None):
+    """Split a polyline (list of (y,x)) into 2-point segments."""
+    out = []
+    for i in range(len(points) - 1):
+        (y0, x0), (y1, x1) = points[i], points[i + 1]
+        out.append((np.asarray([y0, y1]), np.asarray([x0, x1])))
+    if reverse_mask is not None:
+        out = [
+            (la[::-1], lo[::-1]) if rev else (la, lo)
+            for (la, lo), rev in zip(out, reverse_mask)
+        ]
+    if scramble_rng is not None:
+        idx = scramble_rng.permutation(len(out))
+        out = [out[i] for i in idx]
+    return out
+
+
+class TestMergeLines:
+    def test_chain_collapses(self):
+        pts = [(0, i) for i in range(6)]
+        merged = merge_lines(segs_of(pts))
+        assert len(merged) == 1
+        assert merged[0][1].tolist() == [0, 1, 2, 3, 4, 5]
+
+    def test_scrambled_chains_merge_per_chain(self):
+        rng = np.random.default_rng(7)
+        lines = []
+        for c in range(20):
+            pts = [(c, c * 100 + i) for i in range(rng.integers(2, 8))]
+            lines.extend(segs_of(pts, scramble_rng=rng))
+        merged = merge_lines(lines)
+        assert len(merged) == 20
+        total_pts = sum(len(la) for la, _ in merged)
+        # each chain ends with all its original points exactly once
+        assert total_pts == sum(
+            len({(int(a), int(b)) for a, b in zip(la, lo)})
+            for la, lo in merged
+        )
+
+    def test_unmergeable_roads_pass_through(self):
+        pts = [(0, 0), (0, 1), (0, 2)]
+        segs = segs_of(pts)
+        merged = merge_lines(segs, mergeable=[False, False])
+        assert len(merged) == 2
+
+    def test_disjoint_stay_separate(self):
+        merged = merge_lines(
+            [
+                (np.asarray([0, 0]), np.asarray([0, 1])),
+                (np.asarray([5, 5]), np.asarray([7, 9])),
+            ]
+        )
+        assert len(merged) == 2
+
+
+class TestJoinWays:
+    def test_triangle_closes(self):
+        edges = [
+            (np.asarray([0, 1]), np.asarray([0, 5])),
+            (np.asarray([1, 2]), np.asarray([5, 3])),
+            (np.asarray([2, 0]), np.asarray([3, 0])),
+        ]
+        rings = join_ways(edges)
+        assert len(rings) == 1
+        la, lo, closed = rings[0]
+        assert closed
+        assert (la[0], lo[0]) == (la[-1], lo[-1])
+        assert len(la) == 4
+
+    def test_reversed_edges_still_close(self):
+        edges = [
+            (np.asarray([0, 1]), np.asarray([0, 5])),
+            (np.asarray([2, 1]), np.asarray([3, 5])),  # reversed
+            (np.asarray([2, 0]), np.asarray([3, 0])),
+        ]
+        rings = join_ways(edges)
+        assert len(rings) == 1 and rings[0][2]
+
+    def test_two_rings_and_open_chain(self):
+        rng = np.random.default_rng(3)
+        ways = []
+        for c in (1, 2):  # two disjoint squares
+            pts = [(c, 0), (c, 1), (c + 10, 1), (c + 10, 0), (c, 0)]
+            ways.extend(segs_of(pts, scramble_rng=rng))
+        ways.append((np.asarray([99, 99]), np.asarray([0, 7])))  # open
+        out = join_ways(ways)
+        closed = [r for r in out if r[2]]
+        open_ = [r for r in out if not r[2]]
+        assert len(closed) == 2 and len(open_) == 1
+        assert all(len(r[0]) == 5 for r in closed)
+
+    def test_randomized_rings_roundtrip(self):
+        rng = np.random.default_rng(11)
+        for trial in range(10):
+            nv = int(rng.integers(3, 9))
+            ys = rng.permutation(1000)[:nv]
+            xs = rng.permutation(1000)[:nv] + 2000
+            pts = list(zip(ys.tolist(), xs.tolist())) + [(ys[0], xs[0])]
+            rev = rng.integers(0, 2, nv).astype(bool)
+            ways = segs_of(pts, scramble_rng=rng, reverse_mask=rev)
+            rings = join_ways(ways)
+            assert len(rings) == 1, trial
+            la, lo, closed = rings[0]
+            assert closed and len(la) == nv + 1
+            assert {(int(a), int(b)) for a, b in zip(la, lo)} == set(
+                zip(ys.tolist(), xs.tolist())
+            )
