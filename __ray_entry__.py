@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "style_apply": Q.q_style_apply,
         "merge_chains": Q.q_merge_chains,
         "ring_assembly": Q.q_ring_assembly,
+        "osm_roundtrip": Q.q_osm_roundtrip,
+        "node_degree": Q.q_node_degree,
+        "driving_side": Q.q_driving_side,
     }
 
 
@@ -358,5 +361,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS BIGINT) AS ring_pts,
                    CAST(1 AS BIGINT) AS closed
             FROM orders
+        """,
+        "osm_roundtrip": """
+            SELECT event_id % 8 AS shard, count(*) AS n_nodes,
+                   CAST(sum((event_id*48271) % 65536) AS BIGINT) AS sum_lat_mu,
+                   CAST(sum((event_id*16807) % 65536) AS BIGINT) AS sum_lon_mu
+            FROM events GROUP BY 1
+        """,
+        "node_degree": """
+            WITH seg AS (
+              SELECT (l_orderkey*16807 + l_linenumber*661) % 65536 AS x0,
+                     (l_orderkey*48271 + l_linenumber*977) % 65536 AS y0,
+                     (l_orderkey*16807 + l_linenumber*661) % 65536
+                       + ((l_suppkey*131) % 8192) - 4096 AS x1,
+                     (l_orderkey*48271 + l_linenumber*977) % 65536
+                       + (l_partkey % 8192) - 4096 AS y1
+              FROM lineitem),
+            pts AS (SELECT (y0+8192)*262144 + (x0+8192) AS key FROM seg
+                    UNION ALL
+                    SELECT (y1+8192)*262144 + (x1+8192) FROM seg),
+            deg AS (SELECT key, count(*) AS d FROM pts GROUP BY 1)
+            SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1
+        """,
+        "driving_side": """
+            WITH c AS (SELECT
+                sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_left,
+                count(*) AS n_total FROM lineitem)
+            SELECT CAST(n_left AS BIGINT) AS n_left,
+                   CAST(n_total - n_left AS BIGINT) AS n_right,
+                   CASE WHEN n_left > n_total - n_left
+                        THEN 'left' ELSE 'right' END AS side
+            FROM c
         """,
     }

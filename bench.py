@@ -59,6 +59,9 @@ QUERY_NAMES = [
     "style_apply",
     "merge_chains",
     "ring_assembly",
+    "osm_roundtrip",
+    "node_degree",
+    "driving_side",
 ]
 
 

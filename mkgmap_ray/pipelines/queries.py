@@ -1055,3 +1055,162 @@ def q_ring_assembly(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+# --- OSM XML source / node degree / driving side ----------------------------
+
+
+def _osm_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """Write (once, cached) deterministic .osm shards derived from events —
+    the ``ElementTestDataSource`` analogue feeding the XML source reader."""
+    import os
+    import pyarrow.parquet as pq
+
+    from ..sources.osmxml import write_osm_xml
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/mkgmap_ray_osm_{name}"
+    paths = [f"{out}/shard{s}.osm" for s in range(n_shards)]
+    if os.path.exists(f"{out}/_done"):
+        return paths
+    os.makedirs(out, exist_ok=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = np.asarray(ev["event_id"], np.int64)
+    lat, lon = event_points_np(eid)
+    for s in range(n_shards):
+        m = (eid % n_shards) == s
+        write_osm_xml(paths[s], eid[m], lat[m], lon[m])
+    with open(f"{out}/_done", "w") as f:
+        f.write("ok")
+    return paths
+
+
+def q_osm_roundtrip(sf_dir: str):
+    """OSM XML source reader end-to-end (``OsmXmlHandler`` semantics with
+    ``Utils.toMapUnit`` coordinate conversion): events → .osm shards →
+    ``read_binary_files`` + streaming parse → per-shard aggregates that
+    must match the closed forms computed straight from events in SQL —
+    bit-exact round-trip of every coordinate through XML degrees."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.osmxml import read_osm_nodes
+
+    paths = _osm_fixture_dir(sf_dir)
+    ds = read_osm_nodes(paths)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        lat = np.asarray(batch["lat_mu"].combine_chunks(), np.int64)
+        lon = np.asarray(batch["lon_mu"].combine_chunks(), np.int64)
+        shard = nid % 8
+        uniq, inv = np.unique(shard, return_inverse=True)
+
+        def agg(v):
+            return pa.array(
+                np.bincount(inv, weights=v, minlength=len(uniq)).astype(np.int64),
+                pa.int64(),
+            )
+
+        return pa.table(
+            {
+                "shard": pa.array(uniq, pa.int64()),
+                "n_nodes": agg(np.ones(len(nid), np.int64)),
+                "sum_lat_mu": agg(lat),
+                "sum_lon_mu": agg(lon),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .aggregate(
+            Sum("n_nodes", alias_name="n_nodes"),
+            Sum("sum_lat_mu", alias_name="sum_lat_mu"),
+            Sum("sum_lon_mu", alias_name="sum_lon_mu"),
+        )
+        .to_pandas()
+    )
+    return out.astype("int64")
+
+
+def q_node_degree(sf_dir: str):
+    """Junction-degree counting (``StyledConverter.setHighwayCounts``,
+    ``StyledConverter.java:1999-2043``): explode segment endpoints →
+    per-coordinate degree → degree histogram. Pre-aggregated per batch
+    before each of the two shuffles."""
+    from ray.data.aggregate import Sum
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        pk = np.asarray(batch["l_partkey"].combine_chunks(), np.int64)
+        sk = np.asarray(batch["l_suppkey"].combine_chunks(), np.int64)
+        ln = np.asarray(batch["l_linenumber"].combine_chunks(), np.int64)
+        x0, y0, x1, y1 = lineitem_segments_np(ok, pk, sk, ln)
+        key = np.concatenate(
+            [(y0 + 8192) * (1 << 18) + (x0 + 8192),
+             (y1 + 8192) * (1 << 18) + (x1 + 8192)]
+        )
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uniq, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    deg = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        )
+        .map_batches(endpoints, batch_format="pyarrow", batch_size=None)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="deg"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["deg"].combine_chunks(), np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"degree": pa.array(uniq, pa.int64()),
+             "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    out = (
+        deg.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+        .to_pandas()
+    )
+    return out.astype("int64")
+
+
+def q_driving_side(sf_dir: str):
+    """Global majority vote (``StyledConverter.calcDrivingSide``,
+    ``StyledConverter.java:884-919``): count left/right evidence, emit the
+    winning side — a whole-dataset aggregate reduced from per-batch
+    partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rf = batch["l_returnflag"].combine_chunks().to_pylist()
+        left = sum(1 for v in rf if v == "R")
+        return pa.table(
+            {
+                "n_left": pa.array([left], pa.int64()),
+                "n_right": pa.array([len(rf) - left], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("n_left"), Sum("n_right"))
+    )
+    n_left = int(agg["sum(n_left)"])
+    n_right = int(agg["sum(n_right)"])
+    return pd.DataFrame(
+        {
+            "n_left": [n_left],
+            "n_right": [n_right],
+            "side": ["left" if n_left > n_right else "right"],
+        }
+    )
