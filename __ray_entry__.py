@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osm_roundtrip": Q.q_osm_roundtrip,
         "node_degree": Q.q_node_degree,
         "driving_side": Q.q_driving_side,
+        "road_merge": Q.q_road_merge,
+        "mp_roundtrip": Q.q_mp_roundtrip,
     }
 
 
@@ -392,5 +394,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_left > n_total - n_left
                         THEN 'left' ELSE 'right' END AS side
             FROM c
+        """,
+        "road_merge": """
+            SELECT o_orderkey % 64 AS grp,
+                   7 * count(*) AS n_in,
+                   5 * count(*) AS n_out
+            FROM orders GROUP BY 1
+        """,
+        "mp_roundtrip": """
+            SELECT 1 + (o_orderkey % 63) AS type, count(*) AS n,
+                   CAST(sum((o_orderkey*48271) % 65536) AS BIGINT) AS sum_lat0,
+                   CAST(sum((o_orderkey*16807) % 65536) AS BIGINT) AS sum_lon0
+            FROM orders GROUP BY 1
         """,
     }

@@ -73,13 +73,24 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _warm_fn(batch):
+    # pre-import the heavy modules in every worker so first-task import
+    # cost isn't attributed to the pipeline
+    import pandas  # noqa: F401
+
+    import mkgmap_ray.pipelines.queries  # noqa: F401
+    import mkgmap_ray.stages.clipstage  # noqa: F401
+
+    return batch
+
+
 def _warmup(num_cpus: int) -> None:
-    """Force Ray worker-pool spin-up before the timed section so worker
-    process startup isn't attributed to the pipeline."""
+    """Force Ray worker-pool spin-up + library imports before the timed
+    section so startup isn't attributed to the pipeline."""
     import ray.data as rd
 
     rd.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
-        lambda b: b
+        _warm_fn
     ).count()
 
 
@@ -213,7 +224,7 @@ def main() -> None:
     ap.add_argument("--scale-lo", type=int, default=8)
     ap.add_argument("--scale-hi", type=int, default=32)
     ap.add_argument("--repeat", type=int, default=1)
-    ap.add_argument("--scale-repeat", type=int, default=12)
+    ap.add_argument("--scale-repeat", type=int, default=64)
     args = ap.parse_args()
 
     if args.scaling:

@@ -292,3 +292,110 @@ def sutherland_hodgman(
     if len(ilat) < 3:
         return None
     return ilat, ilon
+
+
+def sutherland_hodgman_batch(lat2d, lon2d, counts, rects):
+    """Vectorized Sutherland-Hodgman over MANY rings at once.
+
+    Same semantics as ``sutherland_hodgman`` (one call per ring), but all
+    rings advance through the four edge passes together on padded (m, W)
+    matrices — the scale path for shape-heavy batches where most rings
+    cross their cell bounds.
+
+    ``lat2d``/``lon2d``: (m, K) padded vertex matrices (open rings — the
+    caller strips a repeated first point); ``counts``: (m,) valid vertex
+    counts; ``rects``: (m, 4) per-ring hp clip rectangles
+    (min_lat, min_lon, max_lat, max_lon).
+
+    Returns (out_lat2d, out_lon2d, out_counts) — int64 padded matrices of
+    width K+5 and per-ring vertex counts (0 where the ring vanished, <3
+    must be dropped by the caller like the scalar kernel returning None).
+    """
+    m, K = np.asarray(lat2d).shape
+    W = K + 5
+    LA = np.zeros((m, W), np.float64)
+    LO = np.zeros((m, W), np.float64)
+    LA[:, :K] = lat2d
+    LO[:, :K] = lon2d
+    c = np.asarray(counts, np.int64).copy()
+    rows = np.arange(m)[:, None]
+    J = np.arange(W)[None, :]
+    rects = np.asarray(rects, np.int64)
+
+    for edge, val in (
+        (0, rects[:, 1]), (1, rects[:, 3]), (2, rects[:, 0]), (3, rects[:, 2])
+    ):
+        valf = val.astype(np.float64)[:, None]
+        V = J < c[:, None]
+        coord = LO if edge in (0, 1) else LA
+        if edge in (0, 2):
+            inside = (coord >= valf) & V
+        else:
+            inside = (coord <= valf) & V
+        safe_c = np.maximum(c, 1)
+        P = (J - 1) % safe_c[:, None]
+        LAp = LA[rows, P]
+        LOp = LO[rows, P]
+        coord_p = LOp if edge in (0, 1) else LAp
+        ins_p = inside[rows, P]
+        cross = (inside != ins_p) & V
+
+        denom = coord - coord_p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom != 0, (valf - coord_p) / denom, 0.0)
+        if edge in (0, 1):
+            ixLA = LAp + t * (LA - LAp)
+            ixLO = np.broadcast_to(valf, LA.shape)
+        else:
+            ixLO = LOp + t * (LO - LOp)
+            ixLA = np.broadcast_to(valf, LA.shape)
+
+        nj = cross.astype(np.int64) + inside.astype(np.int64)
+        ends = np.cumsum(nj, axis=1)
+        offs = ends - nj
+        NLA = np.zeros((m, W), np.float64)
+        NLO = np.zeros((m, W), np.float64)
+        cr, cj = np.nonzero(cross)
+        NLA[cr, offs[cr, cj]] = ixLA[cr, cj]
+        NLO[cr, offs[cr, cj]] = ixLO[cr, cj]
+        ir, ij = np.nonzero(inside)
+        pos = offs[ir, ij] + cross[ir, ij].astype(np.int64)
+        NLA[ir, pos] = LA[ir, ij]
+        NLO[ir, pos] = LO[ir, ij]
+        LA, LO = NLA, NLO
+        c = ends[:, -1]
+        c = np.where(c < 3, 0, c)
+
+    # round half-away-from-zero back to int
+    iLA = np.trunc(np.where(LA >= 0, LA + 0.5, LA - 0.5)).astype(np.int64)
+    iLO = np.trunc(np.where(LO >= 0, LO + 0.5, LO - 0.5)).astype(np.int64)
+
+    # collapse consecutive duplicates (within valid range), like the scalar
+    V = J < c[:, None]
+    prev_la = np.roll(iLA, 1, axis=1)
+    prev_lo = np.roll(iLO, 1, axis=1)
+    keep = V & ((iLA != prev_la) | (iLO != prev_lo) | (J == 0))
+    nj = keep.astype(np.int64)
+    ends = np.cumsum(nj, axis=1)
+    offs = ends - nj
+    CLA = np.zeros((m, W), np.int64)
+    CLO = np.zeros((m, W), np.int64)
+    kr, kj = np.nonzero(keep)
+    CLA[kr, offs[kr, kj]] = iLA[kr, kj]
+    CLO[kr, offs[kr, kj]] = iLO[kr, kj]
+    c = ends[:, -1]
+
+    # strip wrap-around duplicates (first == last), iterating like the
+    # scalar while-loop (bounded by W passes, usually 0-1)
+    for _ in range(W):
+        has = c > 1
+        last = np.maximum(c - 1, 0)
+        dup = has & (
+            (CLA[np.arange(m), last] == CLA[:, 0])
+            & (CLO[np.arange(m), last] == CLO[:, 0])
+        )
+        if not dup.any():
+            break
+        c = np.where(dup, c - 1, c)
+    c = np.where(c < 3, 0, c)
+    return CLA, CLO, c

@@ -1214,3 +1214,165 @@ def q_driving_side(sf_dir: str):
             "side": ["left" if n_left > n_right else "right"],
         }
     )
+
+
+def q_road_merge(sf_dir: str):
+    """Road merging with attribute + angle checks (``osmstyle/RoadMerger``,
+    ``RoadMerger.java:270-360``): per order, a 3-segment collinear chain of
+    one road class (merges 3→1), a near-U-turn pair (angle > 130° → stays
+    2), and a collinear pair with differing speed (stays 2) — so each
+    order's 7 segments must yield exactly 5 roads, SQL-exact per group."""
+    from ..stages.merge import merge_roads
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        grp = int(group["grp"][0].as_py())
+        n_in = group.num_rows
+        y0 = np.asarray(group["y0"].combine_chunks(), np.int64)
+        x0 = np.asarray(group["x0"].combine_chunks(), np.int64)
+        y1 = np.asarray(group["y1"].combine_chunks(), np.int64)
+        x1 = np.asarray(group["x1"].combine_chunks(), np.int64)
+        attrs = group["attrs"].combine_chunks().to_pylist()
+        roads = [
+            (np.asarray([y0[i], y1[i]]), np.asarray([x0[i], x1[i]]), attrs[i])
+            for i in range(n_in)
+        ]
+        merged = merge_roads(roads)
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int64()),
+                "n_in": pa.array([n_in], pa.int64()),
+                "n_out": pa.array([len(merged)], pa.int64()),
+            }
+        )
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = len(ook)
+        rows = {"grp": [], "attrs": [], "y0": [], "x0": [], "y1": [], "x1": []}
+
+        def add(ok, attrs, y0, x0, y1, x1):
+            rows["grp"].append(ok % 64)
+            rows["attrs"].append(attrs)
+            rows["y0"].append(y0)
+            rows["x0"].append(x0)
+            rows["y1"].append(y1)
+            rows["x1"].append(x1)
+
+        for ok in ook:
+            ok = int(ok)
+            base = ok * 16
+            # A: collinear 3-chain, class c0 → merges to 1
+            for i in range(3):
+                add(ok, "c0", base, 1000 * i, base, 1000 * (i + 1))
+            # B: near-U-turn (deflection ≈ 180° > 130°) → stays 2
+            add(ok, "c0", base + 4, 0, base + 4, 1000)
+            add(ok, "c0", base + 4, 1000, base + 5, 1)
+            # C: collinear but different class → stays 2
+            add(ok, "c0", base + 8, 0, base + 8, 1000)
+            add(ok, "c1", base + 8, 1000, base + 8, 2000)
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"], pa.int64()),
+                "attrs": pa.array(rows["attrs"], pa.string()),
+                "y0": pa.array(rows["y0"], pa.int64()),
+                "x0": pa.array(rows["x0"], pa.int64()),
+                "y1": pa.array(rows["y1"], pa.int64()),
+                "x1": pa.array(rows["x1"], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        to_segments, batch_format="pyarrow", batch_size=None
+    )
+    out = ds.groupby("grp").map_groups(
+        merge_group, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("grp").reset_index(drop=True).astype("int64")
+
+
+def _mp_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """Write (once, cached) deterministic .mp shards from orders: one
+    polyline per order with closed-form coords + type."""
+    import os
+    import pyarrow.parquet as pq
+
+    from ..sources.polish import write_mp
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/mkgmap_ray_mp_{name}"
+    paths = [f"{out}/shard{s}.mp" for s in range(n_shards)]
+    if os.path.exists(f"{out}/_done"):
+        return paths
+    os.makedirs(out, exist_ok=True)
+    od = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ook = np.asarray(od["o_orderkey"], np.int64)
+    for s in range(n_shards):
+        els = []
+        for ok in ook[(ook % n_shards) == s]:
+            ok = int(ok)
+            y0 = (ok * A_LAT) % SPAN
+            x0 = (ok * A_LON) % SPAN
+            els.append(
+                {
+                    "kind": 1,
+                    "type": 1 + ok % 0x3F,
+                    "label": f"ORD{ok}",
+                    "level": ok % 4,
+                    "lat_mu": [y0, y0 + 100],
+                    "lon_mu": [x0, x0 + 100],
+                }
+            )
+        write_mp(paths[s], els)
+    with open(f"{out}/_done", "w") as f:
+        f.write("ok")
+    return paths
+
+
+def q_mp_roundtrip(sf_dir: str):
+    """Polish .mp source end-to-end (``PolishMapDataSource`` semantics):
+    orders → .mp shards → parse → per-type aggregates matching closed
+    forms straight from orders in SQL (bit-exact coordinate round-trip
+    through degree text)."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.polish import read_mp
+
+    paths = _mp_fixture_dir(sf_dir)
+    ds = read_mp(paths)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        typ = np.asarray(batch["type"].combine_chunks(), np.int64)
+        lat0 = np.asarray(
+            [v[0] for v in batch["lat_mu"].to_pylist()], np.int64
+        )
+        lon0 = np.asarray(
+            [v[0] for v in batch["lon_mu"].to_pylist()], np.int64
+        )
+        uniq, inv = np.unique(typ, return_inverse=True)
+
+        def agg(v):
+            return pa.array(
+                np.bincount(inv, weights=v, minlength=len(uniq)).astype(np.int64),
+                pa.int64(),
+            )
+
+        return pa.table(
+            {
+                "type": pa.array(uniq, pa.int64()),
+                "n": agg(np.ones(len(typ), np.int64)),
+                "sum_lat0": agg(lat0),
+                "sum_lon0": agg(lon0),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_lat0", alias_name="sum_lat0"),
+            Sum("sum_lon0", alias_name="sum_lon0"),
+        )
+        .to_pandas()
+    )
+    return out.astype("int64")

@@ -46,9 +46,9 @@ def tile_summary(assigned_ds) -> "pa.Table":
     """Per-tile feature counts by kind — the engine's analogue of the
     reference functional tests' per-level point/line counts
     (``test/func/SimpleTest.java:69-73``). Partial-aggregated per batch
-    (bincount), combined with a distributed groupby so only the
-    ~tile-count final result reaches the driver."""
-    from ray.data.aggregate import Sum
+    (bincount) so ≤ tiles × blocks rows reach the driver, then a numpy
+    sort/reduceat combine — cheaper than an all-to-all groupby at this
+    cardinality (partials are bounded by tile count, not feature count)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         tile = np.asarray(batch["tile_id"].combine_chunks(), np.int64)
@@ -67,24 +67,24 @@ def tile_summary(assigned_ds) -> "pa.Table":
     parts = assigned_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None
     )
-    g = (
-        parts.groupby("tile_id")
-        .aggregate(
-            Sum("n_points", alias_name="n_points"),
-            Sum("n_lines", alias_name="n_lines"),
-            Sum("n_shapes", alias_name="n_shapes"),
-        )
-        .to_pandas()
-    )
-    if len(g) == 0:
+    cols = {c: [] for c in ("tile_id", "n_points", "n_lines", "n_shapes")}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c in cols:
+            cols[c].append(np.asarray(b[c].combine_chunks(), np.int64))
+    if not cols["tile_id"] or sum(len(a) for a in cols["tile_id"]) == 0:
         return pa.table(
             {c: pa.array([], pa.int64())
              for c in ("tile_id", "n_points", "n_lines", "n_shapes")}
         )
-    g = g.sort_values("tile_id").reset_index(drop=True)
-    for c in g.columns:
-        g[c] = g[c].astype("int64")
-    return pa.Table.from_pandas(g, preserve_index=False)
+    tid = np.concatenate(cols["tile_id"])
+    order = np.argsort(tid, kind="stable")
+    tid = tid[order]
+    starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+    out = {"tile_id": pa.array(tid[starts], pa.int64())}
+    for c in ("n_points", "n_lines", "n_shapes"):
+        v = np.concatenate(cols[c])[order]
+        out[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+    return pa.table(out)
 
 
 def write_tiles(

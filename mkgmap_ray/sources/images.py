@@ -180,3 +180,96 @@ def generate_images(
         table = table.append_column("lat", pa.array(lat, pa.float64()))
         table = table.append_column("lon", pa.array(lon, pa.float64()))
     return table
+
+
+def _hash01(rows: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-row uniform [0,1) via splitmix64-style mixing —
+    block-independent (streaming generation can't use a sequential rng)."""
+    x = (rows.astype(np.uint64) + np.uint64(salt)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def geo_tags_rows(rows: np.ndarray, bbox=(0.0, 0.0, 1.0, 1.0)):
+    """Per-row closed-form geo tags: 80% uniform, 20% (row%5==0) in one of
+    3 dense hotspots (the skew driver), deterministic per row id."""
+    min_lat, min_lon, max_lat, max_lon = bbox
+    span_lat, span_lon = max_lat - min_lat, max_lon - min_lon
+    lat = min_lat + _hash01(rows, 1) * span_lat
+    lon = min_lon + _hash01(rows, 2) * span_lon
+    hot = (rows % 5) == 0
+    which = rows % len(HOTSPOTS)
+    for k, (fy, fx) in enumerate(HOTSPOTS):
+        m = hot & (which == k)
+        # box-muller-free gaussian-ish: sum of 4 uniforms, ±2% of span
+        g1 = (_hash01(rows, 3 + k) + _hash01(rows, 6 + k) - 1.0)
+        g2 = (_hash01(rows, 9 + k) + _hash01(rows, 12 + k) - 1.0)
+        lat[m] = np.clip(
+            min_lat + fy * span_lat + g1[m] * span_lat / 50,
+            min_lat, max_lat,
+        )
+        lon[m] = np.clip(
+            min_lon + fx * span_lon + g2[m] * span_lon / 50,
+            min_lon, max_lon,
+        )
+    return lat, lon
+
+
+def generate_batch(rows: np.ndarray, bbox=(0.0, 0.0, 1.0, 1.0)) -> pa.Table:
+    """Images table for an arbitrary set of row ids — the streaming twin of
+    ``generate_images`` (same pixels/captions per row; geo tags use the
+    block-independent closed form)."""
+    ws = [32, 64, 128]
+    hs = [32, 48, 96]
+    cols = {k: [] for k in
+            ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    for row in rows:
+        row = int(row)
+        w, h = ws[row % 3], hs[row % 3]
+        fmt = "png" if row % 2 == 0 else "qraw"
+        rgb = make_pixels(row, w, h)
+        cols["image_id"].append(f"img{row:012d}")
+        cols["bytes"].append(encode_png(rgb) if fmt == "png" else encode_qraw(rgb))
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["fmt"].append(fmt)
+        cols["caption"].append(make_caption(row))
+        cols["phash"].append(phash64(rgb))
+    lat, lon = geo_tags_rows(np.asarray(rows, np.int64), bbox)
+    return pa.table(
+        {
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "w": pa.array(cols["w"], pa.int32()),
+            "h": pa.array(cols["h"], pa.int32()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string()),
+            "phash": pa.array(cols["phash"], pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+        }
+    )
+
+
+def images_dataset(n: int, bbox=(0.0, 0.0, 1.0, 1.0), rows_per_block: int = 500):
+    """Streaming images source: ``range(n)`` → per-block deterministic
+    generation (the Lance-table stand-in; blocks carry the binary payload
+    so keep them small — SURVEY.md §4 "binary image column makes blocks
+    heavy")."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_batch(
+            np.asarray(batch["id"].combine_chunks(), np.int64), bbox
+        )
+
+    n_blocks = max(1, n // rows_per_block)
+    return rd.range(n, override_num_blocks=n_blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    )

@@ -54,16 +54,17 @@ def narrow_stats_batch(batch: pa.Table) -> pa.Table:
         lon_max_hp >> DELTA_SHIFT,
     )
     n_pt, n_ln, n_sh, est, n_split = element_stats(kind, n_points)
+    # int32 throughout: lat/lon hp fit in ±2^30, stats are tiny — halves
+    # the bytes every refinement scan touches (feature_id is not needed)
     return pa.table(
         {
-            "feature_id": batch["feature_id"],
-            "lat_c": pa.array(lat_c, pa.int64()),
-            "lon_c": pa.array(lon_c, pa.int64()),
-            "n_pt": pa.array(n_pt, pa.int64()),
-            "n_ln": pa.array(n_ln, pa.int64()),
-            "n_sh": pa.array(n_sh, pa.int64()),
-            "est": pa.array(est, pa.int64()),
-            "n_split": pa.array(n_split, pa.int64()),
+            "lat_c": pa.array(lat_c.astype(np.int32), pa.int32()),
+            "lon_c": pa.array(lon_c.astype(np.int32), pa.int32()),
+            "n_pt": pa.array(n_pt.astype(np.int32), pa.int32()),
+            "n_ln": pa.array(n_ln.astype(np.int32), pa.int32()),
+            "n_sh": pa.array(n_sh.astype(np.int32), pa.int32()),
+            "est": pa.array(est.astype(np.int32), pa.int32()),
+            "n_split": pa.array(n_split.astype(np.int32), pa.int32()),
         }
     )
 
@@ -275,16 +276,30 @@ def build_split_tree(
                 )
             return pa.table(out)
 
-        parts = narrow_ds.map_batches(
+        acc: dict[str, list] = {
+            c: [] for c in ("key", "leaf", "lat_r", "lon_r", *STAT_COLS)
+        }
+        parts_ds = narrow_ds.map_batches(
             partial, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        if len(parts) == 0:
+        )
+        for b in parts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for c in acc:
+                acc[c].append(np.asarray(b[c].combine_chunks(), np.int64))
+        if not acc["key"] or sum(len(a) for a in acc["key"]) == 0:
             break
-        g = parts.groupby("key", sort=True)
-        cell_leaf = g["leaf"].first().to_numpy()
-        lat_mu = g["lat_r"].first().to_numpy() >> DELTA_SHIFT
-        lon_mu = g["lon_r"].first().to_numpy() >> DELTA_SHIFT
-        cols = {c: g[c].sum().to_numpy() for c in STAT_COLS}
+        key = np.concatenate(acc["key"])
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        firsts = order[starts]
+        all_leaf = np.concatenate(acc["leaf"])
+        cell_leaf = all_leaf[firsts]
+        lat_mu = np.concatenate(acc["lat_r"])[firsts] >> DELTA_SHIFT
+        lon_mu = np.concatenate(acc["lon_r"])[firsts] >> DELTA_SHIFT
+        cols = {
+            c: np.add.reduceat(np.concatenate(acc[c])[order], starts)
+            for c in STAT_COLS
+        }
 
         # group cell indices by their active leaf
         order = np.argsort(cell_leaf, kind="stable")

@@ -25,7 +25,16 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom.area import Area
-from ..geom.clip import clip_polyline, clip_segments_np, sutherland_hodgman
+from ..geom.clip import (
+    clip_polyline,
+    clip_segments_np,
+    sutherland_hodgman,
+    sutherland_hodgman_batch,
+)
+
+# rings up to this many vertices go through the batched SH kernel; larger
+# ones (rare) take the scalar path
+_SH_BATCH_MAX_VERTS = 64
 from ..schema import KIND_LINE, KIND_POINT, KIND_SHAPE
 from ..util import list_column_parts, list_minmax
 
@@ -131,8 +140,55 @@ def _clip_batch_to_rects(batch: pa.Table, rects: np.ndarray) -> pa.Table:
             )
             tables.append(taken.select(out_cols))
 
-    # per-feature Python path: crossing multi-point lines and shapes
-    slow = (~inside) & ~seg & (kind != KIND_POINT)
+    # batched path: crossing shapes, grouped by (stripped) vertex count and
+    # run through the padded-matrix Sutherland-Hodgman kernel
+    first = lat_off[:-1]
+    last = lat_off[1:] - 1
+    closed = (npts >= 2) & (lat_vals[first] == lat_vals[np.maximum(last, 0)]) \
+        & (lon_vals[first] == lon_vals[np.maximum(last, 0)])
+    eff = npts - closed.astype(np.int64)
+    shp = (
+        (~inside) & ~seg & (kind == KIND_SHAPE)
+        & (eff >= 3) & (eff <= _SH_BATCH_MAX_VERTS)
+    )
+    if shp.any():
+        for k in np.unique(eff[shp]):
+            gi = np.nonzero(shp & (eff == k))[0]
+            gather = lat_off[gi][:, None] + np.arange(k)[None, :]
+            cla, clo, cnt = sutherland_hodgman_batch(
+                lat64[gather], lon64[gather],
+                np.full(len(gi), k, np.int64), rects[gi],
+            )
+            keepg = cnt >= 3
+            if not keepg.any():
+                continue
+            ki = gi[keepg]
+            cla, clo, cnt = cla[keepg], clo[keepg], cnt[keepg]
+            valid = np.arange(cla.shape[1])[None, :] < cnt[:, None]
+            offsets = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)
+            taken = batch.drop_columns(["lat_hp", "lon_hp"]).take(pa.array(ki))
+            taken = taken.append_column(
+                "lat_hp",
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(cla[valid].astype(np.int32)),
+                ),
+            )
+            taken = taken.append_column(
+                "lon_hp",
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(clo[valid].astype(np.int32)),
+                ),
+            )
+            taken = taken.append_column(
+                "part", pa.array(np.zeros(len(ki), np.int32), pa.int32())
+            )
+            tables.append(taken.select(out_cols))
+
+    # per-feature Python path: crossing multi-point lines + oversized /
+    # degenerate shapes
+    slow = (~inside) & ~seg & ~shp & (kind != KIND_POINT)
     if slow.any():
         sel_rows: list[int] = []
         out_lat: list[np.ndarray] = []

@@ -152,3 +152,134 @@ def join_ways(ways: list[tuple[np.ndarray, np.ndarray]]):
         )
         for la, lo in items
     ]
+
+
+# --- road merging (RoadMerger semantics) ------------------------------------
+
+
+def _hp_to_radians(hp):
+    # Coord.hpToRadians: hp units are 2^30 per 360 degrees
+    return np.float64(hp) * (2.0 * np.pi / (1 << 30))
+
+
+def bearing_rhumb(lat1_hp, lon1_hp, lat2_hp, lon2_hp) -> float:
+    """Rhumb-line bearing in degrees (``Coord.bearingToOnRhumbLine``,
+    ``Coord.java:580-594``) — exact atan2 instead of the reference's
+    ``atan2_approximation`` (sub-degree difference; only feeds the 130°
+    merge threshold and best-angle selection)."""
+    lat1 = _hp_to_radians(lat1_hp)
+    lat2 = _hp_to_radians(lat2_hp)
+    d_lon = _hp_to_radians(lon2_hp) - _hp_to_radians(lon1_hp)
+    if abs(d_lon) > np.pi:
+        d_lon = -(2 * np.pi - d_lon) if d_lon > 0 else (2 * np.pi + d_lon)
+    delta_phi = np.log(
+        np.tan(lat2 / 2 + np.pi / 4) / np.tan(lat1 / 2 + np.pi / 4)
+    )
+    return float(np.arctan2(d_lon, delta_phi) * 180.0 / np.pi)
+
+
+def get_angle(c1, c2, c3) -> float:
+    """``Utils.getAngle``: deflection angle at c2 between segments
+    (c1,c2) and (c2,c3); each c is (lat_hp, lon_hp)."""
+    a = bearing_rhumb(c2[0], c2[1], c1[0], c1[1])
+    b = bearing_rhumb(c2[0], c2[1], c3[0], c3[1])
+    angle = b - (a - 180)
+    while angle > 180:
+        angle -= 360
+    while angle < -180:
+        angle += 360
+    return angle
+
+
+MAX_MERGE_ANGLE = 130.0  # RoadMerger.java:48
+
+
+def merge_roads(roads, restricted: set | None = None):
+    """Merge connected roads with identical routing attributes
+    (``osmstyle/RoadMerger.merge``, ``RoadMerger.java:270-345``):
+
+    per shared point, among (roads ENDING here) × (roads STARTING here)
+    pick the mergeable pair with the smallest |deflection angle|
+    (attributes equal, not closing a loop, angle ≤ 130°, point not
+    restricted), merge road2 into road1 (road1's identity wins), repeat
+    until stable; result ordered by original index.
+
+    ``roads``: list of (lat_hp array, lon_hp array, attrs) — ``attrs`` is
+    any hashable (road class/speed/access/flags/labels bundle; equality
+    is the merge precondition). ``restricted``: set of (lat, lon) merge
+    points to skip (restriction-relation via points).
+    """
+    restricted = restricted or set()
+    items = {
+        i: (list(map(int, la)), list(map(int, lo)), attrs)
+        for i, (la, lo, attrs) in enumerate(roads)
+    }
+
+    def s_key(i):
+        la, lo, _ = items[i]
+        return (la[0], lo[0])
+
+    def e_key(i):
+        la, lo, _ = items[i]
+        return (la[-1], lo[-1])
+
+    # endpoint maps maintained across merges (RoadMerger.startPoints /
+    # endPoints MultiMaps) — keeps each queue step O(local degree)
+    starts: dict[tuple[int, int], set[int]] = {}
+    ends: dict[tuple[int, int], set[int]] = {}
+    for i in items:
+        starts.setdefault(s_key(i), set()).add(i)
+        ends.setdefault(e_key(i), set()).add(i)
+
+    queue = []
+    for i in sorted(items):
+        queue.append(s_key(i))
+        queue.append(e_key(i))
+    seen_done: set = set()
+    qi = 0
+    while qi < len(queue):
+        point = queue[qi]
+        qi += 1
+        if point in seen_done or point in restricted:
+            continue
+        end_roads = sorted(ends.get(point, ()))
+        start_roads = sorted(starts.get(point, ()))
+        best = None
+        best_angle = float("inf")
+        for i in end_roads:
+            la1, lo1, a1 = items[i]
+            for j in start_roads:
+                if i == j:
+                    continue
+                la2, lo2, a2 = items[j]
+                if a1 != a2:
+                    continue
+                if (la1[0], lo1[0]) == (la2[-1], lo2[-1]):
+                    continue  # would create a closed way
+                angle = abs(get_angle(
+                    (la1[-2], lo1[-2]), (point[0], point[1]),
+                    (la2[1], lo2[1]),
+                ))
+                if angle > MAX_MERGE_ANGLE:
+                    continue
+                if angle < best_angle:
+                    best_angle = angle
+                    best = (i, j)
+        if best is None:
+            seen_done.add(point)
+            continue
+        i, j = best
+        la1, lo1, a1 = items[i]
+        la2, lo2, _ = items[j]
+        ends[(la1[-1], lo1[-1])].discard(i)
+        starts[(la2[0], lo2[0])].discard(j)
+        ends[(la2[-1], lo2[-1])].discard(j)
+        items[i] = (la1 + la2[1:], lo1 + lo2[1:], a1)
+        del items[j]
+        ends.setdefault(e_key(i), set()).add(i)
+        seen_done.discard(point)
+        queue.append(e_key(i))  # new endpoint may enable further merges
+    return [
+        (np.asarray(la, np.int64), np.asarray(lo, np.int64), attrs)
+        for idx, (la, lo, attrs) in sorted(items.items())
+    ]

@@ -108,3 +108,67 @@ def make_raster(res: int = 1200, cell_lat: int = 0, cell_lon: int = 0,
             "heights": pa.array([h.ravel().tolist()], pa.list_(pa.int16())),
         }
     )
+
+
+def cubic_interpolation(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic over 4 samples p[...,0..3] at fraction q —
+    term-for-term the reference's ``cubicInterpolation``
+    (``HGTConverter.java:656-658``)."""
+    p0, p1, p2, p3 = (p[..., i] for i in range(4))
+    return p1 + 0.5 * q * (
+        p2 - p0 + q * (
+            2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3 + q * (
+                3.0 * (p1 - p2) + p3 - p0
+            )
+        )
+    )
+
+
+def bicubic(grid: np.ndarray, fx: np.ndarray, fy: np.ndarray):
+    """Bicubic (Catmull-Rom) sampling mirroring
+    ``HGTConverter.bicubicInterpolation`` (``HGTConverter.java:667-675``):
+    4 column cubics in qy then one cubic across in qx, over the 4×4
+    neighbourhood [x−1..x+2]×[y−1..y+2]. Vectorized over probe points.
+
+    Points whose 4×4 window leaves the grid, or touches an UNDEF cell,
+    return NaN (the reference falls back to bilinear there —
+    ``fillArray``/``gridValuesUsable``; callers should do the same).
+    """
+    res = grid.shape[0] - 1
+    x0 = np.clip(fx.astype(np.int64), 0, res - 1)
+    y0 = np.clip(fy.astype(np.int64), 0, res - 1)
+    qx = fx - x0
+    qy = fy - y0
+    ok = (x0 >= 1) & (x0 <= res - 2) & (y0 >= 1) & (y0 <= res - 2)
+    x0c = np.clip(x0, 1, max(res - 2, 1))
+    y0c = np.clip(y0, 1, max(res - 2, 1))
+    # window[point, i(=x offset), j(=y offset)] with offsets -1..2;
+    # reference indexes p[x][y]
+    oi = np.arange(-1, 3)
+    win = grid[
+        (y0c[:, None, None] + oi[None, None, :]),
+        (x0c[:, None, None] + oi[None, :, None]),
+    ].astype(np.float64)
+    void = (win == UNDEF).any(axis=(1, 2))
+    cols = cubic_interpolation(win, qy[:, None])  # cubic in qy per x-offset
+    out = cubic_interpolation(cols, qx)
+    out[~ok | void] = np.nan
+    return out
+
+
+def sample_heights(grid: np.ndarray, fx, fy, method: str = "bicubic"):
+    """``HGTConverter.getElevation`` dispatch: bicubic where the full 4×4
+    window is available and void-free, bilinear fallback otherwise
+    (``useComplexInterpolation`` + ``fillArray`` failure path), rounded
+    half-up like ``Math.round``."""
+    fx = np.asarray(fx, np.float64)
+    fy = np.asarray(fy, np.float64)
+    if method == "bilinear":
+        out = bilinear(grid, fx, fy)
+    else:
+        out = bicubic(grid, fx, fy)
+        fb = np.isnan(out)
+        if fb.any():
+            out[fb] = bilinear(grid, fx[fb], fy[fb])
+    res = np.floor(out + 0.5)  # Math.round (half up), NaN stays NaN
+    return res

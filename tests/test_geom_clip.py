@@ -143,3 +143,45 @@ class TestSutherlandHodgman:
         from mkgmap_ray.geom.polyfilters import signed_area2
 
         assert abs(signed_area2(out[0], out[1])) == abs(signed_area2(la, lo))
+
+
+class TestSutherlandHodgmanBatch:
+    def test_matches_scalar_randomized(self):
+        import numpy as np
+        from mkgmap_ray.geom.clip import (
+            sutherland_hodgman,
+            sutherland_hodgman_batch,
+        )
+
+        rng = np.random.default_rng(77)
+        K = 9
+        m = 500
+        counts = rng.integers(3, K + 1, m)
+        lat2d = np.zeros((m, K), np.int64)
+        lon2d = np.zeros((m, K), np.int64)
+        rects = np.zeros((m, 4), np.int64)
+        for i in range(m):
+            c = counts[i]
+            # polygons around a random center, some far outside the rect
+            cy = int(rng.integers(-200_000, 300_000))
+            cx = int(rng.integers(-200_000, 300_000))
+            r = int(rng.integers(1_000, 150_000))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, c))
+            lat2d[i, :c] = (cy + r * np.sin(ang)).astype(np.int64)
+            lon2d[i, :c] = (cx + r * np.cos(ang)).astype(np.int64)
+            y0 = int(rng.integers(-50_000, 50_000))
+            x0 = int(rng.integers(-50_000, 50_000))
+            rects[i] = (y0, x0, y0 + int(rng.integers(10_000, 200_000)),
+                        x0 + int(rng.integers(10_000, 200_000)))
+        cla, clo, cnt = sutherland_hodgman_batch(lat2d, lon2d, counts, rects)
+        for i in range(m):
+            exp = sutherland_hodgman(
+                lat2d[i, : counts[i]], lon2d[i, : counts[i]],
+                tuple(int(v) for v in rects[i]),
+            )
+            if exp is None:
+                assert cnt[i] == 0, i
+            else:
+                assert cnt[i] == len(exp[0]), i
+                np.testing.assert_array_equal(cla[i, : cnt[i]], exp[0], str(i))
+                np.testing.assert_array_equal(clo[i, : cnt[i]], exp[1], str(i))

@@ -151,3 +151,43 @@ class TestRaster:
             )
         )
         assert out["height"][0].as_py() == (25 * 31 + 75 * 17) % 1000
+
+
+class TestBicubic:
+    def test_matches_transliterated_reference(self):
+        import numpy as np
+        from mkgmap_ray.stages.raster import bicubic
+
+        def cubic_ref(p, q):
+            return p[1] + 0.5 * q * (
+                p[2] - p[0] + q * (2.0 * p[0] - 5.0 * p[1] + 4.0 * p[2] - p[3]
+                                   + q * (3.0 * (p[1] - p[2]) + p[3] - p[0])))
+
+        def bicubic_ref(p, qx, qy):
+            return cubic_ref([cubic_ref(p[i], qy) for i in range(4)], qx)
+
+        rng = np.random.default_rng(5)
+        res = 32
+        grid = rng.integers(-100, 3000, (res + 1, res + 1)).astype(np.int16)
+        fx = rng.uniform(1.01, res - 2.01, 100)
+        fy = rng.uniform(1.01, res - 2.01, 100)
+        got = bicubic(grid, fx, fy)
+        for i in range(100):
+            x0, y0 = int(fx[i]), int(fy[i])
+            p = [[float(grid[y0 + jj, x0 + ii]) for jj in (-1, 0, 1, 2)]
+                 for ii in (-1, 0, 1, 2)]
+            exp = bicubic_ref(p, fx[i] - x0, fy[i] - y0)
+            assert abs(got[i] - exp) < 1e-9
+
+    def test_void_and_border_fallback(self):
+        import numpy as np
+        from mkgmap_ray.stages.raster import UNDEF, sample_heights
+
+        grid = np.full((9, 9), 100, np.int16)
+        grid[5, 5] = UNDEF
+        out = sample_heights(
+            grid, np.asarray([5.3, 0.5, 2.5]), np.asarray([5.3, 0.5, 2.5])
+        )
+        assert np.isnan(out[0])       # void window and void bilinear corner
+        assert out[1] == 100.0        # border → bilinear fallback
+        assert out[2] == 100.0        # interior bicubic on flat grid

@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from mkgmap_ray.stages.merge import join_ways, merge_lines
+from mkgmap_ray.stages.merge import join_ways, merge_lines, merge_roads
 
 
 def segs_of(points, scramble_rng=None, reverse_mask=None):
@@ -112,3 +112,62 @@ class TestJoinWays:
             assert {(int(a), int(b)) for a, b in zip(la, lo)} == set(
                 zip(ys.tolist(), xs.tolist())
             )
+
+
+class TestRoadMerger:
+    def test_collinear_merges(self):
+        r = [
+            (np.asarray([0, 0]), np.asarray([0, 10]), "a"),
+            (np.asarray([0, 0]), np.asarray([10, 20]), "a"),
+        ]
+        out = merge_roads(r)
+        assert len(out) == 1
+        assert out[0][1].tolist() == [0, 10, 20]
+
+    def test_sharp_angle_blocks(self):
+        r = [
+            (np.asarray([0, 0]), np.asarray([0, 1000]), "a"),
+            (np.asarray([0, 5]), np.asarray([1000, 20]), "a"),
+        ]
+        assert len(merge_roads(r)) == 2
+
+    def test_attrs_must_match(self):
+        r = [
+            (np.asarray([0, 0]), np.asarray([0, 10]), "a"),
+            (np.asarray([0, 0]), np.asarray([10, 20]), "b"),
+        ]
+        assert len(merge_roads(r)) == 2
+
+    def test_restriction_blocks(self):
+        r = [
+            (np.asarray([0, 0]), np.asarray([0, 10]), "a"),
+            (np.asarray([0, 0]), np.asarray([10, 20]), "a"),
+        ]
+        assert len(merge_roads(r, restricted={(0, 10)})) == 2
+
+    def test_best_angle_wins(self):
+        r = [
+            (np.asarray([0, 0]), np.asarray([0, 1000]), "a"),
+            (np.asarray([0, 0]), np.asarray([1000, 2000]), "a"),
+            (np.asarray([0, 800]), np.asarray([1000, 1800]), "a"),
+        ]
+        out = merge_roads(r)
+        assert len(out) == 2
+        assert out[0][1].tolist() == [0, 1000, 2000]  # straight continuation
+
+    def test_no_closed_way(self):
+        # two roads that would close into a loop must not merge
+        r = [
+            (np.asarray([0, 0]), np.asarray([0, 1000]), "a"),
+            (np.asarray([0, 0]), np.asarray([1000, 0]), "a"),
+        ]
+        out = merge_roads(r)
+        assert len(out) == 2
+
+    def test_long_chain_linear_time(self):
+        n = 500
+        r = [(np.asarray([0, 0]), np.asarray([i * 10, (i + 1) * 10]), "a")
+             for i in range(n)]
+        out = merge_roads(r)
+        assert len(out) == 1
+        assert len(out[0][0]) == n + 1

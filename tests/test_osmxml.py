@@ -64,3 +64,44 @@ class TestXmlRoundtrip:
         out = read_osm_nodes(paths).to_pandas().sort_values("id")
         assert len(out) == 15
         assert (out["lat_mu"] == out["id"] * 3).all()
+
+
+class TestPolish:
+    def test_roundtrip_and_decode_semantics(self, tmp_path):
+        from mkgmap_ray.sources.polish import parse_mp_text, write_mp
+
+        p = str(tmp_path / "t.mp")
+        els = [
+            {"kind": 0, "type": 0x2A, "label": "poi one", "level": 0,
+             "lat_mu": [1000], "lon_mu": [-2000]},
+            {"kind": 1, "type": 0x4, "label": "road", "level": 2,
+             "lat_mu": [0, 500, 900], "lon_mu": [7, 8, 9]},
+            {"kind": 2, "type": 0x50, "label": "", "level": 1,
+             "lat_mu": [10, 20, 30], "lon_mu": [5, 15, 5]},
+        ]
+        write_mp(p, els)
+        t = parse_mp_text(open(p).read())
+        assert t["kind"].to_pylist() == [0, 1, 2]
+        assert t["type"].to_pylist() == [0x2A, 0x4, 0x50]
+        assert t["lat_mu"].to_pylist() == [[1000], [0, 500, 900], [10, 20, 30]]
+        assert t["lon_mu"].to_pylist() == [[-2000], [7, 8, 9], [5, 15, 5]]
+        assert t["level"].to_pylist() == [0, 2, 1]
+
+    def test_subtype_and_multidata(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("[POI]\nType=0x2\nSubType=0x17\nData0=(1.0,2.0)\n[END]\n"
+               "[POLYLINE]\nType=10\nData3=(0,0),(0.001,0.001)\n"
+               "Data3=(0.002,0.002)\n[END]\n")
+        t = parse_mp_text(txt)
+        assert t["type"].to_pylist() == [0x217, 10]
+        assert len(t["lat_mu"][1].as_py()) == 3
+
+    def test_comments_and_unknown_sections_ignored(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("; comment\n[IMG ID]\nID=3\n[END-IMG ID]\n"
+               "[POI]\nType=0x1\nFoo=bar\nData0=(0.5,0.5)\n[END]\n")
+        t = parse_mp_text(txt)
+        assert t.num_rows == 1
+        assert t["n_extra"].to_pylist() == [1]
