@@ -150,12 +150,13 @@ def run_full(
     qtimes: dict[str, float] = {}
     if not headline_only:
         allq = {name: getattr(Q, f"q_{name}") for name in QUERY_NAMES}
+        import ray.data
+
         for name, fn in allq.items():
             t0 = time.perf_counter()
             res = fn(sf_dir)
-            # force lazy Datasets to execute
-            if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
-                res = res.to_pandas()
+            if isinstance(res, ray.data.Dataset):  # force lazy execution
+                res.count()
             qtimes[name] = round(time.perf_counter() - t0, 3)
     ray.shutdown()
     return {
