@@ -500,26 +500,35 @@ def q_events_window(sf_dir: str):
 
 
 def q_top_users(sf_dir: str):
-    from ray.data.aggregate import Sum
+    """Top-k users by event count: per-batch partials, then driver combine
+    (user cardinality is output-sized — see stages/combine.py) + top-20."""
+    from ..stages.combine import combine_partials
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame(
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"].combine_chunks(), np.int64)
+        vc = cents(np.asarray(batch["value"].combine_chunks(), np.float64))
+        uniq, inv = np.unique(uid, return_inverse=True)
+        return pa.table(
             {
-                "user_id": batch["user_id"],
-                "n": 1,
-                "value_c": cents(batch["value"].to_numpy()),
+                "user_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "value_c": pa.array(
+                    np.bincount(inv, weights=vc, minlength=len(uniq)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
             }
         )
-        return df.groupby("user_id", as_index=False).sum()
 
-    ds = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
-        partial, batch_format="pandas"
+    parts = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
     )
-    out = (
-        ds.groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
-        .to_pandas()
-    )
+    c = combine_partials(parts, "user_id", ["n", "value_c"])
+    out = pd.DataFrame(c)
     out = out.sort_values(["n", "user_id"], ascending=[False, True]).head(20)
     return out.reset_index(drop=True).astype("int64")
 
@@ -748,18 +757,13 @@ def q_way_assembly(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
         concurrency=pool_concurrency(),
     )
-    out = (
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("way_id")
-        .aggregate(
-            Sum("n_refs", alias_name="n_refs"),
-            Sum("n_resolved", alias_name="n_resolved"),
-            Sum("sum_lat", alias_name="sum_lat"),
-            Sum("sum_lon", alias_name="sum_lon"),
-        )
-        .to_pandas()
+    from ..stages.combine import combine_partials
+
+    parts = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    c = combine_partials(
+        parts, "way_id", ["n_refs", "n_resolved", "sum_lat", "sum_lon"]
     )
-    return out.astype("int64")
+    return pd.DataFrame(c).astype("int64")
 
 
 OVERVIEW_SHIFT = 13  # 8×8 overview grid over the 65536-unit square
@@ -1156,31 +1160,19 @@ def q_node_degree(sf_dir: str):
              "n": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
-    deg = (
-        _read(
-            sf_dir, "lineitem",
-            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
-        )
-        .map_batches(endpoints, batch_format="pyarrow", batch_size=None)
-        .groupby("key")
-        .aggregate(Sum("n", alias_name="deg"))
-    )
+    from ..stages.combine import combine_partials
 
-    def hist(batch: pa.Table) -> pa.Table:
-        d = np.asarray(batch["deg"].combine_chunks(), np.int64)
-        uniq, cnt = np.unique(d, return_counts=True)
-        return pa.table(
-            {"degree": pa.array(uniq, pa.int64()),
-             "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}
-        )
-
-    out = (
-        deg.map_batches(hist, batch_format="pyarrow", batch_size=None)
-        .groupby("degree")
-        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
-        .to_pandas()
-    )
-    return out.astype("int64")
+    parts = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    ).map_batches(endpoints, batch_format="pyarrow", batch_size=None)
+    # partials are bounded by distinct coordinates x blocks; the final
+    # histogram is tiny
+    c = combine_partials(parts, "key", ["n"])
+    uniq, cnt = np.unique(c["n"], return_counts=True)
+    return pd.DataFrame(
+        {"degree": uniq, "n_nodes": cnt.astype(np.int64)}
+    ).astype("int64")
 
 
 def q_driving_side(sf_dir: str):
