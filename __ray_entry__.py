@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "driving_side": Q.q_driving_side,
         "road_merge": Q.q_road_merge,
         "mp_roundtrip": Q.q_mp_roundtrip,
+        "multipolygon": Q.q_multipolygon,
     }
 
 
@@ -406,5 +407,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((o_orderkey*48271) % 65536) AS BIGINT) AS sum_lat0,
                    CAST(sum((o_orderkey*16807) % 65536) AS BIGINT) AS sum_lon0
             FROM orders GROUP BY 1
+        """,
+        "multipolygon": """
+            WITH s AS (SELECT o_orderkey,
+                              400 + (o_orderkey % 100) AS s_out
+                       FROM orders)
+            SELECT o_orderkey, CAST(2 AS BIGINT) AS n_outer,
+                   CAST(1 AS BIGINT) AS n_inner,
+                   8*s_out*s_out - 8*(s_out//2)*(s_out//2)
+                     + 8*(s_out//4)*(s_out//4) AS net_area2
+            FROM s
         """,
     }

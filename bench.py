@@ -62,6 +62,9 @@ QUERY_NAMES = [
     "osm_roundtrip",
     "node_degree",
     "driving_side",
+    "road_merge",
+    "mp_roundtrip",
+    "multipolygon",
 ]
 
 

@@ -1368,3 +1368,60 @@ def q_mp_roundtrip(sf_dir: str):
         .to_pandas()
     )
     return out.astype("int64")
+
+
+def q_multipolygon(sf_dir: str):
+    """Multipolygon assembly + classification end-to-end
+    (``MultiPolygonRelation``): per order, THREE nested square rings
+    (outer, hole, island) arrive as scrambled, partly reversed edge ways;
+    ``join_ways`` closes them, the containment matrix classifies
+    outer/inner/outer at depths 0/1/2, and the net area (outer − hole +
+    island) is a closed form — SQL-exact per order."""
+    from ..geom.mpoly import classify_rings, net_area2
+    from ..stages.merge import join_ways
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = len(ook)
+        n_outer = np.empty(n, np.int64)
+        n_inner = np.empty(n, np.int64)
+        area2 = np.empty(n, np.int64)
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            y0 = (ok * A_LAT) % SPAN
+            x0 = (ok * A_LON) % SPAN
+            s_out = 400 + ok % 100        # outer half-size
+            s_hole = s_out // 2
+            s_isl = s_out // 4
+            ways = []
+            for k, s in enumerate((s_out, s_hole, s_isl)):
+                cs = [(y0 - s, x0 - s), (y0 - s, x0 + s),
+                      (y0 + s, x0 + s), (y0 + s, x0 - s)]
+                edges = [
+                    (np.asarray([cs[e][0], cs[(e + 1) % 4][0]]),
+                     np.asarray([cs[e][1], cs[(e + 1) % 4][1]]))
+                    for e in range(4)
+                ]
+                if (ok + k) % 2:
+                    edges[2] = (edges[2][0][::-1], edges[2][1][::-1])
+                rot = (ok + k) % 4
+                ways.extend(edges[rot:] + edges[:rot])
+            rings = [
+                (la, lo) for la, lo, closed in join_ways(ways) if closed
+            ]
+            cls = classify_rings(rings)
+            n_outer[idx] = sum(1 for c in cls if c["role"] == "outer")
+            n_inner[idx] = sum(1 for c in cls if c["role"] == "inner")
+            area2[idx] = net_area2(rings)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ook, pa.int64()),
+                "n_outer": pa.array(n_outer, pa.int64()),
+                "n_inner": pa.array(n_inner, pa.int64()),
+                "net_area2": pa.array(area2, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )

@@ -130,3 +130,42 @@ class TestPolyFilters:
         lon = np.array([0, 10, 10, 0])
         assert signed_area2(lat, lon) == 200
         assert signed_area2(lat[::-1], lon[::-1]) == -200
+
+
+class TestMultipolygon:
+    def test_classification_nested(self):
+        import numpy as np
+        from mkgmap_ray.geom.mpoly import classify_rings, net_area2
+
+        def sq(cy, cx, s):
+            return (np.asarray([cy - s, cy - s, cy + s, cy + s]),
+                    np.asarray([cx - s, cx + s, cx + s, cx - s]))
+
+        rings = [sq(0, 0, 100), sq(0, 0, 50), sq(0, 0, 20), sq(500, 500, 10)]
+        cls = classify_rings(rings)
+        assert [c["role"] for c in cls] == ["outer", "inner", "outer", "outer"]
+        assert [c["depth"] for c in cls] == [0, 1, 2, 0]
+        assert cls[1]["parent"] == 0
+        assert cls[2]["parent"] == 1
+        assert cls[3]["parent"] == -1
+        # net area: 200^2 - 100^2 + 40^2 + 20^2 (doubled)
+        assert net_area2(rings) == 2 * (200**2 - 100**2 + 40**2 + 20**2)
+
+    def test_siblings_not_nested(self):
+        import numpy as np
+        from mkgmap_ray.geom.mpoly import classify_rings
+
+        def sq(cy, cx, s):
+            return (np.asarray([cy - s, cy - s, cy + s, cy + s]),
+                    np.asarray([cx - s, cx + s, cx + s, cx - s]))
+
+        cls = classify_rings([sq(0, 0, 10), sq(100, 100, 10)])
+        assert all(c["role"] == "outer" and c["parent"] == -1 for c in cls)
+
+    def test_identical_rings_are_siblings(self):
+        import numpy as np
+        from mkgmap_ray.geom.mpoly import classify_rings
+
+        r = (np.asarray([0, 0, 10, 10]), np.asarray([0, 10, 10, 0]))
+        cls = classify_rings([r, r])
+        assert [c["depth"] for c in cls] == [0, 0]
