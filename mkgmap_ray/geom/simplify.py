@@ -42,10 +42,10 @@ def shortest_dist_to_segment(p_lat, p_lon, a_lat, a_lon, b_lat, b_lon):
     via Heron's formula on flat-earth distances."""
     p_lat = np.asarray(p_lat, dtype=np.float64)
     p_lon = np.asarray(p_lon, dtype=np.float64)
-    a_lat = float(a_lat)
-    a_lon = float(a_lon)
-    b_lat = float(b_lat)
-    b_lon = float(b_lon)
+    a_lat = np.asarray(a_lat, dtype=np.float64)
+    a_lon = np.asarray(a_lon, dtype=np.float64)
+    b_lat = np.asarray(b_lat, dtype=np.float64)
+    b_lon = np.asarray(b_lon, dtype=np.float64)
 
     d_lon = b_lon - a_lon
     d_lat = b_lat - a_lat
@@ -122,4 +122,64 @@ def douglas_peucker(
                 _dp_span(lat, lon, i, end, allowed_error, keep)
                 end = i
     _dp_span(lat, lon, 0, end, allowed_error, keep)
+    return keep
+
+
+def douglas_peucker_batch(lat2d, lon2d, counts, allowed_error: float):
+    """Douglas-Peucker over MANY equal-width rows at once.
+
+    Same semantics as per-row ``douglas_peucker`` (no ``preserved``
+    support — callers with pinned points use the scalar path): a worklist
+    of (row, lo, hi) spans advances level-wise; per level the interior
+    max-distance scan runs as ≤ width vectorized passes, with ties picking
+    the highest index like the reference's high-to-low replace-on-greater
+    scan. Returns a (m, K) keep mask (False beyond each row's count).
+    """
+    lat = np.asarray(lat2d, np.float64)
+    lon = np.asarray(lon2d, np.float64)
+    m, K = lat.shape
+    counts = np.asarray(counts, np.int64)
+    keep = np.arange(K)[None, :] < counts[:, None]
+
+    rows = np.nonzero(counts > 2)[0]
+    lo = np.zeros(len(rows), np.int64)
+    hi = counts[rows] - 1
+    while len(rows):
+        width = hi - lo
+        best_d = np.full(len(rows), -1.0)
+        best_off = np.zeros(len(rows), np.int64)
+        for j in range(1, K - 1):
+            act = j < width
+            if not act.any():
+                break
+            r = rows[act]
+            d = shortest_dist_to_segment(
+                lat[r, lo[act] + j], lon[r, lo[act] + j],
+                lat[r, lo[act]], lon[r, lo[act]],
+                lat[r, hi[act]], lon[r, hi[act]],
+            )
+            upd = np.zeros(len(rows), bool)
+            upd[act] = d >= best_d[act]  # ties → higher offset wins
+            tmp = np.full(len(rows), np.nan)
+            tmp[act] = d
+            best_d[upd] = tmp[upd]
+            best_off[upd] = j
+        far = best_d > allowed_error
+        nf = ~far
+        if nf.any():
+            r, l, h = rows[nf], lo[nf], hi[nf]
+            for j in range(1, K - 1):
+                sel = j < (h - l)
+                if not sel.any():
+                    break
+                keep[r[sel], l[sel] + j] = False
+        if not far.any():
+            break
+        r, l, h = rows[far], lo[far], hi[far]
+        mid = l + best_off[far]
+        rows = np.concatenate([r, r])
+        lo = np.concatenate([l, mid])
+        hi = np.concatenate([mid, h])
+        live = hi - lo > 1
+        rows, lo, hi = rows[live], lo[live], hi[live]
     return keep

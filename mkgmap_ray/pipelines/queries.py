@@ -248,23 +248,25 @@ def q_simplify_dp(sf_dir: str):
     from ..geom.coords import DELTA_SHIFT
 
     def fn(batch: pa.Table) -> pa.Table:
+        from ..geom.simplify import douglas_peucker_batch
+
         ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
         n = len(ok)
-        kept = np.empty(n, np.int64)
         base_y = (ok * A_LAT) % SPAN
         base_x = (ok * A_LON) % SPAN
         amp = 16 + (ok % 512)
-        for i in range(n):
-            xs = base_x[i] + np.arange(5) * 1024
-            ys = base_y[i] + np.array([0, amp[i], 0, amp[i], 0])
-            keep = douglas_peucker(
-                ys << DELTA_SHIFT, xs << DELTA_SHIFT, allowed_error=2.7 * 16
-            )
-            kept[i] = int(keep.sum())
+        xs = (base_x[:, None] + np.arange(5)[None, :] * 1024) << DELTA_SHIFT
+        ys = (base_y[:, None]
+              + np.stack([np.zeros(n, np.int64), amp, np.zeros(n, np.int64),
+                          amp, np.zeros(n, np.int64)], axis=1)) << DELTA_SHIFT
+        keep = douglas_peucker_batch(
+            ys, xs, np.full(n, 5, np.int64), allowed_error=2.7 * 16
+        )
         return pa.table(
             {
                 "o_orderkey": pa.array(ok, pa.int64()),
-                "n_kept": pa.array(kept, pa.int64()),
+                "n_kept": pa.array(keep.sum(axis=1).astype(np.int64),
+                                   pa.int64()),
             }
         )
 

@@ -87,3 +87,27 @@ class TestDouglasPeucker:
                     lat[mid], lon[mid], lat[a], lon[a], lat[b], lon[b]
                 )
                 assert (d <= tol + 1e-6).all()
+
+
+class TestBatchDP:
+    def test_matches_scalar_randomized(self):
+        import numpy as np
+        from mkgmap_ray.geom.simplify import (
+            douglas_peucker,
+            douglas_peucker_batch,
+        )
+
+        rng = np.random.default_rng(9)
+        m, K = 300, 11
+        counts = rng.integers(2, K + 1, m)
+        lat = rng.integers(0, 1 << 20, (m, K)).astype(np.int64)
+        lon = rng.integers(0, 1 << 20, (m, K)).astype(np.int64)
+        for allowed in (10.0, 500.0, 20000.0):
+            kb = douglas_peucker_batch(lat, lon, counts, allowed)
+            for i in range(0, m, 7):
+                ks = douglas_peucker(
+                    lat[i, : counts[i]], lon[i, : counts[i]], allowed
+                )
+                assert (kb[i, : counts[i]] == ks).all(), (i, allowed)
+            # padding never marked kept
+            assert not kb[np.arange(K)[None, :] >= counts[:, None]].any()
