@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "road_merge": Q.q_road_merge,
         "mp_roundtrip": Q.q_mp_roundtrip,
         "multipolygon": Q.q_multipolygon,
+        "poi_generate": Q.q_poi_generate,
+        "label_encode": Q.q_label_encode,
+        "hgt_roundtrip": Q.q_hgt_roundtrip,
     }
 
 
@@ -417,5 +420,33 @@ def oracle_sql() -> dict[str, str]:
                    8*s_out*s_out - 8*(s_out//2)*(s_out//2)
                      + 8*(s_out//4)*(s_out//4) AS net_area2
             FROM s
+        """,
+        "poi_generate": """
+            SELECT o_orderkey,
+                   (3*((o_orderkey*48271) % 65536)
+                    - (256 + o_orderkey % 1024)) // 3 AS poi_lat,
+                   (o_orderkey*16807) % 65536 AS poi_lon
+            FROM orders
+        """,
+        "label_encode": """
+            -- p_name is lowercase letters + spaces: 1 six-bit code per
+            -- char, +1 terminator, bytes = ((codes)*6)//8 + 1 per the
+            -- reference length formula with off = codes+1
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                   ((length(p_name) + 1 - 1)*6)//8 + 1 AS enc_bytes,
+                   CAST(1 AS BIGINT) AS roundtrip_ok
+            FROM part
+        """,
+        "hgt_roundtrip": """
+            WITH g AS (
+              SELECT k, yy, xx, (yy*31 + xx*17 + k*1000) % 2000 AS h
+              FROM generate_series(0, 3) t(k),
+                   generate_series(0, 64) a(yy),
+                   generate_series(0, 64) b(xx))
+            SELECT CAST(50 + k AS BIGINT) AS cell_lat,
+                   CAST(k AS BIGINT) AS cell_lon,
+                   count(*) AS n_samples,
+                   CAST(sum(h) AS BIGINT) AS sum_h
+            FROM g GROUP BY k
         """,
     }

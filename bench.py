@@ -65,6 +65,9 @@ QUERY_NAMES = [
     "road_merge",
     "mp_roundtrip",
     "multipolygon",
+    "poi_generate",
+    "label_encode",
+    "hgt_roundtrip",
 ]
 
 

@@ -1427,3 +1427,102 @@ def q_multipolygon(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_poi_generate(sf_dir: str):
+    """POI generation from shapes (``POIGeneratorHook``: synthesize a
+    point per polygon): triangle centroid with Java truncating division —
+    closed form per order, SQL-exact."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        cy, cx, r = order_triangles_np(ook)
+        # vertices: (cy+r, cx), (cy-r, cx+r), (cy-r, cx-r)
+        sum_lat = 3 * cy - r
+        sum_lon = 3 * cx
+        # centroid with Java truncating division (sum_lat can be
+        # negative when cy < r/3)
+        poi_lat = np.where(sum_lat >= 0, sum_lat // 3, -((-sum_lat) // 3))
+        poi_lon = sum_lon // 3  # always non-negative
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ook, pa.int64()),
+                "poi_lat": pa.array(poi_lat, pa.int64()),
+                "poi_lon": pa.array(poi_lon, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_label_encode(sf_dir: str):
+    """Garmin 6-bit label encoding (``imgfmt/app/labelenc/Format6Encoder``)
+    over part names: per name, the packed byte length and a decode
+    round-trip flag; the byte length is SQL-exact (letters+digits+spaces
+    are 1 code each for these names)."""
+    from ..stages.labelenc import decode6, encode6
+
+    def fn(batch: pa.Table) -> pa.Table:
+        names = batch["p_name"].to_pylist()
+        keys = np.asarray(batch["p_partkey"].combine_chunks(), np.int64)
+        blen = np.empty(len(names), np.int64)
+        rt = np.empty(len(names), np.int64)
+        for i, nm in enumerate(names):
+            e = encode6(nm)
+            blen[i] = len(e)
+            rt[i] = int(decode6(e) == nm.upper())
+        return pa.table(
+            {
+                "p_partkey": pa.array(keys, pa.int64()),
+                "enc_bytes": pa.array(blen, pa.int64()),
+                "roundtrip_ok": pa.array(rt, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_hgt_roundtrip(sf_dir: str):
+    """.hgt binary source end-to-end (``HGTReader`` layout: big-endian
+    int16, north-first rows): deterministic fixture tiles → read → per-tile
+    aggregates matching the closed-form grid in SQL."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.hgt import read_hgt_tiles, write_hgt
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/mkgmap_ray_hgt_{name}"
+    res = 64
+    paths = []
+    os.makedirs(out, exist_ok=True)
+    for k in range(4):
+        p = f"{out}/N{50 + k:02d}E{k:03d}.hgt"
+        paths.append(p)
+        if not os.path.exists(p):
+            yy, xx = np.mgrid[0 : res + 1, 0 : res + 1]
+            write_hgt(p, ((yy * 31 + xx * 17 + k * 1000) % 2000).astype(
+                np.int16
+            ))
+
+    ds = read_hgt_tiles(paths)
+
+    def agg(batch: pa.Table) -> pa.Table:
+        out_rows = {"cell_lat": [], "cell_lon": [], "n_samples": [],
+                    "sum_h": []}
+        for i in range(batch.num_rows):
+            h = np.asarray(batch["heights"][i].as_py(), np.int64)
+            out_rows["cell_lat"].append(batch["cell_lat"][i].as_py())
+            out_rows["cell_lon"].append(batch["cell_lon"][i].as_py())
+            out_rows["n_samples"].append(len(h))
+            out_rows["sum_h"].append(int(h.sum()))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out_rows.items()}
+        )
+
+    return ds.map_batches(agg, batch_format="pyarrow", batch_size=None)

@@ -105,3 +105,70 @@ class TestPolish:
         t = parse_mp_text(txt)
         assert t.num_rows == 1
         assert t["n_extra"].to_pylist() == [1]
+
+
+class TestHgt:
+    def test_roundtrip_and_orientation(self, tmp_path):
+        import numpy as np
+
+        from mkgmap_ray.sources.hgt import (
+            calc_res,
+            hgt_cell_of,
+            read_hgt_bytes,
+            write_hgt,
+        )
+
+        res = 8
+        yy, xx = np.mgrid[0 : res + 1, 0 : res + 1]
+        grid = (yy * 100 + xx).astype(np.int16)  # south-first
+        p = str(tmp_path / "N51E002.hgt")
+        write_hgt(p, grid)
+        data = open(p, "rb").read()
+        assert calc_res(len(data)) == res
+        back = read_hgt_bytes(data)
+        np.testing.assert_array_equal(back, grid)
+        # on-disk layout is north-first big-endian (HGTReader.ele index math)
+        first_sample = int.from_bytes(data[:2], "big", signed=True)
+        assert first_sample == int(grid[res, 0])  # NW corner first on disk
+        assert hgt_cell_of(p) == (51, 2)
+        assert hgt_cell_of("S01W117.hgt") == (-1, -117)
+
+    def test_bad_name_and_size(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from mkgmap_ray.sources.hgt import calc_res, hgt_cell_of
+
+        with pytest.raises(ValueError):
+            hgt_cell_of("whatever.hgt")
+        with pytest.raises(ValueError):
+            calc_res(1234567)  # not a square payload
+
+
+class TestLabel6:
+    def test_roundtrip(self):
+        from mkgmap_ray.stages.labelenc import decode6, encode6
+
+        for t in ["MAIN STREET 42", "hello world", "A", "P.O. BOX #7",
+                  "ABC-12/XY", ""]:
+            e = encode6(t)
+            d = decode6(e)
+            exp = "".join(
+                c for c in t.upper()
+                if c == " " or (c.isascii() and c.isalnum())
+                or c in "@!\"#$%&'()*+,-./:;<=>?[\\]^_"
+            )
+            assert d == exp, (t, d, exp)
+
+    def test_packing_density(self):
+        from mkgmap_ray.stages.labelenc import encode6
+
+        # 4 chars + terminator = 5 codes = 30 bits → 4 bytes
+        assert len(encode6("ABCD")) == 4
+        # 3 chars + terminator = 24 bits → 3 bytes
+        assert len(encode6("ABC")) == 3
+
+    def test_unmapped_dropped(self):
+        from mkgmap_ray.stages.labelenc import decode6, encode6
+
+        assert decode6(encode6("ABéC")) in ("ABC", "ABEC")
