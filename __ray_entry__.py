@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poi_generate": Q.q_poi_generate,
         "label_encode": Q.q_label_encode,
         "hgt_roundtrip": Q.q_hgt_roundtrip,
+        "sea_lookup": Q.q_sea_lookup,
+        "restriction_merge": Q.q_restriction_merge,
+        "ann_ivf": Q.q_ann_ivf,
     }
 
 
@@ -448,5 +451,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_samples,
                    CAST(sum(h) AS BIGINT) AS sum_h
             FROM g GROUP BY k
+        """,
+        "sea_lookup": """
+            WITH p AS (SELECT
+                 (((event_id*48271) % 65536) // 8192) * 8
+                 + (((event_id*16807) % 65536) // 8192) AS cell
+               FROM events)
+            SELECT (cell*7 + 3) % 3 AS state, count(*) AS n
+            FROM p GROUP BY 1
+        """,
+        "restriction_merge": """
+            SELECT o_orderkey % 64 AS grp,
+                   3 * count(*) AS n_in,
+                   CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                                 THEN 2 ELSE 1 END) AS BIGINT) AS n_out,
+                   CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_restr
+            FROM orders GROUP BY 1
         """,
     }

@@ -68,6 +68,9 @@ QUERY_NAMES = [
     "poi_generate",
     "label_encode",
     "hgt_roundtrip",
+    "sea_lookup",
+    "restriction_merge",
+    "ann_ivf",
 ]
 
 

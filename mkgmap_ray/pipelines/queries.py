@@ -1526,3 +1526,170 @@ def q_hgt_roundtrip(sf_dir: str):
         )
 
     return ds.map_batches(agg, batch_format="pyarrow", batch_size=None)
+
+
+SEA_GRID_SHIFT = 13  # 8×8 precomp grid over the 65536-unit square
+
+
+def q_sea_lookup(sf_dir: str):
+    """Precompiled sea/land grid semi-join (``SeaGenerator`` precomp
+    raster: fixed-grid tile key → {sea, land, mixed},
+    ``reader/osm/SeaGenerator.java:84-105``): the small grid is broadcast
+    once via ``ray.put``; every event point classifies by cell lookup —
+    counts per state are SQL-exact against the closed-form grid."""
+    import ray
+
+    n_cells = SPAN >> SEA_GRID_SHIFT  # 8
+    cells = np.arange(n_cells * n_cells, dtype=np.int64)
+    # deterministic state per cell: 0=sea, 1=land, 2=mixed
+    state = (cells * 7 + 3) % 3
+    ref = ray.put(state)
+
+    class SeaLookup:
+        def __init__(self, state_ref):
+            self.state = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+            lat, lon = event_points_np(eid)
+            cell = (lat >> SEA_GRID_SHIFT) * n_cells + (lon >> SEA_GRID_SHIFT)
+            st = self.state[cell]
+            uniq, cnt = np.unique(st, return_counts=True)
+            return pa.table(
+                {
+                    "state": pa.array(uniq, pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+    from ..stages.combine import combine_partials
+
+    parts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        SeaLookup,
+        fn_constructor_kwargs=dict(state_ref=ref),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
+    )
+    c = combine_partials(parts, "state", ["n"])
+    return pd.DataFrame(c).astype("int64")
+
+
+def q_restriction_merge(sf_dir: str):
+    """Restriction relations joined into road merging
+    (``RestrictionRelation`` via points blocking ``RoadMerger``,
+    ``RoadMerger.java:96-113``): segment rows and restriction rows arrive
+    as ONE keyed stream (the per-tile join shape — both sides co-located
+    by group), and each order's 3-segment chain merges 3→1 UNLESS a
+    restriction sits on its first interior point (orders with
+    ``o_orderkey % 3 == 0``) — then 2 roads remain. SQL-exact per group."""
+    from ..stages.merge import merge_roads
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        rows = {"grp": [], "is_restr": [], "y0": [], "x0": [],
+                "y1": [], "x1": []}
+        for ok in ook:
+            ok = int(ok)
+            base = ok * 8
+            for i in range(3):
+                rows["grp"].append(ok % 64)
+                rows["is_restr"].append(0)
+                rows["y0"].append(base)
+                rows["x0"].append(1000 * i)
+                rows["y1"].append(base)
+                rows["x1"].append(1000 * (i + 1))
+            if ok % 3 == 0:  # via-point restriction at first interior point
+                rows["grp"].append(ok % 64)
+                rows["is_restr"].append(1)
+                rows["y0"].append(base)
+                rows["x0"].append(1000)
+                rows["y1"].append(0)
+                rows["x1"].append(0)
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"], pa.int64()),
+                "is_restr": pa.array(rows["is_restr"], pa.int8()),
+                "y0": pa.array(rows["y0"], pa.int64()),
+                "x0": pa.array(rows["x0"], pa.int64()),
+                "y1": pa.array(rows["y1"], pa.int64()),
+                "x1": pa.array(rows["x1"], pa.int64()),
+            }
+        )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        grp = int(group["grp"][0].as_py())
+        isr = np.asarray(group["is_restr"].combine_chunks(), np.int64)
+        y0 = np.asarray(group["y0"].combine_chunks(), np.int64)
+        x0 = np.asarray(group["x0"].combine_chunks(), np.int64)
+        y1 = np.asarray(group["y1"].combine_chunks(), np.int64)
+        x1 = np.asarray(group["x1"].combine_chunks(), np.int64)
+        restricted = {
+            (int(y0[i]), int(x0[i])) for i in np.nonzero(isr == 1)[0]
+        }
+        segs = np.nonzero(isr == 0)[0]
+        roads = [
+            (np.asarray([y0[i], y1[i]]), np.asarray([x0[i], x1[i]]), "c")
+            for i in segs
+        ]
+        merged = merge_roads(roads, restricted=restricted)
+        return pa.table(
+            {
+                "grp": pa.array([grp], pa.int64()),
+                "n_in": pa.array([len(roads)], pa.int64()),
+                "n_out": pa.array([len(merged)], pa.int64()),
+                "n_restr": pa.array([len(restricted)], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        to_rows, batch_format="pyarrow", batch_size=None
+    )
+    out = ds.groupby("grp").map_groups(
+        merge_group, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("grp").reset_index(drop=True).astype("int64")
+
+
+N_IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (the ANN scale path): coarse centroids =
+    the first 16 quantized vectors (deterministic, broadcast once);
+    queries probe their 4 nearest centroid lists. Output includes
+    ``recall_pct`` vs the exact brute-force top-k computed in the same
+    run — rows-only, with the recall floor asserted in pytest."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk
+
+    q_all = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = q_all.filter(pc.less(q_all["vec_id"], N_ANN_QUERIES))
+    q_ids = np.asarray(q["vec_id"], np.int64)
+    dim = len(q["embedding"][0])
+    q_mat = np.asarray(
+        q["embedding"].combine_chunks().values, np.float64
+    ).reshape(-1, dim)
+    cent = q_all.filter(pc.less(q_all["vec_id"], N_IVF_CENTROIDS))
+    centroids = quantize(
+        np.asarray(cent["embedding"].combine_chunks().values, np.float64)
+        .reshape(-1, dim)
+    ).astype(np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    approx = ivf_topk(ds, q_ids, q_mat, centroids, k=ANN_K, nprobe=IVF_NPROBE)
+    exact = topk_dot(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        q_ids, q_mat, k=ANN_K,
+    )
+    ex = exact.groupby("query_id")["vec_id"].apply(set)
+    rows = []
+    for qid, g in approx.groupby("query_id"):
+        hit = len(set(g["vec_id"]) & ex.get(qid, set()))
+        rows.append(
+            {"query_id": int(qid), "n_results": len(g),
+             "recall_pct": int(100 * hit / ANN_K)}
+        )
+    return pd.DataFrame(rows).astype("int64")

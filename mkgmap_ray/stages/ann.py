@@ -143,3 +143,83 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
         )
 
     return signed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+
+
+class IVFTopKPartial:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to
+    their nearest coarse centroid; each query probes only the ``nprobe``
+    closest centroid lists. The scale path for similarity search — at
+    10^12 rows the centroid assignment is the partition key and each
+    probe touches ``nprobe/n_centroids`` of the data; here the list
+    filter runs inside each batch and partial top-ks merge on the driver
+    (same shape as the brute-force ``TopKDotPartial``, minus the skipped
+    vectors)."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int,
+                 id_col="vec_id", emb_col="embedding"):
+        import ray
+
+        self.q_ids, q_mat = ray.get(queries_ref)
+        self.q_mat = quantize(q_mat).astype(np.float64)  # integer scoring
+        self.centroids = ray.get(centroids_ref)  # (c, dim) float64
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+        # per query: the nprobe nearest centroids by dot product
+        sims = self.q_mat @ self.centroids.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        self.probe = order[:, :nprobe]  # (nq, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].combine_chunks(), np.int64)
+        mat = quantize(_emb_matrix(batch, self.emb_col))
+        # assign batch vectors to their nearest centroid
+        assign = np.argmax(mat @ self.centroids.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            m = np.isin(assign, self.probe[qi])
+            if not m.any():
+                continue
+            scores = mat[m] @ self.q_mat[qi]
+            sel = np.argsort(-scores, kind="stable")[: self.k]
+            out_q.append(np.full(len(sel), qid, np.int64))
+            out_v.append(ids[m][sel])
+            out_s.append(scores[sel].astype(np.int64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+
+def ivf_topk(ds, q_ids, q_mat, centroids, k: int = 10, nprobe: int = 4,
+             id_col="vec_id", emb_col="embedding"):
+    """IVF approximate top-k per query (see ``IVFTopKPartial``)."""
+    import ray
+
+    q_ref = ray.put((np.asarray(q_ids, np.int64), np.asarray(q_mat, np.float64)))
+    c_ref = ray.put(np.asarray(centroids, np.float64))
+    parts = ds.map_batches(
+        IVFTopKPartial(q_ref, c_ref, k, nprobe, id_col, emb_col),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id", sort=True):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "vec_id", "score", "rank"]
+    )
+    return res[["query_id", "rank", "vec_id", "score"]]

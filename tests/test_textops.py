@@ -178,3 +178,28 @@ class TestAnn:
         ds = rd.from_arrow(table)
         pairs = lsh_bucketed_cosine_pairs(ds, dim=16, threshold=0.99).to_pandas()
         assert (10, 50) in set(zip(pairs["a"], pairs["b"]))
+
+
+class TestAnnIvf:
+    def test_recall_floor_and_coverage(self, ray_session):
+        from mkgmap_ray.pipelines.queries import q_ann_ivf, ANN_K
+
+        out = q_ann_ivf("/root/testdata/sf0.001")
+        assert len(out) == 8
+        assert (out["n_results"] == ANN_K).all()
+        # probing 4/16 lists must beat random (25%) clearly on this data
+        assert out["recall_pct"].mean() >= 40, out["recall_pct"].tolist()
+
+
+class TestSeaLookup:
+    def test_states_partition_events(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from mkgmap_ray.pipelines.queries import q_sea_lookup
+
+        out = q_sea_lookup("/root/testdata/sf0.001")
+        n_events = pq.ParquetFile(
+            "/root/testdata/sf0.001/events.parquet"
+        ).metadata.num_rows
+        assert out["n"].sum() == n_events
+        assert set(out["state"]) <= {0, 1, 2}
