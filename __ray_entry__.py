@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sea_lookup": Q.q_sea_lookup,
         "restriction_merge": Q.q_restriction_merge,
         "ann_ivf": Q.q_ann_ivf,
+        "house_intervals": Q.q_house_intervals,
     }
 
 
@@ -468,5 +469,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN o_orderkey % 3 = 0
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_restr
             FROM orders GROUP BY 1
+        """,
+        "house_intervals": """
+            WITH h AS (SELECT c_custkey,
+                              (c_custkey*48271) % 65536 AS hy,
+                              (c_custkey*16807) % 65536 AS hx FROM customer),
+            r AS (SELECT s_suppkey,
+                         (s_suppkey*48271 + 777) % 65536 AS ry,
+                         (s_suppkey*16807 + 333) % 65536 AS rx FROM supplier),
+            d AS (SELECT h.c_custkey, h.hy, h.hx, r.s_suppkey, r.ry, r.rx,
+                         (h.hy-r.ry)*(h.hy-r.ry)
+                         + (h.hx-r.rx)*(h.hx-r.rx) AS dist2
+                  FROM h CROSS JOIN r),
+            m AS (SELECT c_custkey, min(dist2*1048576 + s_suppkey) AS comb
+                  FROM d GROUP BY c_custkey),
+            j AS (SELECT d.* FROM d JOIN m ON d.c_custkey = m.c_custkey
+                  AND d.dist2*1048576 + d.s_suppkey = m.comb),
+            x AS (SELECT c_custkey, s_suppkey,
+                         CASE WHEN 500*(hy-ry) - 1000*(hx-rx) > 0 THEN 1
+                              WHEN 500*(hy-ry) - 1000*(hx-rx) < 0 THEN -1
+                              ELSE 0 END AS side,
+                         1000*(hy-ry) + 500*(hx-rx) AS pos,
+                         c_custkey % 2 AS parity
+                  FROM j)
+            SELECT s_suppkey*6 + (side+1)*2 + parity AS key,
+                   count(*) AS n,
+                   min(c_custkey) AS min_house, max(c_custkey) AS max_house,
+                   CAST(min(pos) AS BIGINT) AS min_pos,
+                   CAST(max(pos) AS BIGINT) AS max_pos
+            FROM x GROUP BY 1
         """,
     }

@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "sea_lookup",
     "restriction_merge",
     "ann_ivf",
+    "house_intervals",
 ]
 
 

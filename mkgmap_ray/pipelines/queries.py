@@ -1693,3 +1693,98 @@ def q_ann_ivf(sf_dir: str):
              "recall_pct": int(100 * hit / ANN_K)}
         )
     return pd.DataFrame(rows).astype("int64")
+
+
+def q_house_intervals(sf_dir: str):
+    """Housenumber interval assembly (``HousenumberGenerator`` +
+    ``ExtNumbers``: houses sorted along their matched road, split by road
+    side and number parity): customer houses match their supplier road
+    (same closed-form kNN as ``knn_join``), each house gets its SIDE of
+    the road (integer cross-product sign) and its position ORDER along it
+    (integer projection numerator — same denominator per road, so
+    ordering is exact without division); per (road, side, parity) the
+    interval is (count, min, max house number, min/max position) —
+    SQL-exact."""
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = np.asarray(sup["s_suppkey"], np.int64)
+    ry = (sk * A_LAT + 777) % SPAN
+    rx = (sk * A_LON + 333) % SPAN
+    ref = ray.put((sk, ry, rx))
+
+    class HouseIntervals:
+        def __init__(self, ref):
+            self.sk, self.ry, self.rx = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"].combine_chunks(), np.int64)
+            hy = (ck * A_LAT) % SPAN
+            hx = (ck * A_LON) % SPAN
+            # nearest road point (ties to smallest id), brute force per
+            # batch against the broadcast road table — KdTree semantics
+            d2 = (hy[:, None] - self.ry[None, :]) ** 2 \
+                + (hx[:, None] - self.rx[None, :]) ** 2
+            comb = d2 * (1 << 20) + self.sk[None, :]
+            near = np.argmin(comb, axis=1)
+            road = self.sk[near]
+            ay, ax = self.ry[near], self.rx[near]
+            # road direction: fixed per road (dy, dx) = (1000, 500)
+            dy, dx = 1000, 500
+            side = np.sign(dx * (hy - ay) - dy * (hx - ax)).astype(np.int64)
+            pos = dy * (hy - ay) + dx * (hx - ax)  # projection numerator
+            parity = ck % 2
+            key = road * 6 + (side + 1) * 2 + parity
+            uniq, inv = np.unique(key, return_inverse=True)
+
+            def agg(v, how):
+                out = np.full(
+                    len(uniq),
+                    np.iinfo(np.int64).max if how == "min" else
+                    np.iinfo(np.int64).min,
+                    np.int64,
+                )
+                (np.minimum if how == "min" else np.maximum).at(out, inv, v)
+                return pa.array(out, pa.int64())
+
+            return pa.table(
+                {
+                    "key": pa.array(uniq, pa.int64()),
+                    "n": pa.array(
+                        np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "min_house": agg(ck, "min"),
+                    "max_house": agg(ck, "max"),
+                    "min_pos": agg(pos, "min"),
+                    "max_pos": agg(pos, "max"),
+                }
+            )
+
+    parts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        HouseIntervals,
+        fn_constructor_kwargs=dict(ref=ref),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
+    )
+    # min/max combine (not sums) — single streamed pass over the partials
+    acc: dict[int, list] = {}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            cur = acc.setdefault(
+                row["key"],
+                [0, np.iinfo(np.int64).max, np.iinfo(np.int64).min,
+                 np.iinfo(np.int64).max, np.iinfo(np.int64).min],
+            )
+            cur[0] += row["n"]
+            cur[1] = min(cur[1], row["min_house"])
+            cur[2] = max(cur[2], row["max_house"])
+            cur[3] = min(cur[3], row["min_pos"])
+            cur[4] = max(cur[4], row["max_pos"])
+    rows = [
+        {"key": k, "n": v[0], "min_house": v[1], "max_house": v[2],
+         "min_pos": v[3], "max_pos": v[4]}
+        for k, v in sorted(acc.items())
+    ]
+    return pd.DataFrame(rows).astype("int64")
