@@ -57,7 +57,11 @@ class RuleSet:
             out |= r.expr.used_tags()
             for a in r.actions:
                 out.add(a.key)
-                out |= set(_SUB_RE.findall(a.value))
+                # a spec is "tag" or "tag|filter:arg|..." — only the tag
+                out |= {
+                    spec.split("|", 1)[0]
+                    for spec in _SUB_RE.findall(a.value)
+                }
         return out
 
     def apply(self, tags: dict[str, pd.Series], n: int) -> dict:
@@ -121,24 +125,79 @@ class RuleSet:
         }
 
 
+def _apply_value_filters(col: pd.Series, filters: list[str]) -> pd.Series:
+    """``${tag|filter:arg|...}`` value-filter chain
+    (``osmstyle/actions/*Filter.java``): ``subst:from=>to`` (replace-all,
+    ``from~>to`` regex), ``substring:start[:end]``, ``part:sep[:n]`` (1-based,
+    negative counts from the end; missing part → NA), ``def:x`` (default for
+    missing/empty), ``prepend:x``. Unsupported filters raise at compile."""
+    for f in filters:
+        name, _, arg = f.partition(":")
+        if name == "subst":
+            if "~>" in arg:
+                frm, to = arg.split("~>", 1)
+                col = col.str.replace(frm, to, regex=True)
+            else:
+                frm, _, to = arg.partition("=>")
+                col = col.str.replace(frm, to, regex=False)
+        elif name == "substring":
+            parts = arg.split(":")
+            start = int(parts[0])
+            if len(parts) > 1:
+                col = col.str.slice(start, int(parts[1]))
+            else:
+                col = col.str.slice(start)
+        elif name == "part":
+            bits = arg.split(":")
+            sep = bits[0] or ";"
+            num = int(bits[1]) if len(bits) > 1 and bits[1] else 1
+            split = col.str.split(sep, regex=False)
+
+            def pick(v):
+                if v is None or not isinstance(v, list):
+                    return pd.NA
+                if len(v) < abs(num) or num == 0:
+                    return pd.NA
+                idx = num - 1 if num > 0 else len(v) + num
+                return v[idx].strip()
+
+            col = split.map(pick).astype("string")
+        elif name == "def":
+            col = col.mask(col.isna() | (col == ""), arg)
+        elif name == "prepend":
+            col = pd.Series([arg] * len(col), dtype="string").str.cat(col)
+            col = col.mask(col.isna())
+        else:
+            raise ValueError(f"unsupported value filter: {name!r}")
+    return col
+
+
 def _substitute(template: str, tags: dict[str, pd.Series], n: int) -> pd.Series:
-    """``${tag}`` value substitution (``osmstyle/actions/ValueBuilder``):
-    the result is NA for rows where any referenced tag is missing."""
+    """``${tag}`` / ``${tag|filter:...}`` value substitution
+    (``osmstyle/actions/ValueBuilder``): the result is NA for rows where
+    any referenced value (after filters — ``def:`` can fill it) is
+    missing."""
     refs = _SUB_RE.findall(template)
     if not refs:
         return pd.Series([template] * n, dtype="string")
+    parts = _SUB_RE.split(template)  # [text, spec, text, spec, ..., text]
+    cols = {}
     ok = np.ones(n, dtype=bool)
-    for ref in refs:
+    for i in range(1, len(parts), 2):
+        spec = parts[i]
+        pieces = spec.split("|")
+        ref, filters = pieces[0], pieces[1:]
         col = tags.get(ref)
         if col is None:
-            return pd.Series([pd.NA] * n, dtype="string")
+            col = pd.Series([pd.NA] * n, dtype="string")
+        col = col.astype("string")
+        if filters:
+            col = _apply_value_filters(col, filters)
+        cols[i] = col
         ok &= col.notna().to_numpy()
-    # build by concatenation: split template on refs and interleave
-    parts = _SUB_RE.split(template)  # [text, ref, text, ref, ..., text]
     result = pd.Series([parts[0]] * n, dtype="string")
     for i in range(1, len(parts), 2):
-        ref_col = tags[parts[i]].astype("string").fillna("")
-        result = result.str.cat(ref_col).str.cat(
+        result = result.str.cat(cols[i].fillna("")).str.cat(
             pd.Series([parts[i + 1]] * n, dtype="string")
         )
     return result.mask(~ok)
@@ -210,9 +269,34 @@ def _split_rule(line: str):
     return (pred or "").strip(), actions, typ
 
 
+def _split_actions(text: str) -> list[str]:
+    """Split an action block on ``;`` OUTSIDE quotes (a ``part:;`` filter
+    argument inside a quoted value must survive)."""
+    parts = []
+    cur = []
+    q = None
+    for c in text:
+        if q is not None:
+            cur.append(c)
+            if c == q:
+                q = None
+            continue
+        if c in "'\"":
+            q = c
+            cur.append(c)
+            continue
+        if c == ";":
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
 def _parse_actions(text: str) -> tuple[Action, ...]:
     out = []
-    for part in text.split(";"):
+    for part in _split_actions(text):
         part = part.strip()
         if not part:
             continue

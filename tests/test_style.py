@@ -149,3 +149,47 @@ class TestStyleStage:
             keep=["id"], concurrency=1,
         ).to_pandas().sort_values("id")
         assert out["gtype"].tolist() == [0x01, 0x02, -1]
+
+
+class TestValueFilters:
+    def run(self, template, **cols):
+        from mkgmap_ray.style.rules import _substitute
+
+        tags, n = T(**cols)
+        return L(_substitute(template, tags, n))
+
+    def test_subst_literal_and_regex(self):
+        assert self.run("${a|subst:b=>X}", a=["abcb"]) == ["aXcX"]
+        assert self.run("${a|subst:b}", a=["abcb"]) == ["ac"]  # delete
+        assert self.run("${a|subst:[0-9]+~>N}", a=["x12y3"]) == ["xNyN"]
+
+    def test_substring(self):
+        assert self.run("${a|substring:2}", a=["abcdef"]) == ["cdef"]
+        assert self.run("${a|substring:1:3}", a=["abcdef"]) == ["bc"]
+
+    def test_part(self):
+        assert self.run("${a|part:;:2}", a=["x;y;z"]) == ["y"]
+        assert self.run("${a|part:;}", a=["x;y;z"]) == ["x"]
+        assert self.run("${a|part:;:-1}", a=["x;y;z"]) == ["z"]
+        assert self.run("${a|part:;:5}", a=["x;y"]) == [None]  # out of range
+
+    def test_def_fills_missing(self):
+        assert self.run("${a|def:unknown}", a=[None]) == ["unknown"]
+        assert self.run("${a|def:unknown}", a=[""]) == ["unknown"]
+        assert self.run("${a|def:unknown}", a=["v"]) == ["v"]
+
+    def test_prepend_and_chain(self):
+        assert self.run("${a|prepend:pre-}", a=["x"]) == ["pre-x"]
+        assert self.run(
+            "${a|part:;:2|subst:o=>0|prepend:P}", a=["foo;boo"]
+        ) == ["Pb00"]
+
+    def test_unsupported_filter_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self.run("${a|frobnicate:1}", a=["x"])
+
+    def test_used_tags_strips_filters(self):
+        rs = compile_style("a=* {set b='${c|def:x} ${d|part:;:1}'}\n")
+        assert rs.used_tags() == {"a", "b", "c", "d"}
