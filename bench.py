@@ -16,7 +16,8 @@ CPU counts (default 2 vs 8 — the N-vs-4N pair where per-process memory
 bandwidth stays constant on this shared-bus box; see BASELINE.md) on a
 repeat-replicated input and report both throughputs plus scaling
 efficiency (the BASELINE.json north-rule two-cluster-size criterion).
-Takes ~15 minutes at the defaults; measured 0.876 at repeat=128.
+Takes ~25 minutes at the defaults (repeat=128, the measured-0.876
+configuration).
 
 This script OWNS its Ray session (unlike __ray_entry__ / the library).
 """
@@ -237,7 +238,7 @@ def main() -> None:
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=1)
-    ap.add_argument("--scale-repeat", type=int, default=96)
+    ap.add_argument("--scale-repeat", type=int, default=128)
     args = ap.parse_args()
 
     if args.scaling:
