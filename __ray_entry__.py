@@ -357,7 +357,13 @@ def oracle_sql() -> dict[str, str]:
                    WHEN p_type = 'ECONOMY' THEN 18
                    WHEN p_type IN ('STANDARD', 'PROMO') THEN 20
                    WHEN regexp_full_match(p_brand, 'Brand#1[0-9]') THEN 22
-                   ELSE 24 END AS resolution
+                   ELSE 24 END AS resolution,
+              CASE WHEN p_type = 'ECONOMY' OR p_type IN ('STANDARD', 'PROMO')
+                        OR regexp_full_match(p_brand, 'Brand#1[0-9]')
+                   THEN ''
+                   ELSE replace(p_brand, 'Brand#', 'B') || '/' ||
+                        COALESCE(NULLIF(split_part(p_name, ' ', 1), ''), '?')
+                   END AS name
             FROM part
         """,
         "merge_chains": """

@@ -918,7 +918,7 @@ highway=ECONOMY & lanes>25          [0x01 resolution 16]
 highway=ECONOMY                     [0x02 resolution 18]
 highway=STANDARD | highway=PROMO    {set cls=mid} [0x03 resolution 20]
 brand~'Brand#1[0-9]'                [0x04 resolution 22]
-highway=*                           [0x05 resolution 24]
+highway=* {name '${brand|subst:Brand#=>B}/${pname|part: :1|def:?}'} [0x05 resolution 24]
 """
 
 
@@ -937,19 +937,24 @@ def q_style_apply(sf_dir: str):
                 "hw": batch["p_type"].combine_chunks(),
                 "lanes": pc.cast(batch["p_size"].combine_chunks(), pa.string()),
                 "brand": batch["p_brand"].combine_chunks(),
+                "pname": batch["p_name"].combine_chunks(),
             }
         )
 
     ds = _read(
-        sf_dir, "part", ["p_partkey", "p_type", "p_size", "p_brand"]
+        sf_dir, "part", ["p_partkey", "p_type", "p_size", "p_brand", "p_name"]
     ).map_batches(to_str, batch_format="pyarrow", batch_size=None)
     out = apply_style(
         ds, PART_STYLE,
-        tag_columns={"highway": "hw", "lanes": "lanes", "brand": "brand"},
+        tag_columns={"highway": "hw", "lanes": "lanes", "brand": "brand",
+                     "pname": "pname"},
         keep=["p_partkey"],
     ).to_pandas()
-    out = out[["p_partkey", "gtype", "resolution"]]
-    return out.astype("int64")
+    out = out[["p_partkey", "gtype", "resolution", "name"]]
+    out["name"] = out["name"].astype(object).where(out["name"].notna(), "")
+    for c in ("p_partkey", "gtype", "resolution"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 # --- merge / ring assembly (group-local greedy, LineMergeFilter /
