@@ -307,24 +307,24 @@ def sutherland_hodgman_batch(lat2d, lon2d, counts, rects):
     counts; ``rects``: (m, 4) per-ring hp clip rectangles
     (min_lat, min_lon, max_lat, max_lon).
 
-    Returns (out_lat2d, out_lon2d, out_counts) — int64 padded matrices of
-    width K+5 and per-ring vertex counts (0 where the ring vanished, <3
+    Returns (out_lat2d, out_lon2d, out_counts) — int64 padded matrices
+    (width grows per pass to the worst surviving ring, since each
+    Sutherland-Hodgman pass over a non-convex ring can emit up to ~3n/2
+    vertices) and per-ring vertex counts (0 where the ring vanished, <3
     must be dropped by the caller like the scalar kernel returning None).
     """
     m, K = np.asarray(lat2d).shape
-    W = K + 5
-    LA = np.zeros((m, W), np.float64)
-    LO = np.zeros((m, W), np.float64)
-    LA[:, :K] = lat2d
-    LO[:, :K] = lon2d
+    W = K
+    LA = np.asarray(lat2d, np.float64)
+    LO = np.asarray(lon2d, np.float64)
     c = np.asarray(counts, np.int64).copy()
-    rows = np.arange(m)[:, None]
-    J = np.arange(W)[None, :]
     rects = np.asarray(rects, np.int64)
 
     for edge, val in (
         (0, rects[:, 1]), (1, rects[:, 3]), (2, rects[:, 0]), (3, rects[:, 2])
     ):
+        rows = np.arange(m)[:, None]
+        J = np.arange(W)[None, :]
         valf = val.astype(np.float64)[:, None]
         V = J < c[:, None]
         coord = LO if edge in (0, 1) else LA
@@ -353,6 +353,9 @@ def sutherland_hodgman_batch(lat2d, lon2d, counts, rects):
         nj = cross.astype(np.int64) + inside.astype(np.int64)
         ends = np.cumsum(nj, axis=1)
         offs = ends - nj
+        # each pass can GROW a non-convex ring (up to ~3n/2 vertices), so
+        # size the output buffers to the worst surviving ring, not K+const
+        W = max(int(ends[:, -1].max(initial=0)), 4)
         NLA = np.zeros((m, W), np.float64)
         NLO = np.zeros((m, W), np.float64)
         cr, cj = np.nonzero(cross)
@@ -371,6 +374,7 @@ def sutherland_hodgman_batch(lat2d, lon2d, counts, rects):
     iLO = np.trunc(np.where(LO >= 0, LO + 0.5, LO - 0.5)).astype(np.int64)
 
     # collapse consecutive duplicates (within valid range), like the scalar
+    J = np.arange(W)[None, :]
     V = J < c[:, None]
     prev_la = np.roll(iLA, 1, axis=1)
     prev_lo = np.roll(iLO, 1, axis=1)

@@ -185,3 +185,79 @@ class TestSutherlandHodgmanBatch:
                 assert cnt[i] == len(exp[0]), i
                 np.testing.assert_array_equal(cla[i, : cnt[i]], exp[0], str(i))
                 np.testing.assert_array_equal(clo[i, : cnt[i]], exp[1], str(i))
+
+    def test_matches_scalar_concave_and_random(self):
+        # non-convex rings (unsorted vertices + zigzag combs straddling a
+        # rect edge) grow under Sutherland-Hodgman (up to ~3n/2 per pass);
+        # the batch kernel must match the scalar on every such input
+        import numpy as np
+        from mkgmap_ray.geom.clip import (
+            sutherland_hodgman,
+            sutherland_hodgman_batch,
+        )
+
+        rng = np.random.default_rng(1234)
+        K = 15
+        m = 600
+        counts = np.zeros(m, np.int64)
+        lat2d = np.zeros((m, K), np.int64)
+        lon2d = np.zeros((m, K), np.int64)
+        rects = np.zeros((m, 4), np.int64)
+        for i in range(m):
+            y0 = int(rng.integers(-50_000, 50_000))
+            x0 = int(rng.integers(-50_000, 50_000))
+            rects[i] = (y0, x0, y0 + int(rng.integers(10_000, 200_000)),
+                        x0 + int(rng.integers(10_000, 200_000)))
+            if i % 3 == 0:
+                # zigzag comb straddling the rect's top edge
+                c = int(rng.integers(4, K + 1)) // 2 * 2
+                top = int(rects[i][2])
+                xs = np.linspace(x0 - 20_000, x0 + 120_000, c, dtype=np.int64)
+                ys = np.where(
+                    np.arange(c) % 2 == 0, top - 30_000, top + 30_000
+                ).astype(np.int64)
+                counts[i] = c
+                lat2d[i, :c] = ys
+                lon2d[i, :c] = xs
+            else:
+                # fully random (self-intersecting / concave) vertices
+                c = int(rng.integers(3, K + 1))
+                counts[i] = c
+                lat2d[i, :c] = rng.integers(-200_000, 300_000, c)
+                lon2d[i, :c] = rng.integers(-200_000, 300_000, c)
+        cla, clo, cnt = sutherland_hodgman_batch(lat2d, lon2d, counts, rects)
+        for i in range(m):
+            exp = sutherland_hodgman(
+                lat2d[i, : counts[i]], lon2d[i, : counts[i]],
+                tuple(int(v) for v in rects[i]),
+            )
+            if exp is None:
+                assert cnt[i] == 0, i
+            else:
+                assert cnt[i] == len(exp[0]), i
+                np.testing.assert_array_equal(cla[i, : cnt[i]], exp[0], str(i))
+                np.testing.assert_array_equal(clo[i, : cnt[i]], exp[1], str(i))
+
+    def test_advice_repro_concave_zigzag(self):
+        # the exact failure class from round-1 ADVICE: a 15-vertex concave
+        # zigzag crossing one rect edge emits 21 vertices in the scalar path
+        # and must not crash (or diverge) in the batch kernel
+        import numpy as np
+        from mkgmap_ray.geom.clip import (
+            sutherland_hodgman,
+            sutherland_hodgman_batch,
+        )
+
+        c = 15
+        xs = np.linspace(0, 140_000, c, dtype=np.int64)
+        ys = np.where(np.arange(c) % 2 == 0, -30_000, 30_000).astype(np.int64)
+        rect = (0, -10_000, 100_000, 150_000)
+        exp = sutherland_hodgman(ys, xs, rect)
+        assert exp is not None and len(exp[0]) > c
+        cla, clo, cnt = sutherland_hodgman_batch(
+            ys[None, :], xs[None, :], np.array([c]),
+            np.asarray([rect], np.int64),
+        )
+        assert cnt[0] == len(exp[0])
+        np.testing.assert_array_equal(cla[0, : cnt[0]], exp[0])
+        np.testing.assert_array_equal(clo[0, : cnt[0]], exp[1])
