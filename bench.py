@@ -112,13 +112,17 @@ def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
     → per-cell Sutherland-Hodgman/Liang-Barsky clip → per-tile summary, plus
     the PIP boundary join over event points. Returns features processed and
     wall seconds."""
+    import shutil
+    import tempfile
+
     from mkgmap_ray.pipelines.derive import features_dataset
-    from mkgmap_ray.pipelines.tiling import build_tiles, tile_summary
+    from mkgmap_ray.pipelines.tiling import build_tiles, write_tiles
     from mkgmap_ray.pipelines import queries as Q
 
     import pyarrow.parquet as pq
 
     _warmup(num_cpus)
+    out_dir = tempfile.mkdtemp(prefix="bench_tiles_", dir="/tmp")
     t0 = time.perf_counter()
     ds = features_dataset(sf_dir, repeat=repeat)
     # derivation is `repeat` features per source row: count from metadata
@@ -127,7 +131,10 @@ def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
         for t in ("events", "lineitem", "orders")
     )
     assigned, meta, tree = build_tiles(ds, shift=0, clip=True)
-    summary = tile_summary(assigned)
+    # the benched pipeline IS the writing pipeline: partitioned tile
+    # output + manifest, summary derived from the written files
+    wstats = write_tiles(assigned, meta, tree, out_dir, resume=False)
+    summary = wstats["summary"]
     n_out = (
         sum(summary["n_points"].to_pylist())
         + sum(summary["n_lines"].to_pylist())
@@ -136,6 +143,7 @@ def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
     pip = Q.q_pip_regions(sf_dir)
     n_pip = len(pip)
     sec = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
     total = n_features + n_pip
     return {
         "features": int(total),

@@ -96,8 +96,6 @@ def run_images_flagship(
 
     PSNR/phash/caption invariants are asserted in aggregate: any violating
     row fails the run (fidelity is a hard gate, not a metric)."""
-    from ray.data.aggregate import Max, Min, Sum
-
     # 1. split tree from the coordinate-only projection
     min_lat, min_lon, max_lat, max_lon = bbox
     bounds = Area(
@@ -146,16 +144,26 @@ def run_images_flagship(
     else:
         to_write = assigned
 
-    aggs = [Sum("w", alias_name="sum_w")]
-    if verify:
-        aggs += [
-            Min("psnr_centi_db", alias_name="min_psnr_centi_db"),
-            Max("phash_dist", alias_name="max_phash_dist"),
-            Min("caption_ok", alias_name="min_caption_ok"),
-        ]
+    from .tiling import _tile_ids_np, clean_stale_partitions, read_written_tiles
+
+    clean_stale_partitions(out_dir, done)
+    # Single execution: write the tile partitions FIRST, then derive the
+    # per-tile fidelity/count aggregates from a column-pruned second-stage
+    # read of the files just written (generate → decode/verify → assign runs
+    # exactly once, and the gate provably checks the bytes on disk — the
+    # ``bytes`` column is never re-read).
+    # range-cluster by the partition key before the hive write (one file
+    # per block×tile run; pyarrow caps fragments at 1024 partitions)
+    to_write.sort("tile_id").write_parquet(
+        f"{out_dir}/tiles", partition_cols=["tile_id"]
+    )
+
+    stat_cols = ["tile_id"] + (
+        ["psnr_centi_db", "phash_dist", "caption_ok"] if verify else []
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        tid = np.asarray(batch["tile_id"].combine_chunks(), np.int64)
+        tid = _tile_ids_np(batch)
         uniq, inv = np.unique(tid, return_inverse=True)
         out = {
             "tile_id": pa.array(uniq, pa.int64()),
@@ -181,7 +189,7 @@ def run_images_flagship(
             out["min_caption_ok"] = pa.array(mc, pa.int64())
         return pa.table(out)
 
-    parts = to_write.map_batches(
+    parts = read_written_tiles(out_dir, stat_cols, exclude=done).map_batches(
         partial, batch_format="pyarrow", batch_size=None
     )
     acc: dict[int, dict] = {}
@@ -200,8 +208,6 @@ def run_images_flagship(
                     cur["max_phash_dist"], row["max_phash_dist"])
                 cur["min_caption_ok"] = min(
                     cur["min_caption_ok"], row["min_caption_ok"])
-
-    to_write.write_parquet(f"{out_dir}/tiles", partition_cols=["tile_id"])
 
     for tid, agg in acc.items():
         if verify:

@@ -42,6 +42,58 @@ def build_tiles(
     return assigned, meta, tree
 
 
+def _tile_ids_np(batch: pa.Table) -> np.ndarray:
+    """tile_id column as int64, tolerating the string/dictionary form a
+    hive-partitioned parquet read gives back."""
+    col = batch["tile_id"].combine_chunks()
+    if not pa.types.is_integer(col.type):
+        col = col.cast(pa.int64())
+    return np.asarray(col, np.int64)
+
+
+def clean_stale_partitions(out_dir: str, done: set[int]) -> None:
+    """Delete tile partition dirs that exist WITHOUT a ``_done`` marker —
+    leftovers of a failed/invalidated run. Without this, rewriting a tile
+    appends new files next to the stale ones and the partition holds
+    duplicate rows."""
+    import os
+    import re
+    import shutil
+
+    tiles_dir = f"{out_dir}/tiles"
+    if not os.path.isdir(tiles_dir):
+        return
+    for name in os.listdir(tiles_dir):
+        m = re.match(r"tile_id=(\d+)$", name)
+        if m and int(m.group(1)) not in done:
+            shutil.rmtree(os.path.join(tiles_dir, name))
+
+
+def read_written_tiles(out_dir: str, columns: list[str], exclude=None):
+    """Second-stage Dataset over the tile partitions a run just wrote
+    (column-pruned; ``exclude`` drops tiles completed by a PREVIOUS run so
+    resume summaries cover only this run's work)."""
+    import os
+
+    import ray.data as rd
+
+    if not os.path.isdir(f"{out_dir}/tiles"):  # zero-row run wrote nothing
+        return rd.from_arrow(
+            pa.table({c: pa.array([], pa.int64()) for c in columns})
+        )
+    ds = rd.read_parquet(f"{out_dir}/tiles", columns=columns)
+    if exclude:
+        done_arr = np.asarray(sorted(exclude), np.int64)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(~np.isin(_tile_ids_np(batch), done_arr))
+            )
+
+        ds = ds.map_batches(drop, batch_format="pyarrow", batch_size=None)
+    return ds
+
+
 def tile_summary(assigned_ds) -> "pa.Table":
     """Per-tile feature counts by kind — the engine's analogue of the
     reference functional tests' per-level point/line counts
@@ -51,7 +103,7 @@ def tile_summary(assigned_ds) -> "pa.Table":
     cardinality (partials are bounded by tile count, not feature count)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        tile = np.asarray(batch["tile_id"].combine_chunks(), np.int64)
+        tile = _tile_ids_np(batch)
         kind = np.asarray(batch["kind"].combine_chunks(), np.int64)
         uniq, inv = np.unique(tile, return_inverse=True)
         out = {"tile_id": pa.array(uniq, pa.int64())}
@@ -129,8 +181,22 @@ def write_tiles(
     else:
         to_write = assigned_ds
 
-    summary = tile_summary(to_write)
-    to_write.write_parquet(f"{out_dir}/tiles", partition_cols=["tile_id"])
+    clean_stale_partitions(out_dir, done)
+    # Single execution: write first, then derive per-tile counts from a
+    # column-pruned second-stage read of the files just written (the
+    # OverviewBuilder pattern) — the expensive assign/clip pipeline runs
+    # exactly once and the manifest counts describe the bytes on disk.
+    # The sort clusters each block around contiguous tile_ids before the
+    # hive-partitioned write: one file per (block × few tiles) instead of
+    # per (block × every tile it scatters into) — the same range-shuffle a
+    # partitioned sink needs at any scale (and pyarrow caps fragments at
+    # 1024 partitions).
+    to_write.sort("tile_id").write_parquet(
+        f"{out_dir}/tiles", partition_cols=["tile_id"]
+    )
+    summary = tile_summary(
+        read_written_tiles(out_dir, ["tile_id", "kind"], exclude=done)
+    )
 
     meta_pd = meta.to_pandas().set_index("tile_id")
     for row in summary.to_pylist():
@@ -149,6 +215,7 @@ def write_tiles(
         "written_tiles": summary.num_rows,
         "skipped_tiles": len(done),
         "tree_digest": digest,
+        "summary": summary,
     }
 
 
