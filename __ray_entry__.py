@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash": Q.q_dedup_minhash,
         "dedup_simhash": Q.q_dedup_simhash,
+        "minhash_sig": Q.q_minhash_sig,
+        "simhash_sig": Q.q_simhash_sig,
         "langid": Q.q_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
         # embeddings
@@ -103,6 +105,78 @@ def _pip_region_sql(rid: int, pts: list[tuple[int, int]]) -> str:
         f"SELECT event_id, CAST({rid} AS BIGINT) AS region_id FROM p WHERE "
         + " AND ".join(conds)
     )
+
+
+
+def _minhash_sig_sql() -> str:
+    """Closed-form DuckDB mirror of MinHashSig: base-31 polynomial over
+    each 5-byte shingle, then min((a*h+b) % 2^31-1) per permutation,
+    summed per doc. Constants come from the same seeded generator the
+    engine uses, so the arithmetic is int64-identical on both sides."""
+    from mkgmap_ray.stages.dedup import MinHasher
+
+    mh = MinHasher()
+    params = ", ".join(
+        f"({j}, CAST({int(a)} AS BIGINT), CAST({int(b)} AS BIGINT))"
+        for j, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, CAST(unnest(list_transform(range(1, length(text) - 3), i ->
+              ord(substr(text, i, 1)) * 923521
+            + ord(substr(text, i+1, 1)) * 29791
+            + ord(substr(text, i+2, 1)) * 961
+            + ord(substr(text, i+3, 1)) * 31
+            + ord(substr(text, i+4, 1)))) AS BIGINT) AS h
+          FROM documents),
+        params(j, a, b) AS (VALUES {params}),
+        mins AS (SELECT doc_id, p.j, min((p.a * sh.h + p.b) % 2147483647) AS m
+                 FROM sh CROSS JOIN params p GROUP BY 1, 2)
+        SELECT m.doc_id AS doc_id, CAST(sum(m.m) AS BIGINT) AS sig_sum,
+               CAST(length(d.text) - 4 AS BIGINT) AS n_shingles
+        FROM mins m JOIN documents d ON m.doc_id = d.doc_id
+        GROUP BY m.doc_id, d.text ORDER BY doc_id
+    """
+
+
+def _simhash_sig_sql() -> str:
+    """DuckDB mirror of SimHashSig: FNV-1a per whitespace token (uint64
+    wraparound emulated in HUGEINT: xor only touches the low byte, so
+    h^b = h - h%256 + xor(h%256, b)), per-bit ±1 votes, bits with
+    positive vote sum packed back into a signed 64-bit value."""
+    divisors = ", ".join(
+        f"({j}, CAST('{1 << j}' AS HUGEINT))" for j in range(64)
+    )
+    u64 = "CAST('18446744073709551616' AS HUGEINT)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents),
+        hs AS (
+          SELECT doc_id, list_reduce(
+            list_prepend(CAST('14695981039346656037' AS HUGEINT),
+              list_transform(range(1, length(tok)+1),
+                             i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+            (acc, b) -> ((acc - acc % 256
+                          + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+                         * 1099511628211) % {u64}
+          ) AS h FROM toks),
+        bitdef(j, div) AS (VALUES {divisors}),
+        votes AS (
+          SELECT doc_id, b.j, b.div,
+                 sum(CASE WHEN (h // b.div) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM hs CROSS JOIN bitdef b GROUP BY 1, 2, 3),
+        packed AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 THEN div ELSE CAST(0 AS HUGEINT) END) AS u
+          FROM votes GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN u - {u64} ELSE u END AS BIGINT) AS simhash
+        FROM packed ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -256,6 +330,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
+        "minhash_sig": _minhash_sig_sql(),
+        "simhash_sig": _simhash_sig_sql(),
         "ann_topk_dot": f"""
             WITH q AS (SELECT vec_id AS query_id,
                   list_transform(embedding,

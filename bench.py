@@ -53,6 +53,9 @@ QUERY_NAMES = [
     "doc_stats",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "minhash_sig",
+    "simhash_sig",
     "ann_topk_dot",
     "images_tiles",
     "way_assembly",

@@ -18,7 +18,13 @@ import pyarrow as pa
 from ..geom.clip import clip_segments_np
 from ..util import pool_concurrency
 from ..stages.ann import topk_dot, quantize
-from ..stages.dedup import exact_dedup, minhash_candidates, simhash_candidates
+from ..stages.dedup import (
+    MinHashSig,
+    SimHashSig,
+    exact_dedup,
+    minhash_candidates,
+    simhash_candidates,
+)
 from ..stages.knn import KnnJoin
 from ..stages.pipjoin import PIPJoin
 from ..stages.raster import RasterSampler, make_raster
@@ -541,7 +547,8 @@ def q_top_users(sf_dir: str):
 def q_doc_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=pool_concurrency()
+        TextStats, batch_format="pandas",
+        concurrency=pool_concurrency(), batch_size=None
     ).to_pandas()
     return out[["doc_id", "n_chars_calc", "n_tokens", "n_punct"]].astype("int64")
 
@@ -586,10 +593,34 @@ def q_dedup_simhash(sf_dir: str):
     return out[["a", "b", "hamming"]].astype("int64")
 
 
+def q_minhash_sig(sf_dir: str):
+    """SQL-checkable MinHash face: per-doc signature sum over the 64
+    (a*x+b) mod 2^31-1 permutations of base-31 shingle polynomials — the
+    DuckDB oracle recomputes the identical integer arithmetic closed form
+    (graduates MinHash from a rows-only check)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        MinHashSig(), batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def q_simhash_sig(sf_dir: str):
+    """SQL-checkable SimHash face: per-doc 64-bit SimHash over whitespace
+    tokens' FNV-1a hashes (the oracle emulates uint64 wraparound with
+    HUGEINT arithmetic)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        SimHashSig(), batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def q_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=pool_concurrency()
+        TextStats, batch_format="pandas",
+        concurrency=pool_concurrency(), batch_size=None
     ).to_pandas()
     return out[["doc_id", "lang_pred"]]
 
@@ -597,7 +628,8 @@ def q_langid(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=pool_concurrency()
+        TextStats, batch_format="pandas",
+        concurrency=pool_concurrency(), batch_size=None
     ).to_pandas()
     return out[["doc_id", "fingerprint"]].astype("int64")
 

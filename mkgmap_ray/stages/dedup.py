@@ -23,9 +23,6 @@ import numpy as np
 from ..util import pool_concurrency
 import pandas as pd
 
-MERSENNE = (1 << 61) - 1
-
-
 def text_hash64(s: pd.Series) -> pd.Series:
     return s.map(
         lambda t: int.from_bytes(
@@ -40,12 +37,16 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
     never shuffles."""
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = text_hash64(b[key])
         return pd.DataFrame(
-            {"h": text_hash64(b[key]), id_col: b[id_col], key: b[key]}
+            {"h": h, "part": h.to_numpy(np.int64) & 255,
+             id_col: b[id_col], key: b[key]}
         )
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, group by the true key (collision-safe)
+        # one call per hash PARTITION (bounded group count, not one Ray
+        # group per distinct text); group by the true key inside
+        # (collision-safe)
         out = (
             g.groupby(key, sort=True)[id_col]
             .agg(["min", "count"])
@@ -54,138 +55,228 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         return out.rename(columns={"min": "keep_id", "count": "n_dups"})
 
     return (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
+        ds.map_batches(add_hash, batch_format="pandas", batch_size=None)
+        .groupby("part")
         .map_groups(keep_first, batch_format="pandas")
     )
 
 
 # --- MinHash ----------------------------------------------------------------
 
+# Modulus of the (a*x+b) mod p permutation family. 2^31-1 keeps every
+# intermediate (< 2^62) inside int64, so the same arithmetic runs in numpy
+# AND in a DuckDB BIGINT oracle (the SQL-checkable face of the operator).
+P31 = (1 << 31) - 1
+SHINGLE_BASE = 31  # base-31 polynomial over the k shingle bytes (< 2^31)
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit FNV-1a hashes of the k-character shingles."""
-    if len(text) < k:
-        data = [text]
-    else:
-        data = [text[i : i + k] for i in range(len(text) - k + 1)]
-    out = np.empty(len(data), np.uint64)
-    for i, sh in enumerate(data):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in sh.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+
+def _shingle_hash_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Base-31 polynomial hashes of every k-byte shingle of every text,
+    fully vectorized (k fused passes over one concatenated byte buffer —
+    no per-row Python). Returns (vals, starts): flat int64 hash array in
+    doc order plus per-doc start offsets (len n+1, counts >= 1: a text
+    shorter than k contributes its whole-text polynomial)."""
+    enc = [t.encode("utf-8") for t in texts]
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), np.int64, n)
+    buf = np.frombuffer(b"".join(enc), np.uint8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    counts = np.where(lens >= k, lens - k + 1, 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    total = int(starts[-1])
+
+    doc_of = np.repeat(np.arange(n), counts)
+    local = np.arange(total) - np.repeat(starts[:-1], counts)
+    pos = offs[doc_of] + local
+    vals = np.zeros(total, np.int64)
+    guard = max(len(buf) - 1, 0)
+    for j in range(k):
+        vals = vals * SHINGLE_BASE + buf[np.minimum(pos + j, guard)]
+    short = np.nonzero(lens < k)[0]
+    for d in short:  # rare: whole-text polynomial
+        h = 0
+        for byte in enc[d]:
+            h = h * SHINGLE_BASE + byte
+        vals[starts[d]] = h
+    return vals, starts
 
 
 class MinHasher:
-    """Per-batch minhash signatures (``num_perm`` permutations via the
-    (a*x+b) mod p universal family, seeded)."""
+    """Minhash signatures via the (a*x+b) mod 2^31-1 universal family over
+    base-31 shingle polynomials, seeded. Vectorized across a whole batch of
+    documents (``signatures``); DuckDB-expressible closed form."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64).astype(
-            np.uint64
-        )
-        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64).astype(
-            np.uint64
-        )
+        self.a = rng.integers(1, P31, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, P31, num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.k = shingle_k
 
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) int64 signature matrix for a batch of texts.
+        Perm × shingle products stay < 2^62 (int64-exact); shingle chunks
+        bound the intermediate matrix to ~64 MB."""
+        vals, starts = _shingle_hash_batch(texts, self.k)
+        n = len(starts) - 1
+        sig = np.empty((n, self.num_perm), np.int64)
+        CHUNK = 1 << 17  # shingles per slab
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1
+            while d1 < n and starts[d1 + 1] - starts[d0] <= CHUNK:
+                d1 += 1
+            v = vals[starts[d0] : starts[d1]]
+            x = self.a[:, None] * v[None, :] + self.b[:, None]
+            # Mersenne reduction: for p = 2^31-1 and x < 2^62,
+            # x mod p = fold(high | low) twice + conditional subtract —
+            # shifts/adds instead of int64 division (~3x faster here)
+            x = (x & P31) + (x >> 31)
+            x = (x & P31) + (x >> 31)
+            m = np.where(x >= P31, x - P31, x)
+            seg = (starts[d0 : d1] - starts[d0]).astype(np.int64)
+            sig[d0:d1] = np.minimum.reduceat(m, seg, axis=1).T
+            d0 = d1
+        return sig
+
     def signature(self, text: str) -> np.ndarray:
-        vals = _shingle_hashes(text, self.k)
-        # (a * x + b) in uint64 wraparound arithmetic — a deterministic
-        # universal-ish family, fully vectorized (perm × shingle matrix)
-        with np.errstate(over="ignore"):
-            m = self.a[:, None] * vals[None, :] + self.b[:, None]
-        return m.min(axis=1)
+        return self.signatures([text])[0]
 
     def jaccard_est(self, sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
 
 
+_BANDMIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 bucket keys: per band, fold the band's signature
+    values with a splitmix-style multiply-xor (vectorized uint64
+    wraparound)."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    chunks = sig.astype(np.uint64).reshape(n, bands, r)
+    h = np.full((n, bands), 0xCBF29CE484222325, np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(r):
+            h = (h ^ chunks[:, :, i]) * _BANDMIX
+            h ^= h >> np.uint64(29)
+    return h.view(np.int64)
+
+
 class MinHashBands:
-    """map_batches actor: doc → (band, band_hash, doc_id) rows."""
+    """map_batches actor: doc → (band, band_hash, doc_id, sig) rows —
+    vectorized whole-batch signature + band-hash computation (no per-row
+    Python; round 1's iterrows + per-byte FNV was the engine's slowest
+    stage)."""
 
     def __init__(self, num_perm=64, bands=16, shingle_k=5, seed=42,
                  text_col="text", id_col="doc_id"):
         assert num_perm % bands == 0
         self.mh = MinHasher(num_perm, shingle_k, seed)
         self.bands = bands
-        self.rows_per_band = num_perm // bands
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for _, row in batch.iterrows():
-            sig = self.mh.signature(row[self.text_col])
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.sha1(chunk.tobytes()).digest()[:8], "big", signed=True
-                )
-                out_band.append(b)
-                out_hash.append(bh)
-                out_id.append(row[self.id_col])
-                out_sig.append(sig.tobytes())
+        n = len(batch)
+        sig = self.mh.signatures(batch[self.text_col].tolist())
+        bh = band_hashes(sig, self.bands)
+        ids = batch[self.id_col].to_numpy(np.int64)
+        sig_bytes = [s.tobytes() for s in sig]
         return pd.DataFrame(
             {
-                "band": np.asarray(out_band, np.int32),
-                "band_hash": np.asarray(out_hash, np.int64),
-                "doc_id": np.asarray(out_id, np.int64),
-                "sig": out_sig,
+                "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1),
+                "doc_id": np.repeat(ids, self.bands),
+                "sig": [sig_bytes[i] for i in range(n) for _ in range(self.bands)],
             }
         )
+
+
+N_BUCKET_PARTS = 64  # LSH buckets hash-partitioned into this many groups
+MAX_BUCKET = 512  # cap per-bucket membership (deterministic: smallest ids)
 
 
 def minhash_candidates(ds, num_perm=64, bands=16, shingle_k=5, seed=42,
                        threshold: float = 0.5, text_col="text", id_col="doc_id"):
     """documents → candidate near-dup pairs (a < b) with minhash-estimated
-    Jaccard ≥ threshold. Pairs are deduped across bands downstream."""
+    Jaccard ≥ threshold. Pairs are deduped across bands downstream.
+
+    Scale shape: the shuffle moves only (band, band_hash, doc_id, sig)
+    rows — never document payloads — hash-partitioned into
+    ``N_BUCKET_PARTS`` groups (ONE vectorized pandas call per partition,
+    not one per LSH bucket: round 1's per-bucket map_groups paid Ray
+    group-dispatch overhead ~75k times). Buckets over ``MAX_BUCKET``
+    members are capped deterministically (smallest doc_ids kept) so a
+    heavy duplicate cluster cannot go O(n²)."""
+    # instance (not class): hasher setup is microseconds, so plain tasks
+    # beat an actor pool — the instance is pickled once into the task
+    # closure, no per-query actor spin-up
     banded = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs=dict(
+        MinHashBands(
             num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
             text_col=text_col, id_col=id_col,
         ),
         batch_format="pandas",
-        concurrency=pool_concurrency(),
+        batch_size=None,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = b["band_hash"].to_numpy(np.int64) & (N_BUCKET_PARTS - 1)
+        return b
+
+    n_bands = bands
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash partition; iterate only the multi-member
+        # buckets inside it, each bucket fully vectorized. Cross-band
+        # dedupe is LOCAL: a pair is emitted only from the FIRST band
+        # where the two docs co-bucket (recomputable from the signatures
+        # riding with the rows), so no second shuffle is needed.
+        out_a, out_b, out_j = [], [], []
+        sizes = g.groupby(["band", "band_hash"], sort=False)[
+            "doc_id"
+        ].transform("size")
+        g = g[sizes >= 2]
+        for (band, _), grp in g.groupby(["band", "band_hash"], sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            if len(grp) > MAX_BUCKET:
+                grp = grp.head(MAX_BUCKET)
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            S = np.stack([np.frombuffer(s, np.int64) for s in grp["sig"]])
+            iu, ju = np.triu_indices(len(ids), 1)
+            est = (S[iu] == S[ju]).mean(axis=1)
+            keep = est >= threshold
+            if not keep.any():
+                continue
+            iu, ju, est = iu[keep], ju[keep], est[keep]
+            BH = band_hashes(S, n_bands)
+            first_band = np.argmax(BH[iu] == BH[ju], axis=1)
+            canon = first_band == band
+            out_a.append(ids[iu[canon]])
+            out_b.append(ids[ju[canon]])
+            out_j.append(est[canon])
+        if not out_a:
             return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
                 {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
             )
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = [np.frombuffer(s, np.uint64) for s in g["sig"]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(est)
         return pd.DataFrame(
             {
-                "a": np.asarray(out_a, np.int64),
-                "b": np.asarray(out_b, np.int64),
-                "est_jaccard": np.asarray(out_j, np.float64),
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+                "est_jaccard": np.concatenate(out_j),
             }
         )
 
-    cand = banded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    return (
+        banded.map_batches(add_part, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
     )
-
-    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
-
-    return cand.groupby("a").map_groups(dedupe_pairs, batch_format="pandas")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -200,84 +291,222 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # --- SimHash ----------------------------------------------------------------
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64_batch(tokens: list[bytes | str]) -> np.ndarray:
+    """FNV-1a 64-bit of many byte strings at once: one uint64 vector pass
+    per byte POSITION (padded matrix + done-mask), not per byte — bit-exact
+    with the classic scalar loop."""
+    enc = [t.encode("utf-8") if isinstance(t, str) else t for t in tokens]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lens = np.fromiter((len(e) for e in enc), np.int64, n)
+    maxlen = int(lens.max(initial=0))
+    M = np.zeros((n, maxlen), np.uint64)
+    flat = np.frombuffer(b"".join(enc), np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens)
+    M[rows, cols] = flat
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            live = j < lens
+            h = np.where(live, (h ^ M[:, j]) * _FNV_PRIME, h)
+    return h
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash of each text over whitespace tokens, vectorized:
+    token FNV hashes in one padded pass, per-bit ±1 votes combined with
+    add.reduceat over token segments. Bit-exact with the classic per-token
+    scalar algorithm. Returns int64 (two's-complement view)."""
+    tok_lists = [t.split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(texts))
+    all_tokens = [t for toks in tok_lists for t in toks]
+    hs = fnv1a64_batch(all_tokens)
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    votes = 2 * bits - 1  # ±1 per bit per token
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    # guard empty docs (reduceat needs valid starts); zero tokens → acc 0
+    safe_starts = np.minimum(starts, max(len(all_tokens) - 1, 0))
+    acc = np.add.reduceat(votes, safe_starts, axis=0) if len(all_tokens) \
+        else np.zeros((len(texts), 64), np.int64)
+    acc[counts == 0] = 0
+    # reduceat quirk: when starts[i] == starts[i+1] (empty doc) it returns
+    # the single row at starts[i]; the mask above overrides those.
+    sh = np.where(acc > 0, np.uint64(1), np.uint64(0)) << np.arange(
+        64, dtype=np.uint64
+    )[None, :]
+    return sh.sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
 def simhash64(tokens: list[str]) -> int:
-    """Classic 64-bit SimHash over token FNV hashes."""
-    acc = np.zeros(64, np.int64)
-    for t in tokens:
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    val = 0
-    for i in range(64):
-        if acc[i] > 0:
-            val |= 1 << i
-    return val - (1 << 64) if val >= (1 << 63) else val
+    """Classic 64-bit SimHash over token FNV hashes (scalar face of
+    ``simhash64_batch``)."""
+    return int(simhash64_batch([" ".join(tokens)])[0]) if tokens else int(
+        simhash64_batch([""])[0]
+    )
 
 
 class SimHashChunks:
     """map_batches: doc → 4 rows (chunk_idx, chunk_val, doc_id, simhash) —
-    pigeonhole blocking for Hamming ≤ 3 candidate generation."""
+    pigeonhole blocking for Hamming ≤ 3 candidate generation. Whole-batch
+    vectorized signatures."""
 
     def __init__(self, text_col="text", id_col="doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"chunk_idx": [], "chunk_val": [], "doc_id": [], "simhash": []}
-        for _, row in batch.iterrows():
-            sh = simhash64(row[self.text_col].split())
-            u = sh & 0xFFFFFFFFFFFFFFFF
-            for c in range(4):
-                rows["chunk_idx"].append(c)
-                rows["chunk_val"].append((u >> (16 * c)) & 0xFFFF)
-                rows["doc_id"].append(row[self.id_col])
-                rows["simhash"].append(sh)
+        n = len(batch)
+        sh = simhash64_batch(batch[self.text_col].tolist())
+        u = sh.view(np.uint64)
+        ids = batch[self.id_col].to_numpy(np.int64)
+        chunk_vals = (
+            (u[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32)
         return pd.DataFrame(
             {
-                "chunk_idx": np.asarray(rows["chunk_idx"], np.int32),
-                "chunk_val": np.asarray(rows["chunk_val"], np.int32),
-                "doc_id": np.asarray(rows["doc_id"], np.int64),
-                "simhash": np.asarray(rows["simhash"], np.int64),
+                "chunk_idx": np.tile(np.arange(4, dtype=np.int32), n),
+                "chunk_val": chunk_vals.reshape(-1),
+                "doc_id": np.repeat(ids, 4),
+                "simhash": np.repeat(sh, 4),
             }
         )
+
+
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def hamming64(x: np.ndarray) -> np.ndarray:
+    """Popcount of int64/uint64 values via a byte lookup (vectorized)."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return _POPCNT8[b].sum(axis=1)
 
 
 def simhash_candidates(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
+    """Pigeonhole-blocked SimHash near-dup pairs (Hamming ≤ max_hamming).
+    Same partitioned-bucket shape as ``minhash_candidates``: chunk buckets
+    hash into ``N_BUCKET_PARTS`` groups, pair generation vectorized per
+    bucket with popcount lookups, heavy buckets capped at ``MAX_BUCKET``."""
     chunked = ds.map_batches(
-        SimHashChunks,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        SimHashChunks(text_col=text_col, id_col=id_col),
         batch_format="pandas",
-        concurrency=pool_concurrency(),
+        batch_size=None,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hashes = g["simhash"].to_numpy().astype(np.int64)
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        key = (
+            b["chunk_idx"].to_numpy(np.int64) * 65536
+            + b["chunk_val"].to_numpy(np.int64)
+        )
+        b["part"] = key & (N_BUCKET_PARTS - 1)
+        return b
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-chunk dedupe is local: emit a pair only from the FIRST of
+        # the four 16-bit chunks where both docs agree (derivable from the
+        # simhash values riding with the rows) — no second shuffle.
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(hashes[i + 1 :], hashes[i])
-            ham = np.array([bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in x])
-            ok = np.flatnonzero(ham <= max_hamming)
-            for j in ok:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_d.append(int(ham[j]))
+        sizes = g.groupby(["chunk_idx", "chunk_val"], sort=False)[
+            "doc_id"
+        ].transform("size")
+        g = g[sizes >= 2]
+        for (cidx, _), grp in g.groupby(["chunk_idx", "chunk_val"], sort=False):
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            if len(grp) > MAX_BUCKET:
+                grp = grp.head(MAX_BUCKET)
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            hs = grp["simhash"].to_numpy(np.int64)
+            iu, ju = np.triu_indices(len(ids), 1)
+            ham = hamming64(np.bitwise_xor(hs[iu], hs[ju]))
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            iu, ju, ham = iu[keep], ju[keep], ham[keep]
+            u = hs.view(np.uint64)
+            shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+            chunks = (
+                (u[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+            )
+            first_chunk = np.argmax(chunks[iu] == chunks[ju], axis=1)
+            canon = first_chunk == cidx
+            out_a.append(ids[iu[canon]])
+            out_b.append(ids[ju[canon]])
+            out_d.append(ham[canon])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+                np.int64
+            )
         return pd.DataFrame(
             {
-                "a": np.asarray(out_a, np.int64),
-                "b": np.asarray(out_b, np.int64),
-                "hamming": np.asarray(out_d, np.int64),
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+                "hamming": np.concatenate(out_d).astype(np.int64),
             }
         )
 
-    cand = chunked.groupby(["chunk_idx", "chunk_val"]).map_groups(
-        pairs, batch_format="pandas"
+    return (
+        chunked.map_batches(add_part, batch_format="pandas", batch_size=None)
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
     )
 
-    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
 
-    return cand.groupby("a").map_groups(dedupe_pairs, batch_format="pandas")
+class MinHashSig:
+    """map_batches actor: per-doc SQL-checkable minhash face —
+    (doc_id, sig_sum = sum of the 64 signature values, n_shingles).
+    The (a*x+b) mod 2^31-1 family over base-31 shingle polynomials is
+    int64-exact in both numpy and DuckDB (the oracle mirrors it closed
+    form), graduating MinHash from a rows-only check."""
+
+    def __init__(self, num_perm=64, shingle_k=5, seed=42,
+                 text_col="text", id_col="doc_id"):
+        self.mh = MinHasher(num_perm, shingle_k, seed)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].tolist()
+        sig = self.mh.signatures(texts)
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        return pd.DataFrame(
+            {
+                "doc_id": batch[self.id_col].to_numpy(np.int64),
+                "sig_sum": sig.sum(axis=1),
+                "n_shingles": np.where(
+                    lens >= self.mh.k, lens - self.mh.k + 1, 1
+                ),
+            }
+        )
+
+
+class SimHashSig:
+    """map_batches actor: per-doc (doc_id, simhash) — the SQL-checkable
+    SimHash face (FNV-1a token hashes are reproduced in DuckDB with
+    HUGEINT wraparound emulation)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch[self.id_col].to_numpy(np.int64),
+                "simhash": simhash64_batch(batch[self.text_col].tolist()),
+            }
+        )
