@@ -333,55 +333,53 @@ def q_q1_pricing(sf_dir: str):
     return out
 
 
+def _revenue_cents(batch: pa.Table) -> np.ndarray:
+    return cents(
+        np.asarray(batch["l_extendedprice"].combine_chunks(), np.float64)
+    ) * (
+        10000
+        - cents(np.asarray(batch["l_discount"].combine_chunks(), np.float64))
+        * 100
+    )
+
+
 def q_q3_top_orders(sf_dir: str):
-    """Join shape: broadcast the filtered customer keys into an orders
-    filter, then partial-aggregate lineitem revenue per order (broadcast
-    hash-join, no shuffle join)."""
+    """Distributed join shape: broadcast ONLY the (dimension-sized)
+    BUILDING customer-key set; orders are filtered distributively and the
+    orders⋈lineitem join on orderkey runs as union + one hash groupby of
+    per-block partials — no fact-sized table ever reaches the driver
+    (round 1 materialized every BUILDING order's key with to_pandas).
+    Top-10 via per-block top-k partials, driver merges ≤ blocks×10 rows."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    keys = set(
+    karr = np.sort(
         np.asarray(cust["c_custkey"], np.int64)[
             np.asarray(cust["c_mktsegment"]) == "BUILDING"
-        ].tolist()
+        ]
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    karr = np.asarray(sorted(keys), np.int64)
-
-    def ofilter(batch: pa.Table) -> pa.Table:
+    def orders_side(batch: pa.Table) -> pa.Table:
         ck = np.asarray(batch["o_custkey"].combine_chunks(), np.int64)
-        return batch.filter(pa.array(np.isin(ck, karr)))
-
-    okeys = np.unique(
-        np.asarray(
-            orders.map_batches(ofilter, batch_format="pyarrow", batch_size=None)
-            .to_pandas()["o_orderkey"],
-            np.int64,
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)[
+            np.isin(ck, karr)
+        ]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "revenue_c": pa.array(np.zeros(len(ok), np.int64), pa.int64()),
+                "n_line": pa.array(np.zeros(len(ok), np.int64), pa.int64()),
+                "is_order": pa.array(np.ones(len(ok), np.int64), pa.int64()),
+            }
         )
-    )
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def line_side(batch: pa.Table) -> pa.Table:
         ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
-        m = np.isin(ok, okeys)
-        if not m.any():
-            return pa.table(
-                {"l_orderkey": pa.array([], pa.int64()),
-                 "revenue_c": pa.array([], pa.int64())}
-            )
-        rev = cents(
-            np.asarray(batch["l_extendedprice"].combine_chunks(), np.float64)[m]
-        ) * (
-            10000
-            - cents(
-                np.asarray(batch["l_discount"].combine_chunks(), np.float64)[m]
-            )
-            * 100
-        )
-        uniq, inv = np.unique(ok[m], return_inverse=True)
+        rev = _revenue_cents(batch)
+        uniq, inv = np.unique(ok, return_inverse=True)
         return pa.table(
             {
                 "l_orderkey": pa.array(uniq, pa.int64()),
@@ -391,18 +389,40 @@ def q_q3_top_orders(sf_dir: str):
                     ),
                     pa.int64(),
                 ),
+                "n_line": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "is_order": pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
             }
         )
 
-    ds = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
-    from ray.data.aggregate import Sum as _Sum
-
-    agg = ds.groupby("l_orderkey").aggregate(
-        _Sum("revenue_c", alias_name="revenue_c")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow", batch_size=None
     )
-    out = agg.to_pandas()
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_side, batch_format="pyarrow", batch_size=None)
+
+    joined = orders.union(lines).groupby("l_orderkey").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"),
+        Sum("n_line", alias_name="n_line"),
+        Max("is_order", alias_name="is_order"),
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["is_order"] == 1) & (df["n_line"] > 0)]
+        return pa.Table.from_pandas(
+            df.sort_values(
+                ["revenue_c", "l_orderkey"], ascending=[False, True]
+            ).head(10)[["l_orderkey", "revenue_c"]],
+            preserve_index=False,
+        )
+
+    out = joined.map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     out = out.sort_values(
         ["revenue_c", "l_orderkey"], ascending=[False, True]
     ).head(10)
@@ -410,10 +430,15 @@ def q_q3_top_orders(sf_dir: str):
 
 
 def q_q5_nation_revenue(sf_dir: str):
-    """Multi-join via two broadcast maps: customer→nation, then revenue per
-    nation name."""
+    """Distributed multi-join: broadcast only the DIMENSION sides
+    (customer→nation as sorted searchsorted arrays, nation names).
+    The fact-sized order→nation map is built distributively (orders
+    map_batches), joined with per-block lineitem revenue partials via
+    union + one hash groupby on orderkey, then reduced to 25 nation rows
+    — round 1 read the whole orders table on the driver and probed a
+    Python dict per order row."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -421,52 +446,83 @@ def q_q5_nation_revenue(sf_dir: str):
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    c2n = dict(
-        zip(
-            np.asarray(cust["c_custkey"], np.int64).tolist(),
-            np.asarray(cust["c_nationkey"], np.int64).tolist(),
-        )
-    )
+    order_c = np.argsort(np.asarray(cust["c_custkey"], np.int64))
+    ck_sorted = np.asarray(cust["c_custkey"], np.int64)[order_c]
+    cnk_sorted = np.asarray(cust["c_nationkey"], np.int64)[order_c]
     n2name = dict(
         zip(
             np.asarray(nation["n_nationkey"], np.int64).tolist(),
             nation["n_name"].to_pylist(),
         )
     )
-    ok_arr = np.asarray(orders["o_orderkey"], np.int64)
-    ock = np.asarray(orders["o_custkey"], np.int64)
-    # searchsorted lookup table (orderkeys may be missing → inner-join drop)
-    o_sorted = np.argsort(ok_arr)
-    ok_sorted = ok_arr[o_sorted]
-    nk_sorted = np.asarray(
-        [c2n.get(int(c), -1) for c in ock], np.int64
-    )[o_sorted]
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
-        rev = cents(
-            np.asarray(batch["l_extendedprice"].combine_chunks(), np.float64)
-        ) * (
-            10000
-            - cents(np.asarray(batch["l_discount"].combine_chunks(), np.float64))
-            * 100
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        ck = np.asarray(batch["o_custkey"].combine_chunks(), np.int64)
+        pos = np.clip(
+            np.searchsorted(ck_sorted, ck), 0, max(len(ck_sorted) - 1, 0)
         )
-        pos = np.searchsorted(ok_sorted, ok)
-        pos = np.clip(pos, 0, len(ok_sorted) - 1)
-        found = ok_sorted[pos] == ok
-        nk = np.where(found, nk_sorted[pos], -1)
-        m = nk >= 0
-        df = pd.DataFrame({"nationkey": nk[m], "revenue_c": rev[m]})
-        return df.groupby("nationkey", as_index=False).sum()
+        nk = np.where(ck_sorted[pos] == ck, cnk_sorted[pos], -1)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "revenue_c": pa.array(np.zeros(len(ok), np.int64), pa.int64()),
+                "nationkey": pa.array(nk, pa.int64()),
+            }
+        )
 
-    ds = _read(
+    def line_side(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        rev = _revenue_cents(batch)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "revenue_c": pa.array(
+                    np.bincount(inv, weights=rev, minlength=len(uniq)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "nationkey": pa.array(
+                    np.full(len(uniq), -1, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow", batch_size=None
+    )
+    lines = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(partial, batch_format="pyarrow", batch_size=None)
+    ).map_batches(line_side, batch_format="pyarrow", batch_size=None)
+
+    joined = orders.union(lines).groupby("l_orderkey").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"),
+        Max("nationkey", alias_name="nationkey"),
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["nationkey"].combine_chunks(), np.int64)
+        rev = np.asarray(batch["revenue_c"].combine_chunks(), np.int64)
+        m = nk >= 0  # inner join: drop orderkeys with no order row
+        uniq, inv = np.unique(nk[m], return_inverse=True)
+        return pa.table(
+            {
+                "nationkey": pa.array(uniq, pa.int64()),
+                "revenue_c": pa.array(
+                    np.bincount(inv, weights=rev[m], minlength=len(uniq))
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
     out = (
-        ds.groupby("nationkey")
+        joined.map_batches(
+            nation_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("nationkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
         .to_pandas()
     )
