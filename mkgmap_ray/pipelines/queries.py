@@ -404,25 +404,30 @@ def q_q3_top_orders(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(line_side, batch_format="pyarrow", batch_size=None)
 
-    joined = orders.union(lines).groupby("l_orderkey").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"),
-        Sum("n_line", alias_name="n_line"),
-        Max("is_order", alias_name="is_order"),
-    )
+    def add_part(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        return batch.append_column("part", pa.array(ok & 255, pa.int64()))
 
-    def topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[(df["is_order"] == 1) & (df["n_line"] > 0)]
-        return pa.Table.from_pandas(
-            df.sort_values(
-                ["revenue_c", "l_orderkey"], ascending=[False, True]
-            ).head(10)[["l_orderkey", "revenue_c"]],
-            preserve_index=False,
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per orderkey hash partition: finish the join + keep
+        # only this partition's top-10 (global top-10 survives the merge)
+        agg = g.groupby("l_orderkey", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"),
+            n_line=("n_line", "sum"),
+            is_order=("is_order", "max"),
         )
+        agg = agg[(agg["is_order"] == 1) & (agg["n_line"] > 0)]
+        return agg.sort_values(
+            ["revenue_c", "l_orderkey"], ascending=[False, True]
+        ).head(10)[["l_orderkey", "revenue_c"]]
 
-    out = joined.map_batches(
-        topk, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
+    out = (
+        orders.union(lines)
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(join_topk, batch_format="pandas")
+        .to_pandas()
+    )
     out = out.sort_values(
         ["revenue_c", "l_orderkey"], ascending=[False, True]
     ).head(10)
@@ -497,35 +502,27 @@ def q_q5_nation_revenue(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(line_side, batch_format="pyarrow", batch_size=None)
 
-    joined = orders.union(lines).groupby("l_orderkey").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"),
-        Max("nationkey", alias_name="nationkey"),
-    )
+    def add_part(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"].combine_chunks(), np.int64)
+        return batch.append_column("part", pa.array(ok & 255, pa.int64()))
 
-    def nation_partial(batch: pa.Table) -> pa.Table:
-        nk = np.asarray(batch["nationkey"].combine_chunks(), np.int64)
-        rev = np.asarray(batch["revenue_c"].combine_chunks(), np.int64)
-        m = nk >= 0  # inner join: drop orderkeys with no order row
-        uniq, inv = np.unique(nk[m], return_inverse=True)
-        return pa.table(
-            {
-                "nationkey": pa.array(uniq, pa.int64()),
-                "revenue_c": pa.array(
-                    np.bincount(inv, weights=rev[m], minlength=len(uniq))
-                    .astype(np.int64),
-                    pa.int64(),
-                ),
-            }
+    def join_nation(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per orderkey hash partition: finish the orderkey join
+        # and immediately reduce to per-nation partials (≤ 25 rows out)
+        agg = g.groupby("l_orderkey", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"), nationkey=("nationkey", "max")
         )
+        agg = agg[agg["nationkey"] >= 0]  # inner join: order row required
+        return agg.groupby("nationkey", as_index=False)["revenue_c"].sum()
 
-    out = (
-        joined.map_batches(
-            nation_partial, batch_format="pyarrow", batch_size=None
-        )
-        .groupby("nationkey")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    partials = (
+        orders.union(lines)
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(join_nation, batch_format="pandas")
         .to_pandas()
-    )
+    )  # ≤ nations × parts rows reach the driver
+    out = partials.groupby("nationkey", as_index=False)["revenue_c"].sum()
     out["n_name"] = out["nationkey"].map(n2name)
     out["revenue_c"] = out["revenue_c"].astype("int64")
     out["nationkey"] = out["nationkey"].astype("int64")
