@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_chains": Q.q_merge_chains,
         "ring_assembly": Q.q_ring_assembly,
         "osm_roundtrip": Q.q_osm_roundtrip,
+        "osm_way_tags": Q.q_osm_way_tags,
+        "osm_relation_resolve": Q.q_osm_relation_resolve,
+        "osm_tags_style": Q.q_osm_tags_style,
+        "pbf_roundtrip": Q.q_pbf_roundtrip,
         "node_degree": Q.q_node_degree,
         "driving_side": Q.q_driving_side,
         "road_merge": Q.q_road_merge,
@@ -459,6 +463,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((event_id*48271) % 65536) AS BIGINT) AS sum_lat_mu,
                    CAST(sum((event_id*16807) % 65536) AS BIGINT) AS sum_lon_mu
             FROM events GROUP BY 1
+        """,
+        "osm_way_tags": """
+            WITH w AS (SELECT event_id // 4 AS wid FROM events
+                       GROUP BY 1 HAVING count(*) = 4)
+            SELECT CASE wid % 3 WHEN 0 THEN 'motorway'
+                                WHEN 1 THEN 'residential'
+                                ELSE 'path' END AS highway,
+                   count(*) AS n_ways,
+                   CAST(sum(wid) AS BIGINT) AS sum_wid,
+                   CAST(sum(CASE WHEN wid % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oneway,
+                   CAST(count(*) * 4 AS BIGINT) AS sum_refs
+            FROM w GROUP BY 1
+        """,
+        "osm_relation_resolve": """
+            WITH r AS (SELECT event_id // 64 AS rid FROM events
+                       GROUP BY 1 HAVING count(*) = 64)
+            SELECT r.rid AS rid, count(*) AS n_nodes,
+                   CAST(sum((e.event_id*48271) % 65536) AS BIGINT)
+                     AS sum_lat_mu
+            FROM r JOIN events e
+              ON e.event_id // 64 = r.rid AND e.event_id % 64 < 8
+            GROUP BY r.rid ORDER BY rid
+        """,
+        "osm_tags_style": """
+            WITH w AS (SELECT event_id // 4 AS wid FROM events
+                       GROUP BY 1 HAVING count(*) = 4),
+            g AS (SELECT wid, CASE
+                    WHEN wid % 3 = 0 THEN 1
+                    WHEN wid % 3 = 1 AND wid % 4 = 0 THEN 6
+                    WHEN wid % 3 = 1 THEN 5
+                    ELSE 22 END AS gtype FROM w)
+            SELECT gtype, count(*) AS n_ways,
+                   CAST(sum(wid) AS BIGINT) AS sum_wid
+            FROM g GROUP BY gtype ORDER BY gtype
+        """,
+        "pbf_roundtrip": """
+            WITH n AS (SELECT event_id % 8 AS shard, count(*) AS n_nodes,
+                         CAST(sum((event_id*48271) % 65536) AS BIGINT)
+                           AS sum_lat_mu,
+                         CAST(sum((event_id*16807) % 65536) AS BIGINT)
+                           AS sum_lon_mu
+                       FROM events GROUP BY 1),
+            wb AS (SELECT event_id // 4 AS wid FROM events
+                   GROUP BY 1 HAVING count(*) = 4),
+            w AS (SELECT wid % 8 AS shard, count(*) AS n_ways,
+                         CAST(sum(16*wid + 6) AS BIGINT) AS sum_refs
+                  FROM wb GROUP BY 1),
+            rb AS (SELECT event_id // 64 AS rid FROM events
+                   GROUP BY 1 HAVING count(*) = 64),
+            r AS (SELECT rid % 8 AS shard, count(*) AS n_rels,
+                         CAST(sum(96*rid + 1) AS BIGINT) AS sum_mem
+                  FROM rb GROUP BY 1)
+            SELECT n.shard AS shard, n.n_nodes, n.sum_lat_mu, n.sum_lon_mu,
+                   COALESCE(w.n_ways, 0) AS n_ways,
+                   COALESCE(w.sum_refs, 0) AS sum_refs,
+                   COALESCE(r.n_rels, 0) AS n_rels,
+                   COALESCE(r.sum_mem, 0) AS sum_mem
+            FROM n LEFT JOIN w ON n.shard = w.shard
+                   LEFT JOIN r ON n.shard = r.shard
+            ORDER BY shard
         """,
         "node_degree": """
             WITH seg AS (

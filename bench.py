@@ -66,6 +66,10 @@ QUERY_NAMES = [
     "merge_chains",
     "ring_assembly",
     "osm_roundtrip",
+    "osm_way_tags",
+    "osm_relation_resolve",
+    "osm_tags_style",
+    "pbf_roundtrip",
     "node_degree",
     "driving_side",
     "road_merge",

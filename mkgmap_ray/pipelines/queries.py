@@ -1156,29 +1156,102 @@ def q_ring_assembly(sf_dir: str):
 # --- OSM XML source / node degree / driving side ----------------------------
 
 
-def _osm_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
-    """Write (once, cached) deterministic .osm shards derived from events —
-    the ``ElementTestDataSource`` analogue feeding the XML source reader."""
-    import os
+_HIGHWAY_CYCLE = ("motorway", "residential", "path")
+_AMENITY_CYCLE = ("cafe", "bank", "fuel")
+
+
+def _osm_full_model(sf_dir: str):
+    """Deterministic full OSM element model derived from events (ids are
+    contiguous 0..N-1): nodes for every event (amenity tag on id%5==0),
+    ways of 4 consecutive nodes (highway cycling by wid%3, oneway=yes on
+    wid%4==0), relations of 2 consecutive ways + a via node (every 64
+    events). Every rule has a DuckDB closed form over events."""
     import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = np.sort(np.asarray(ev["event_id"], np.int64))
+    lat, lon = event_points_np(eid)
+    node_tags = {
+        int(i): {"amenity": _AMENITY_CYCLE[int(i) % 3]}
+        for i in eid[eid % 5 == 0]
+    }
+    n = len(eid)
+    wids = np.arange(n // 4, dtype=np.int64)
+    ways = [(int(w), [int(4 * w + j) for j in range(4)]) for w in wids]
+    way_tags = {}
+    for w in wids:
+        t = {"highway": _HIGHWAY_CYCLE[int(w) % 3]}
+        if int(w) % 4 == 0:
+            t["oneway"] = "yes"
+        way_tags[int(w)] = t
+    rids = np.arange(n // 64, dtype=np.int64)
+    relations = [
+        (
+            int(r),
+            [("way", int(16 * r), "outer"), ("way", int(16 * r + 1), "inner"),
+             ("node", int(64 * r), "via")],
+            {"type": "multipolygon" if int(r) % 2 == 0 else "route"},
+        )
+        for r in rids
+    ]
+    return eid, lat, lon, node_tags, ways, way_tags, relations
+
+
+def _write_osm_shards(sf_dir: str, out: str, ext: str, writer,
+                      n_shards: int = 8) -> list[str]:
+    import os
+
+    paths = [f"{out}/shard{s}.{ext}" for s in range(n_shards)]
+    if os.path.exists(f"{out}/_done"):
+        return paths
+    os.makedirs(out, exist_ok=True)
+    eid, lat, lon, node_tags, ways, way_tags, relations = _osm_full_model(
+        sf_dir
+    )
+    for s in range(n_shards):
+        m = (eid % n_shards) == s
+        sw = [w for w in ways if w[0] % n_shards == s]
+        sr = [r for r in relations if r[0] % n_shards == s]
+        writer(
+            paths[s], eid[m], lat[m], lon[m],
+            ways=sw,
+            tags={k: v for k, v in node_tags.items() if k % n_shards == s},
+            way_tags={w: t for w, t in way_tags.items()
+                      if w % n_shards == s},
+            relations=sr,
+        )
+    with open(f"{out}/_done", "w") as f:
+        f.write("ok")
+    return paths
+
+
+def _osm_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """Write (once, cached) deterministic full-model .osm shards derived
+    from events — the ``ElementTestDataSource`` analogue feeding the XML
+    source reader. Members may cross shard files (realistic: resolution
+    requires the distributed join)."""
+    import os
 
     from ..sources.osmxml import write_osm_xml
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/mkgmap_ray_osm_{name}"
-    paths = [f"{out}/shard{s}.osm" for s in range(n_shards)]
-    if os.path.exists(f"{out}/_done"):
-        return paths
-    os.makedirs(out, exist_ok=True)
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
-    eid = np.asarray(ev["event_id"], np.int64)
-    lat, lon = event_points_np(eid)
-    for s in range(n_shards):
-        m = (eid % n_shards) == s
-        write_osm_xml(paths[s], eid[m], lat[m], lon[m])
-    with open(f"{out}/_done", "w") as f:
-        f.write("ok")
-    return paths
+    return _write_osm_shards(
+        sf_dir, f"/tmp/mkgmap_ray_osm_v2_{name}", "osm", write_osm_xml,
+        n_shards,
+    )
+
+
+def _pbf_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """Same full model written as .osm.pbf binary shards (DenseNodes delta
+    coding, string tables) — feeds the from-scratch PBF reader."""
+    import os
+
+    from ..sources.pbf import write_pbf
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return _write_osm_shards(
+        sf_dir, f"/tmp/mkgmap_ray_pbf_{name}", "pbf", write_pbf, n_shards
+    )
 
 
 def q_osm_roundtrip(sf_dir: str):
@@ -1227,6 +1300,335 @@ def q_osm_roundtrip(sf_dir: str):
         .to_pandas()
     )
     return out.astype("int64")
+
+
+OSM_WAY_STYLE = """
+# rules driven by tags PARSED from OSM input (not synthetic columns)
+highway=motorway                    [0x01 resolution 16]
+highway=residential & oneway=yes    [0x06 resolution 22]
+highway=residential                 [0x05 resolution 22]
+highway=path                        [0x16 resolution 23]
+"""
+
+
+def q_osm_way_tags(sf_dir: str):
+    """Way tags parsed from OSM XML (``OsmXmlHandler`` emitting full
+    key/value pairs, ``OsmXmlHandler.java:52-258``): per-highway-class
+    way counts / id sums / oneway counts — the closed-form oracle
+    recomputes the deterministic fixture rules from events."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.osmxml import read_osm_table, tag_column
+
+    ds = read_osm_table(_osm_fixture_dir(sf_dir), "ways")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hw = tag_column(batch, "highway").to_pandas()
+        ow = tag_column(batch, "oneway").to_pandas()
+        wid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        nrefs = np.asarray(batch["n_refs"].combine_chunks(), np.int64)
+        df = pd.DataFrame(
+            {
+                "highway": hw,
+                "n_ways": np.ones(len(wid), np.int64),
+                "sum_wid": wid,
+                "n_oneway": (ow == "yes").to_numpy(dtype=np.int64),
+                "sum_refs": nrefs,
+            }
+        )
+        return df.groupby("highway", as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("highway")
+        .aggregate(
+            Sum("n_ways", alias_name="n_ways"),
+            Sum("sum_wid", alias_name="sum_wid"),
+            Sum("n_oneway", alias_name="n_oneway"),
+            Sum("sum_refs", alias_name="sum_refs"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_osm_relation_resolve(sf_dir: str):
+    """Relation→member resolution (``ElementSaver.java:140-165,339-352``):
+    relations' WAY members resolve through the ways table to node refs,
+    then through the nodes table to coordinates — a distributed two-hop
+    join (members cross shard files by construction). Both hops use the
+    salted union+groupby join; per-relation (n_nodes, sum_lat_mu) out."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.osmxml import MEMBER_WAY, read_osm_table
+
+    paths = _osm_fixture_dir(sf_dir)
+    rels = read_osm_table(paths, "relations")
+    ways = read_osm_table(paths, "ways")
+    nodes = read_osm_table(paths, "nodes")
+
+    def rel_side(batch: pa.Table) -> pa.Table:
+        types = batch["member_types"].combine_chunks()
+        refs = batch["member_refs"].combine_chunks()
+        rid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        offs = types.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(len(rid)), counts)
+        ft = np.asarray(types.flatten(), np.int64)
+        fr = np.asarray(refs.flatten(), np.int64)
+        m = ft == MEMBER_WAY
+        return pa.table(
+            {
+                "key": pa.array(fr[m], pa.int64()),  # way id
+                "rid": pa.array(rid[parent[m]], pa.int64()),
+                "ref": pa.array(np.full(m.sum(), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def way_side(batch: pa.Table) -> pa.Table:
+        refs = batch["refs"].combine_chunks()
+        wid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        offs = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(len(wid)), counts)
+        return pa.table(
+            {
+                "key": pa.array(wid[parent], pa.int64()),
+                "rid": pa.array(
+                    np.full(int(counts.sum()), -1, np.int64), pa.int64()
+                ),
+                "ref": pa.array(
+                    np.asarray(refs.flatten(), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["key"].combine_chunks(), np.int64)
+        return batch.append_column("part", pa.array(k & 255, pa.int64()))
+
+    def hop1(g: pd.DataFrame) -> pd.DataFrame:
+        # per way id: cross relations-wanting-it × its node refs
+        out_rid, out_ref = [], []
+        for _, grp in g.groupby("key", sort=False):
+            rids = grp.loc[grp["rid"] >= 0, "rid"].to_numpy(np.int64)
+            refs = grp.loc[grp["ref"] >= 0, "ref"].to_numpy(np.int64)
+            if len(rids) == 0 or len(refs) == 0:
+                continue
+            out_rid.append(np.repeat(rids, len(refs)))
+            out_ref.append(np.tile(refs, len(rids)))
+        if not out_rid:
+            return pd.DataFrame({"key": [], "rid": [], "lat_mu": []}).astype(
+                np.int64
+            )
+        return pd.DataFrame(
+            {
+                "key": np.concatenate(out_ref),  # node id for hop 2
+                "rid": np.concatenate(out_rid),
+                "lat_mu": np.full(
+                    sum(len(x) for x in out_rid), -1, np.int64
+                ),
+            }
+        )
+
+    def node_side(batch: pa.Table) -> pa.Table:
+        nid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        lat = np.asarray(batch["lat_mu"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "key": pa.array(nid, pa.int64()),
+                "rid": pa.array(np.full(len(nid), -1, np.int64), pa.int64()),
+                "lat_mu": pa.array(lat, pa.int64()),
+            }
+        )
+
+    def hop2(g: pd.DataFrame) -> pd.DataFrame:
+        # per node id: attach lat to every (rid) wanting it, partial-agg
+        lat_rows = g[g["lat_mu"] >= 0].drop_duplicates("key")
+        lat_of = dict(zip(lat_rows["key"], lat_rows["lat_mu"]))
+        want = g[g["rid"] >= 0]
+        lat = want["key"].map(lat_of)
+        df = pd.DataFrame(
+            {
+                "rid": want["rid"].to_numpy(np.int64),
+                "n_nodes": np.ones(len(want), np.int64),
+                "sum_lat_mu": lat.to_numpy(np.int64),
+            }
+        )
+        return df.groupby("rid", as_index=False).sum()
+
+    hop1_out = (
+        rels.map_batches(rel_side, batch_format="pyarrow", batch_size=None)
+        .union(
+            ways.map_batches(way_side, batch_format="pyarrow", batch_size=None)
+        )
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(hop1, batch_format="pandas")
+    )
+    out = (
+        hop1_out.union(
+            nodes.map_batches(
+                node_side, batch_format="pyarrow", batch_size=None
+            )
+        )
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(hop2, batch_format="pandas")
+        .groupby("rid")
+        .aggregate(
+            Sum("n_nodes", alias_name="n_nodes"),
+            Sum("sum_lat_mu", alias_name="sum_lat_mu"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("rid").reset_index(drop=True).astype("int64")
+
+
+def q_osm_tags_style(sf_dir: str):
+    """Style rule engine driven by tags PARSED from OSM XML input (round 1
+    only ever styled synthetic columns): highway/oneway extracted from the
+    parsed way tag lists → compiled RuleSet → per-gtype way counts."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.osmxml import read_osm_table, tag_column
+    from ..stages.stylestage import apply_style
+
+    ds = read_osm_table(_osm_fixture_dir(sf_dir), "ways")
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wid": batch["id"].combine_chunks(),
+                "hw": tag_column(batch, "highway"),
+                "ow": tag_column(batch, "oneway"),
+            }
+        )
+
+    styled = apply_style(
+        ds.map_batches(to_cols, batch_format="pyarrow", batch_size=None),
+        OSM_WAY_STYLE,
+        tag_columns={"highway": "hw", "oneway": "ow"},
+        keep=["wid"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "gtype": np.asarray(
+                    batch["gtype"].combine_chunks(), np.int64
+                ),
+                "n_ways": 1,
+                "sum_wid": np.asarray(
+                    batch["wid"].combine_chunks(), np.int64
+                ),
+            }
+        )
+        return df.groupby("gtype", as_index=False).sum()
+
+    out = (
+        styled.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("gtype")
+        .aggregate(
+            Sum("n_ways", alias_name="n_ways"),
+            Sum("sum_wid", alias_name="sum_wid"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("gtype").reset_index(drop=True).astype("int64")
+
+
+def q_pbf_roundtrip(sf_dir: str):
+    """OSM PBF binary reader end-to-end (``OsmBinHandler.java:38-178``
+    semantics: Blob framing + zlib, string tables, DenseNodes delta
+    decode, delta way refs / relation memids — decoded from scratch, no
+    protobuf library): per-shard aggregates over all three element tables
+    must match closed forms from events."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.pbf import read_pbf_table
+
+    paths = _pbf_fixture_dir(sf_dir)
+
+    def node_partial(batch: pa.Table) -> pd.DataFrame:
+        nid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        df = pd.DataFrame(
+            {
+                "shard": nid % 8,
+                "n_nodes": 1,
+                "sum_lat_mu": np.asarray(
+                    batch["lat_mu"].combine_chunks(), np.int64
+                ),
+                "sum_lon_mu": np.asarray(
+                    batch["lon_mu"].combine_chunks(), np.int64
+                ),
+                "n_ways": 0, "sum_refs": 0, "n_rels": 0, "sum_mem": 0,
+            }
+        )
+        return df.groupby("shard", as_index=False).sum()
+
+    def way_partial(batch: pa.Table) -> pd.DataFrame:
+        wid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        refs = batch["refs"].combine_chunks()
+        offs = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fr = np.asarray(refs.flatten(), np.int64)
+        ref_sums = np.add.reduceat(fr, offs[:-1]) if len(fr) else np.zeros(
+            len(wid), np.int64
+        )
+        ref_sums = np.where(offs[1:] > offs[:-1], ref_sums, 0)
+        df = pd.DataFrame(
+            {
+                "shard": wid % 8,
+                "n_nodes": 0, "sum_lat_mu": 0, "sum_lon_mu": 0,
+                "n_ways": 1,
+                "sum_refs": ref_sums,
+                "n_rels": 0, "sum_mem": 0,
+            }
+        )
+        return df.groupby("shard", as_index=False).sum()
+
+    def rel_partial(batch: pa.Table) -> pd.DataFrame:
+        rid = np.asarray(batch["id"].combine_chunks(), np.int64)
+        refs = batch["member_refs"].combine_chunks()
+        offs = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fr = np.asarray(refs.flatten(), np.int64)
+        mem_sums = np.add.reduceat(fr, offs[:-1]) if len(fr) else np.zeros(
+            len(rid), np.int64
+        )
+        mem_sums = np.where(offs[1:] > offs[:-1], mem_sums, 0)
+        df = pd.DataFrame(
+            {
+                "shard": rid % 8,
+                "n_nodes": 0, "sum_lat_mu": 0, "sum_lon_mu": 0,
+                "n_ways": 0, "sum_refs": 0,
+                "n_rels": 1,
+                "sum_mem": mem_sums,
+            }
+        )
+        return df.groupby("shard", as_index=False).sum()
+
+    cols = ["n_nodes", "sum_lat_mu", "sum_lon_mu", "n_ways", "sum_refs",
+            "n_rels", "sum_mem"]
+    ds = (
+        read_pbf_table(paths, "nodes")
+        .map_batches(node_partial, batch_format="pyarrow", batch_size=None)
+        .union(
+            read_pbf_table(paths, "ways").map_batches(
+                way_partial, batch_format="pyarrow", batch_size=None
+            ),
+            read_pbf_table(paths, "relations").map_batches(
+                rel_partial, batch_format="pyarrow", batch_size=None
+            ),
+        )
+    )
+    out = (
+        ds.groupby("shard")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    return out.sort_values("shard").reset_index(drop=True).astype("int64")
 
 
 def q_node_degree(sf_dir: str):

@@ -1,12 +1,13 @@
 """OSM XML source: streaming parse of ``.osm`` files into Arrow tables.
 
 The reference reads OSM XML via SAX callbacks
-(``reader/osm/xml/OsmXmlHandler.java:52-258``) filling per-element maps.
-Ray-native equivalent: ``ray.data.read_binary_files`` over the shard
-paths → one ``flat_map``-style ``map_batches`` parse per file (files ARE
-the parallelism unit, like the reference's one-file-one-job), emitting a
-nodes table and a ways table. Coordinates convert to 24-bit map units
-with the reference's half-unit-corrected truncation
+(``reader/osm/xml/OsmXmlHandler.java:52-258``) filling per-element maps
+(``ElementSaver.java:140-165``: nodes, ways, relations with (role, member)
+pairs). Ray-native equivalent: ``ray.data.read_binary_files`` over the
+shard paths → one streaming parse per file (files ARE the parallelism
+unit, like the reference's one-file-one-job), emitting nodes / ways /
+relations tables with tag key/value list columns. Coordinates convert to
+24-bit map units with the reference's half-unit-corrected truncation
 (``imgfmt/Utils.toMapUnit``, ``Utils.java:121-127``) so round-trips are
 bit-exact.
 """
@@ -34,11 +35,20 @@ def to_degrees(mu) -> np.ndarray:
     return np.asarray(mu, np.float64) * (360.0 / (1 << 24))
 
 
+def _tag_lines(f, indent: str, tags: dict[str, str] | None) -> None:
+    for k, v in (tags or {}).items():
+        f.write(f'{indent}<tag k="{k}" v="{v}"/>\n')
+
+
 def write_osm_xml(path: str, node_ids, lat_mu, lon_mu,
                   ways: list[tuple[int, list[int]]] | None = None,
-                  tags: dict[int, dict[str, str]] | None = None) -> None:
+                  tags: dict[int, dict[str, str]] | None = None,
+                  way_tags: dict[int, dict[str, str]] | None = None,
+                  relations: list[tuple[int, list[tuple[str, int, str]],
+                                        dict[str, str]]] | None = None) -> None:
     """Deterministic ``.osm`` fixture writer (test/bench input generator —
-    the ``ElementTestDataSource`` analogue)."""
+    the ``ElementTestDataSource`` analogue). ``relations`` entries are
+    (relation_id, [(member_type, member_ref, role), ...], tags)."""
     lat = to_degrees(lat_mu)
     lon = to_degrees(lon_mu)
     with open(path, "w") as f:
@@ -51,8 +61,7 @@ def write_osm_xml(path: str, node_ids, lat_mu, lon_mu,
                     f'  <node id="{int(nid)}" lat="{lat[i]:.9f}" '
                     f'lon="{lon[i]:.9f}">\n'
                 )
-                for k, v in t.items():
-                    f.write(f'    <tag k="{k}" v="{v}"/>\n')
+                _tag_lines(f, "    ", t)
                 f.write("  </node>\n")
             else:
                 f.write(
@@ -63,42 +72,122 @@ def write_osm_xml(path: str, node_ids, lat_mu, lon_mu,
             f.write(f'  <way id="{int(wid)}">\n')
             for r in refs:
                 f.write(f'    <nd ref="{int(r)}"/>\n')
+            _tag_lines(f, "    ", (way_tags or {}).get(int(wid)))
             f.write("  </way>\n")
+        for rid, members, rtags in relations or []:
+            f.write(f'  <relation id="{int(rid)}">\n')
+            for mtype, mref, role in members:
+                f.write(
+                    f'    <member type="{mtype}" ref="{int(mref)}" '
+                    f'role="{role}"/>\n'
+                )
+            _tag_lines(f, "    ", rtags)
+            f.write("  </relation>\n")
         f.write("</osm>\n")
 
 
-def parse_osm_bytes(data: bytes):
-    """One ``.osm`` payload → (nodes Table, ways Table).
+def _tag_list_arrays(tag_lists: list[list[tuple[str, str]]]):
+    keys = pa.array(
+        [[k for k, _ in t] for t in tag_lists], pa.list_(pa.string())
+    )
+    vals = pa.array(
+        [[v for _, v in t] for t in tag_lists], pa.list_(pa.string())
+    )
+    return keys, vals
 
-    nodes: ``id, lat_mu, lon_mu, n_tags``; ways: ``id, n_refs, refs``
-    (list<int64>). Uses iterparse with element clearing — streaming like
-    the reference's SAX handler, never materializing the DOM.
+
+# member type codes mirroring Element subclasses (node/way/relation)
+MEMBER_NODE, MEMBER_WAY, MEMBER_RELATION = 0, 1, 2
+_MEMBER_CODE = {"node": MEMBER_NODE, "way": MEMBER_WAY,
+                "relation": MEMBER_RELATION}
+
+
+def empty_nodes_table() -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "lat_mu": pa.array([], pa.int64()),
+            "lon_mu": pa.array([], pa.int64()),
+            "n_tags": pa.array([], pa.int64()),
+            "tag_keys": pa.array([], pa.list_(pa.string())),
+            "tag_vals": pa.array([], pa.list_(pa.string())),
+        }
+    )
+
+
+def empty_ways_table() -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "n_refs": pa.array([], pa.int64()),
+            "refs": pa.array([], pa.list_(pa.int64())),
+            "tag_keys": pa.array([], pa.list_(pa.string())),
+            "tag_vals": pa.array([], pa.list_(pa.string())),
+        }
+    )
+
+
+def empty_relations_table() -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "member_types": pa.array([], pa.list_(pa.int8())),
+            "member_refs": pa.array([], pa.list_(pa.int64())),
+            "member_roles": pa.array([], pa.list_(pa.string())),
+            "tag_keys": pa.array([], pa.list_(pa.string())),
+            "tag_vals": pa.array([], pa.list_(pa.string())),
+        }
+    )
+
+
+def parse_osm_bytes(data: bytes):
+    """One ``.osm`` payload → (nodes, ways, relations) Arrow tables.
+
+    nodes: ``id, lat_mu, lon_mu, n_tags, tag_keys, tag_vals``;
+    ways: ``id, n_refs, refs, tag_keys, tag_vals``;
+    relations: ``id, member_types, member_refs, member_roles, tag_keys,
+    tag_vals``. Uses iterparse with element clearing — streaming like the
+    reference's SAX handler, never materializing the DOM.
     """
-    nid, nlat, nlon, ntag = [], [], [], []
-    wid, wrefs = [], []
-    cur_tags = 0
+    nid, nlat, nlon, ntags = [], [], [], []
+    wid, wrefs, wtags = [], [], []
+    rid, rmem, rtags = [], [], []
+    cur_tags: list[tuple[str, str]] = []
     cur_refs: list[int] = []
+    cur_mem: list[tuple[int, int, str]] = []
     for event, el in ET.iterparse(BytesIO(data), events=("start", "end")):
         if event == "start":
-            if el.tag == "node":
-                cur_tags = 0
-            elif el.tag == "way":
+            if el.tag in ("node", "way", "relation"):
+                cur_tags = []
                 cur_refs = []
+                cur_mem = []
             continue
         if el.tag == "tag":
-            cur_tags += 1
+            cur_tags.append((el.get("k"), el.get("v")))
         elif el.tag == "nd":
             cur_refs.append(int(el.get("ref")))
+        elif el.tag == "member":
+            cur_mem.append(
+                (_MEMBER_CODE.get(el.get("type"), MEMBER_NODE),
+                 int(el.get("ref")), el.get("role") or "")
+            )
         elif el.tag == "node":
             nid.append(int(el.get("id")))
             nlat.append(float(el.get("lat")))
             nlon.append(float(el.get("lon")))
-            ntag.append(cur_tags)
+            ntags.append(cur_tags)
             el.clear()
         elif el.tag == "way":
             wid.append(int(el.get("id")))
             wrefs.append(cur_refs)
+            wtags.append(cur_tags)
             el.clear()
+        elif el.tag == "relation":
+            rid.append(int(el.get("id")))
+            rmem.append(cur_mem)
+            rtags.append(cur_tags)
+            el.clear()
+    nk, nv = _tag_list_arrays(ntags)
     nodes = pa.table(
         {
             "id": pa.array(nid, pa.int64()),
@@ -106,37 +195,92 @@ def parse_osm_bytes(data: bytes):
                                pa.int64()),
             "lon_mu": pa.array(to_map_unit(np.asarray(nlon, np.float64)),
                                pa.int64()),
-            "n_tags": pa.array(ntag, pa.int64()),
+            "n_tags": pa.array([len(t) for t in ntags], pa.int64()),
+            "tag_keys": nk,
+            "tag_vals": nv,
         }
     )
+    wk, wv = _tag_list_arrays(wtags)
     ways = pa.table(
         {
             "id": pa.array(wid, pa.int64()),
             "n_refs": pa.array([len(r) for r in wrefs], pa.int64()),
             "refs": pa.array(wrefs, pa.list_(pa.int64())),
+            "tag_keys": wk,
+            "tag_vals": wv,
         }
     )
-    return nodes, ways
+    rk, rv = _tag_list_arrays(rtags)
+    relations = pa.table(
+        {
+            "id": pa.array(rid, pa.int64()),
+            "member_types": pa.array(
+                [[m[0] for m in ms] for ms in rmem], pa.list_(pa.int8())
+            ),
+            "member_refs": pa.array(
+                [[m[1] for m in ms] for ms in rmem], pa.list_(pa.int64())
+            ),
+            "member_roles": pa.array(
+                [[m[2] for m in ms] for ms in rmem], pa.list_(pa.string())
+            ),
+            "tag_keys": rk,
+            "tag_vals": rv,
+        }
+    )
+    return nodes, ways, relations
 
 
-def read_osm_nodes(paths: list[str]):
-    """Ray Data source: .osm files → nodes Dataset (one parse per file)."""
+_EMPTY = {"nodes": empty_nodes_table, "ways": empty_ways_table,
+          "relations": empty_relations_table}
+
+
+def read_osm_table(paths: list[str], table: str = "nodes",
+                   parser=parse_osm_bytes):
+    """Ray Data source: .osm files → one of the three element Datasets
+    (one streaming parse per file; ``parser`` is swappable so the PBF
+    source reuses the plumbing)."""
     import ray.data as rd
+
+    idx = ("nodes", "ways", "relations").index(table)
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
         for payload in batch["bytes"]:
-            nodes, _ = parse_osm_bytes(payload.as_py())
-            tables.append(nodes)
-        return pa.concat_tables(tables) if tables else pa.table(
-            {
-                "id": pa.array([], pa.int64()),
-                "lat_mu": pa.array([], pa.int64()),
-                "lon_mu": pa.array([], pa.int64()),
-                "n_tags": pa.array([], pa.int64()),
-            }
-        )
+            tables.append(parser(payload.as_py())[idx])
+        return pa.concat_tables(tables) if tables else _EMPTY[table]()
 
     return rd.read_binary_files(paths).map_batches(
         parse, batch_format="pyarrow", batch_size=None
     )
+
+
+def read_osm_nodes(paths: list[str]):
+    """Back-compat face: .osm files → nodes Dataset."""
+    return read_osm_table(paths, "nodes")
+
+
+def tag_column(batch: pa.Table, key: str) -> pa.Array:
+    """Extract one tag's value per row from the tag_keys/tag_vals list
+    columns (vectorized: flatten + pyarrow compute equality + first-match
+    scatter; the ``keepTag``-projection analogue of reading a single tag).
+    Returns a string array with nulls where the tag is absent."""
+    import pyarrow.compute as pc
+
+    keys = batch["tag_keys"].combine_chunks()
+    vals = batch["tag_vals"].combine_chunks()
+    n = len(keys)
+    flat_k = keys.flatten()
+    flat_v = vals.flatten()
+    offs = keys.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = offs[1:] - offs[:-1]
+    parent = np.repeat(np.arange(n), counts)
+    m = pc.equal(flat_k, key).to_numpy(zero_copy_only=False)
+    m = np.asarray(m, bool) & ~np.asarray(pc.is_null(flat_k).to_numpy(
+        zero_copy_only=False), bool)
+    hit = np.nonzero(m)[0]
+    out = np.full(n, None, object)
+    # reversed so the FIRST occurrence per row wins
+    vv = flat_v.to_pylist()
+    for i in hit[::-1]:
+        out[parent[i]] = vv[i]
+    return pa.array(out, pa.string())

@@ -1,0 +1,487 @@
+"""OSM PBF source: the binary planet format, decoded from scratch.
+
+Mirrors ``reader/osm/bin/OsmBinHandler.java:38-178`` semantics — Blob
+framing, zlib inflation, string tables, DenseNodes delta decode with
+granularity/offset, delta-coded way refs and relation memids — built on
+the public PBF wire description (BlobHeader/Blob + PrimitiveBlock
+messages). No protobuf library: a minimal hand-rolled wire walker plus a
+VECTORIZED varint decoder (packed sint64 columns decode in a handful of
+numpy passes, no per-value Python).
+
+The writer side (``write_pbf``) produces deterministic fixture shards —
+the binary analogue of ``write_osm_xml`` — so the reader is exercised
+end-to-end without external data.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .osmxml import (
+    _tag_list_arrays,
+    to_map_unit,
+)
+
+NANODEG = 1_000_000_000
+DEFAULT_GRANULARITY = 100
+
+
+# --- varint / zigzag ---------------------------------------------------------
+
+
+def encode_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_encode(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode ALL varints in a packed buffer, vectorized: end markers are
+    bytes < 0x80; each value is the base-128 combination of its group's
+    bytes (≤10 passes over position-in-group, no per-value loop).
+    Returns uint64 values."""
+    a = np.frombuffer(buf, np.uint8)
+    if len(a) == 0:
+        return np.empty(0, np.uint64)
+    ends = a < 0x80
+    n = int(ends.sum())
+    # group id per byte: varint index each byte belongs to
+    gid = np.zeros(len(a), np.int64)
+    gid[1:] = np.cumsum(ends[:-1])
+    # position of byte within its varint
+    starts = np.zeros(n, np.int64)
+    end_pos = np.flatnonzero(ends)
+    starts[1:] = end_pos[:-1] + 1
+    pos = np.arange(len(a)) - starts[gid]
+    vals = np.zeros(n, np.uint64)
+    contrib = (a & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    np.bitwise_or.at(vals, gid, contrib)
+    return vals
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (~(u & np.uint64(1)) + np.uint64(1))).view(
+        np.int64
+    )
+
+
+# --- protobuf wire walker ----------------------------------------------------
+
+
+def iter_fields(data: bytes):
+    """Yield (field_number, wire_type, value) over one message payload.
+    value is int for varint fields, bytes for length-delimited."""
+    i = 0
+    n = len(data)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = data[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = data[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            yield field, wt, v
+        elif wt == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = data[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            yield field, wt, data[i : i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            yield field, wt, data[i : i + 4]
+            i += 4
+        elif wt == 1:  # 64-bit
+            yield field, wt, data[i : i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _field(msg: bytes, want: int, default=None):
+    for f, _, v in iter_fields(msg):
+        if f == want:
+            return v
+    return default
+
+
+# --- writer (fixture generator) ---------------------------------------------
+
+
+def _tag_field(buf: bytearray, field: int, wt: int) -> None:
+    buf += encode_varint((field << 3) | wt)
+
+
+def _put_bytes(buf: bytearray, field: int, data: bytes) -> None:
+    _tag_field(buf, field, 2)
+    buf += encode_varint(len(data))
+    buf += data
+
+
+def _put_varint(buf: bytearray, field: int, v: int) -> None:
+    _tag_field(buf, field, 0)
+    buf += encode_varint(v)
+
+
+def _packed(values, zigzag: bool = False) -> bytes:
+    out = bytearray()
+    for v in values:
+        out += encode_varint(zigzag_encode(int(v)) if zigzag else int(v))
+    return bytes(out)
+
+
+class _StringTable:
+    def __init__(self):
+        self.idx: dict[bytes, int] = {b"": 0}
+        self.items: list[bytes] = [b""]
+
+    def add(self, s: str) -> int:
+        b = s.encode("utf-8")
+        if b not in self.idx:
+            self.idx[b] = len(self.items)
+            self.items.append(b)
+        return self.idx[b]
+
+    def encode(self) -> bytes:
+        buf = bytearray()
+        for it in self.items:
+            _put_bytes(buf, 1, it)
+        return bytes(buf)
+
+
+def _blob(path_buf: bytearray, kind: str, payload: bytes) -> None:
+    blob = bytearray()
+    _put_varint(blob, 2, len(payload))  # raw_size
+    _put_bytes(blob, 3, zlib.compress(payload))  # zlib_data
+    header = bytearray()
+    _put_bytes(header, 1, kind.encode())
+    _put_varint(header, 3, len(blob))
+    path_buf += struct.pack(">I", len(header))
+    path_buf += header
+    path_buf += blob
+
+
+def write_pbf(path: str, node_ids, lat_mu, lon_mu,
+              ways=None, tags=None, way_tags=None, relations=None,
+              granularity: int = DEFAULT_GRANULARITY) -> None:
+    """Deterministic .osm.pbf fixture writer (same interface as
+    ``write_osm_xml``): DenseNodes with delta-coded ids/coords + keys_vals,
+    Ways with delta refs, Relations with delta memids + roles."""
+    from .osmxml import to_degrees
+
+    node_ids = np.asarray(node_ids, np.int64)
+    lat_nano = np.round(
+        np.asarray(to_degrees(lat_mu), np.float64) * NANODEG
+    ).astype(np.int64)
+    lon_nano = np.round(
+        np.asarray(to_degrees(lon_mu), np.float64) * NANODEG
+    ).astype(np.int64)
+
+    out = bytearray()
+    hdr = bytearray()
+    _put_bytes(hdr, 4, b"OsmSchema-V0.6")
+    _put_bytes(hdr, 4, b"DenseNodes")
+    _blob(out, "OSMHeader", bytes(hdr))
+
+    st = _StringTable()
+    groups = bytearray()
+
+    # DenseNodes group
+    if len(node_ids):
+        dense = bytearray()
+        _put_bytes(dense, 1, _packed(np.diff(node_ids, prepend=0), zigzag=True))
+        _put_bytes(dense, 8, _packed(
+            np.diff(lat_nano // granularity, prepend=0), zigzag=True))
+        _put_bytes(dense, 9, _packed(
+            np.diff(lon_nano // granularity, prepend=0), zigzag=True))
+        kv: list[int] = []
+        for nid in node_ids:
+            for k, v in (tags or {}).get(int(nid), {}).items():
+                kv.append(st.add(k))
+                kv.append(st.add(v))
+            kv.append(0)
+        _put_bytes(dense, 10, _packed(kv))
+        grp = bytearray()
+        _put_bytes(grp, 2, bytes(dense))
+        _put_bytes(groups, 2, bytes(grp))
+
+    # Ways group
+    if ways:
+        grp = bytearray()
+        for wid, refs in ways:
+            w = bytearray()
+            _put_varint(w, 1, int(wid))
+            t = (way_tags or {}).get(int(wid), {})
+            _put_bytes(w, 2, _packed([st.add(k) for k in t]))
+            _put_bytes(w, 3, _packed([st.add(v) for v in t.values()]))
+            _put_bytes(w, 8, _packed(
+                np.diff(np.asarray(refs, np.int64), prepend=0), zigzag=True))
+            _put_bytes(grp, 3, bytes(w))
+        _put_bytes(groups, 2, bytes(grp))
+
+    # Relations group
+    if relations:
+        grp = bytearray()
+        for rid, members, rtags in relations:
+            r = bytearray()
+            _put_varint(r, 1, int(rid))
+            _put_bytes(r, 2, _packed([st.add(k) for k in rtags]))
+            _put_bytes(r, 3, _packed([st.add(v) for v in rtags.values()]))
+            _put_bytes(r, 8, _packed(
+                [st.add(role) for _mt, _ref, role in members]))
+            memids = np.asarray([m[1] for m in members], np.int64)
+            _put_bytes(r, 9, _packed(np.diff(memids, prepend=0), zigzag=True))
+            from .osmxml import _MEMBER_CODE
+
+            _put_bytes(r, 10, _packed(
+                [_MEMBER_CODE.get(m[0], 0) if isinstance(m[0], str) else m[0]
+                 for m in members]))
+            _put_bytes(grp, 4, bytes(r))
+        _put_bytes(groups, 2, bytes(grp))
+
+    block = bytearray()
+    _put_bytes(block, 1, st.encode())
+    block += groups
+    _put_varint(block, 17, granularity)
+    _blob(out, "OSMData", bytes(block))
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# --- reader ------------------------------------------------------------------
+
+
+def _iter_blobs(data: bytes):
+    i = 0
+    n = len(data)
+    while i + 4 <= n:
+        (hlen,) = struct.unpack(">I", data[i : i + 4])
+        i += 4
+        header = data[i : i + hlen]
+        i += hlen
+        kind = _field(header, 1, b"").decode()
+        dsize = _field(header, 3, 0)
+        blob = data[i : i + dsize]
+        i += dsize
+        raw = _field(blob, 1)
+        if raw is None:
+            raw = zlib.decompress(_field(blob, 3, b""))
+        yield kind, raw
+
+
+def _string_table(msg: bytes) -> list[str]:
+    return [
+        v.decode("utf-8")
+        for f, _, v in iter_fields(msg)
+        if f == 1
+    ]
+
+
+def _nano_to_mu(nano: np.ndarray) -> np.ndarray:
+    """nanodegrees → 24-bit map units via ``Utils.toMapUnit`` on degrees."""
+    return to_map_unit(nano.astype(np.float64) / NANODEG)
+
+
+def parse_pbf_bytes(data: bytes):
+    """One .osm.pbf payload → (nodes, ways, relations) Arrow tables with
+    the same schema as ``parse_osm_bytes`` (shared downstream plumbing)."""
+    nid_all, nlat_all, nlon_all, ntags_all = [], [], [], []
+    wid, wrefs, wtags = [], [], []
+    rid, rmem, rtags = [], [], []
+
+    for kind, payload in _iter_blobs(data):
+        if kind != "OSMData":
+            continue
+        strings: list[str] = []
+        granularity = DEFAULT_GRANULARITY
+        lat_off = lon_off = 0
+        group_msgs = []
+        for f, _, v in iter_fields(payload):
+            if f == 1:
+                strings = _string_table(v)
+            elif f == 2:
+                group_msgs.append(v)
+            elif f == 17:
+                granularity = v
+            elif f == 19:
+                lat_off = v
+            elif f == 20:
+                lon_off = v
+        for grp in group_msgs:
+            for f, _, v in iter_fields(grp):
+                if f == 2:  # DenseNodes
+                    ids = lats = lons = None
+                    kv = np.empty(0, np.int64)
+                    for df, _, dv in iter_fields(v):
+                        if df == 1:
+                            ids = np.cumsum(zigzag_decode(decode_varints(dv)))
+                        elif df == 8:
+                            lats = np.cumsum(zigzag_decode(decode_varints(dv)))
+                        elif df == 9:
+                            lons = np.cumsum(zigzag_decode(decode_varints(dv)))
+                        elif df == 10:
+                            kv = decode_varints(dv).astype(np.int64)
+                    if ids is None:
+                        continue
+                    nid_all.append(ids)
+                    nlat_all.append(
+                        _nano_to_mu(lat_off + granularity * lats))
+                    nlon_all.append(
+                        _nano_to_mu(lon_off + granularity * lons))
+                    # keys_vals: (k,v)* 0 per node
+                    tag_lists: list[list[tuple[str, str]]] = []
+                    cur: list[tuple[str, str]] = []
+                    it = iter(kv.tolist())
+                    for s in it:
+                        if s == 0:
+                            tag_lists.append(cur)
+                            cur = []
+                        else:
+                            cur.append((strings[s], strings[next(it)]))
+                    while len(tag_lists) < len(ids):
+                        tag_lists.append([])
+                    ntags_all.extend(tag_lists)
+                elif f == 1:  # plain Nodes (rare)
+                    w_id = _field(v, 1, 0)
+                    la = _field(v, 8, 0)
+                    lo = _field(v, 9, 0)
+                    nid_all.append(np.asarray([w_id], np.int64))
+                    nlat_all.append(_nano_to_mu(
+                        np.asarray([lat_off + granularity * la], np.int64)))
+                    nlon_all.append(_nano_to_mu(
+                        np.asarray([lon_off + granularity * lo], np.int64)))
+                    ntags_all.append([])
+                elif f == 3:  # Way
+                    keys = vals = np.empty(0, np.uint64)
+                    refs = np.empty(0, np.int64)
+                    w_id = 0
+                    for wf, _, wv in iter_fields(v):
+                        if wf == 1:
+                            w_id = wv
+                        elif wf == 2:
+                            keys = decode_varints(wv)
+                        elif wf == 3:
+                            vals = decode_varints(wv)
+                        elif wf == 8:
+                            refs = np.cumsum(
+                                zigzag_decode(decode_varints(wv)))
+                    wid.append(w_id)
+                    wrefs.append(refs.tolist())
+                    wtags.append(
+                        [(strings[int(k)], strings[int(x)])
+                         for k, x in zip(keys, vals)]
+                    )
+                elif f == 4:  # Relation
+                    keys = vals = roles = types = np.empty(0, np.uint64)
+                    memids = np.empty(0, np.int64)
+                    r_id = 0
+                    for rf, _, rv in iter_fields(v):
+                        if rf == 1:
+                            r_id = rv
+                        elif rf == 2:
+                            keys = decode_varints(rv)
+                        elif rf == 3:
+                            vals = decode_varints(rv)
+                        elif rf == 8:
+                            roles = decode_varints(rv)
+                        elif rf == 9:
+                            memids = np.cumsum(
+                                zigzag_decode(decode_varints(rv)))
+                        elif rf == 10:
+                            types = decode_varints(rv)
+                    rid.append(r_id)
+                    rmem.append(
+                        [(int(t), int(m), strings[int(r)])
+                         for t, m, r in zip(types, memids, roles)]
+                    )
+                    rtags.append(
+                        [(strings[int(k)], strings[int(x)])
+                         for k, x in zip(keys, vals)]
+                    )
+
+    ids = np.concatenate(nid_all) if nid_all else np.empty(0, np.int64)
+    lat = np.concatenate(nlat_all) if nlat_all else np.empty(0, np.int64)
+    lon = np.concatenate(nlon_all) if nlon_all else np.empty(0, np.int64)
+    nk, nv = _tag_list_arrays(ntags_all)
+    nodes = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "lat_mu": pa.array(lat, pa.int64()),
+            "lon_mu": pa.array(lon, pa.int64()),
+            "n_tags": pa.array([len(t) for t in ntags_all], pa.int64()),
+            "tag_keys": nk,
+            "tag_vals": nv,
+        }
+    )
+    wk, wv = _tag_list_arrays(wtags)
+    ways = pa.table(
+        {
+            "id": pa.array(wid, pa.int64()),
+            "n_refs": pa.array([len(r) for r in wrefs], pa.int64()),
+            "refs": pa.array(wrefs, pa.list_(pa.int64())),
+            "tag_keys": wk,
+            "tag_vals": wv,
+        }
+    )
+    rk, rv = _tag_list_arrays(rtags)
+    relations = pa.table(
+        {
+            "id": pa.array(rid, pa.int64()),
+            "member_types": pa.array(
+                [[m[0] for m in ms] for ms in rmem], pa.list_(pa.int8())
+            ),
+            "member_refs": pa.array(
+                [[m[1] for m in ms] for ms in rmem], pa.list_(pa.int64())
+            ),
+            "member_roles": pa.array(
+                [[m[2] for m in ms] for ms in rmem], pa.list_(pa.string())
+            ),
+            "tag_keys": rk,
+            "tag_vals": rv,
+        }
+    )
+    return nodes, ways, relations
+
+
+def read_pbf_table(paths: list[str], table: str = "nodes"):
+    """Ray Data source: .osm.pbf files → nodes/ways/relations Dataset."""
+    from .osmxml import read_osm_table
+
+    return read_osm_table(paths, table, parser=parse_pbf_bytes)

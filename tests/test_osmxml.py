@@ -38,7 +38,7 @@ class TestXmlRoundtrip:
             ways=[(10, [1, 2, 3]), (11, [3, 99])],
             tags={2: {"highway": "primary", "name": "A1"}},
         )
-        nodes, ways = parse_osm_bytes(open(p, "rb").read())
+        nodes, ways, _rels = parse_osm_bytes(open(p, "rb").read())
         assert nodes["id"].to_pylist() == [1, 2, 3, 99]
         assert nodes["lat_mu"].to_pylist() == lat.tolist()
         assert nodes["lon_mu"].to_pylist() == lon.tolist()
@@ -49,7 +49,7 @@ class TestXmlRoundtrip:
     def test_empty_file(self, tmp_path):
         p = str(tmp_path / "e.osm")
         write_osm_xml(p, np.asarray([], np.int64), np.asarray([]), np.asarray([]))
-        nodes, ways = parse_osm_bytes(open(p, "rb").read())
+        nodes, ways, _rels = parse_osm_bytes(open(p, "rb").read())
         assert nodes.num_rows == 0 and ways.num_rows == 0
 
     def test_ray_source(self, ray_session, tmp_path):
