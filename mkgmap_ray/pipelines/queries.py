@@ -723,7 +723,7 @@ def q_ann_cosine_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = lsh_bucketed_cosine_pairs(
-        ds, dim=dim, threshold=0.35, n_bits=4
+        ds, dim=dim, threshold=0.35, n_bits=12, n_bands=8
     ).to_pandas()
     if "a" not in out.columns:  # no buckets produced any pair
         out = pd.DataFrame({"a": [], "b": []})

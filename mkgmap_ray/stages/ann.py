@@ -97,52 +97,129 @@ def topk_dot(ds, q_ids, q_mat, k: int = 10, id_col="vec_id", emb_col="embedding"
 
 
 class RandomHyperplaneSigner:
-    """map_batches: append an LSH bucket (sign bits of r random projections)."""
+    """map_batches: one row per (vector, band) with the band's LSH bucket
+    (sign bits of ``n_bits`` random projections). Multiple independent
+    bands give recall (a near-dup pair only needs ONE band to agree);
+    ``n_bits`` per band keeps buckets small so in-bucket work stays far
+    from O(n²)."""
 
-    def __init__(self, dim: int, n_bits: int = 16, seed: int = 42,
-                 emb_col="embedding"):
+    def __init__(self, dim: int, n_bits: int = 12, n_bands: int = 8,
+                 seed: int = 42, id_col="vec_id", emb_col="embedding"):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_bits))
+        self.planes = rng.standard_normal((dim, n_bands * n_bits))
+        self.n_bits = n_bits
+        self.n_bands = n_bands
+        self.id_col = id_col
         self.emb_col = emb_col
+
+    def buckets(self, unit: np.ndarray) -> np.ndarray:
+        """(n, n_bands) int64 bucket keys from unit vectors."""
+        bits = (unit @ self.planes) > 0
+        bits = bits.reshape(len(unit), self.n_bands, self.n_bits)
+        return (
+            bits.astype(np.int64) << np.arange(self.n_bits)[None, None, :]
+        ).sum(axis=2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _emb_matrix(batch, self.emb_col)
-        bits = (emb @ self.planes) > 0
-        bucket = (bits.astype(np.int64) << np.arange(bits.shape[1])).sum(axis=1)
-        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
-
-
-def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
-                              n_bits: int = 12, seed: int = 42,
-                              id_col="vec_id", emb_col="embedding"):
-    """Near-duplicate pairs by cosine ≥ threshold, candidates restricted to
-    equal LSH buckets (recall < 1 by construction — the scale/efficiency
-    tradeoff; raise n_bits for precision, repeat with different seeds for
-    recall)."""
-    signed = ds.map_batches(
-        RandomHyperplaneSigner(dim, n_bits, seed, emb_col),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        emb = np.stack(g[emb_col].to_numpy())
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1
         unit = emb / norms[:, None]
-        sim = unit @ unit.T
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sim[iu] >= threshold
-        return pd.DataFrame(
+        buckets = self.buckets(unit)
+        ids = np.asarray(batch[self.id_col].combine_chunks(), np.int64)
+        n = len(ids)
+        flat_unit = np.repeat(
+            unit.astype(np.float32), self.n_bands, axis=0
+        )
+        offsets = pa.array(
+            np.arange(0, (n * self.n_bands + 1) * unit.shape[1],
+                      unit.shape[1], dtype=np.int32)
+        )
+        return pa.table(
             {
-                "a": ids[iu[0][keep]],
-                "b": ids[iu[1][keep]],
-                "cosine": sim[iu][keep],
+                "band": pa.array(
+                    np.tile(np.arange(self.n_bands, dtype=np.int64), n),
+                    pa.int64(),
+                ),
+                "lsh_bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                self.id_col: pa.array(np.repeat(ids, self.n_bands), pa.int64()),
+                "unit": pa.ListArray.from_arrays(
+                    offsets, pa.array(flat_unit.reshape(-1), pa.float32())
+                ),
             }
         )
 
-    return signed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+
+def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
+                              n_bits: int = 12, n_bands: int = 8,
+                              seed: int = 42, max_bucket: int = 512,
+                              id_col="vec_id", emb_col="embedding"):
+    """Near-duplicate pairs by cosine ≥ threshold: banded random-hyperplane
+    LSH (``n_bands`` independent ``n_bits``-bit signatures; a pair is a
+    candidate if ANY band agrees), buckets hash-partitioned into bounded
+    groups, per-bucket exact cosine verification vectorized, membership
+    capped at ``max_bucket`` (deterministic smallest-ids) so a dense
+    cluster cannot go O(n²). Cross-band dedupe is LOCAL: a pair is emitted
+    only from the first band whose buckets agree (recomputed from the unit
+    vectors riding with the rows) — no second shuffle. Only unit vectors
+    shuffle, never raw embeddings; payload per row is dim × float32."""
+    signer = RandomHyperplaneSigner(dim, n_bits, n_bands, seed, id_col,
+                                    emb_col)
+    signed = ds.map_batches(signer, batch_format="pyarrow", batch_size=None)
+
+    N_PARTS = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["lsh_bucket"].combine_chunks(), np.int64)
+        band = np.asarray(batch["band"].combine_chunks(), np.int64)
+        key = b * n_bands + band
+        return batch.append_column(
+            "part", pa.array(key % N_PARTS, pa.int64())
+        )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        sizes = g.groupby(["band", "lsh_bucket"], sort=False)[
+            id_col
+        ].transform("size")
+        g = g[sizes >= 2]
+        for (band, _), grp in g.groupby(["band", "lsh_bucket"], sort=False):
+            grp = grp.sort_values(id_col).drop_duplicates(id_col)
+            if len(grp) > max_bucket:
+                grp = grp.head(max_bucket)
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            unit = np.stack(grp["unit"].to_numpy()).astype(np.float64)
+            iu, ju = np.triu_indices(len(ids), 1)
+            sim = np.einsum("ij,ij->i", unit[iu], unit[ju])
+            keep = sim >= threshold
+            if not keep.any():
+                continue
+            iu, ju, sim = iu[keep], ju[keep], sim[keep]
+            B = signer.buckets(unit)
+            first_band = np.argmax(B[iu] == B[ju], axis=1)
+            canon = first_band == band
+            out_a.append(ids[iu[canon]])
+            out_b.append(ids[ju[canon]])
+            out_c.append(sim[canon])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": np.int64, "b": np.int64, "cosine": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        signed.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
 
 
 class IVFTopKPartial:

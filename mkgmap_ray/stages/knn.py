@@ -110,6 +110,84 @@ class GridKnnIndex:
             return -1, -1
         return best_id, best_d2
 
+    def nearest_batch(self, p_lat: np.ndarray, p_lon: np.ndarray,
+                      max_dist2: int | None = None):
+        """Vectorized nearest for a whole probe batch: probes grouped by
+        grid cell, each group advances through rings together (ONE
+        candidate gather + one distance matrix per ring per cell — the
+        scale path; round 1 ran the scalar ring search per row). Results
+        identical to ``nearest`` per probe: once a probe's stop bound
+        holds, later rings can only be strictly farther, so extra group
+        rings never change its answer."""
+        p_lat = np.asarray(p_lat, np.int64)
+        p_lon = np.asarray(p_lon, np.int64)
+        n = len(p_lat)
+        best_d2 = np.full(n, np.iinfo(np.int64).max, np.int64)
+        best_id = np.full(n, -1, np.int64)
+        if n == 0 or len(self.ids) == 0:
+            return best_id, np.full(n, -1, np.int64)
+        cy_all = p_lat // self.cell
+        cx_all = p_lon // self.cell
+        key = cy_all * (1 << 32) + cx_all
+        uniq, inv = np.unique(key, return_inverse=True)
+        max_ring = (
+            (int(max_dist2**0.5) + 1) // self.cell + 2 if max_dist2 else None
+        )
+        lat_cells = self.lat // self.cell
+        lon_cells = self.lon // self.cell
+        for gi in range(len(uniq)):
+            sel = np.nonzero(inv == gi)[0]
+            cy = int(cy_all[sel[0]])
+            cx = int(cx_all[sel[0]])
+            pl = p_lat[sel]
+            po = p_lon[sel]
+            bd = best_d2[sel]
+            bi = best_id[sel]
+            n_rings_total = 1 + max(
+                abs(int(lat_cells.max()) - cy), abs(int(lat_cells.min()) - cy),
+                abs(int(lon_cells.max()) - cx), abs(int(lon_cells.min()) - cx),
+            )
+            # distance from each probe to its cell border (for stop bound)
+            border = np.maximum.reduce([
+                pl - cy * self.cell, (cy + 1) * self.cell - pl,
+                po - cx * self.cell, (cx + 1) * self.cell - po,
+                np.zeros(len(sel), np.int64),
+            ])
+            ring = 0
+            while True:
+                cand = self._candidates(cy, cx, ring)
+                if len(cand):
+                    # id-ascending so argmin ties pick the smallest id
+                    cand = cand[np.argsort(self.ids[cand], kind="stable")]
+                    dy = self.lat[cand][None, :] - pl[:, None]
+                    dx = self.lon[cand][None, :] - po[:, None]
+                    d2 = dy * dy + dx * dx
+                    k = np.argmin(d2, axis=1)
+                    dk = d2[np.arange(len(sel)), k]
+                    ik = self.ids[cand][k]
+                    upd = (dk < bd) | ((dk == bd) & (ik < bi))
+                    bd = np.where(upd, dk, bd)
+                    bi = np.where(upd, ik, bi)
+                ring_min = ring * self.cell - border
+                done = (bi >= 0) & (ring_min > 0) & (
+                    ring_min * ring_min > bd
+                )
+                if done.all():
+                    break
+                ring += 1
+                if max_ring is not None and ring > max_ring:
+                    break
+                if ring > n_rings_total:
+                    break
+            best_d2[sel] = bd
+            best_id[sel] = bi
+        none = best_id < 0
+        if max_dist2 is not None:
+            none |= best_d2 > max_dist2
+        best_id[none] = -1
+        best_d2[none] = -1
+        return best_id, best_d2
+
 
 class KnnJoin:
     """map_batches actor: append nearest-reference id + squared distance."""
@@ -146,12 +224,7 @@ class KnnJoin:
                 nn[far] = -1
                 d2[far] = -1
         else:
-            nn = np.empty(len(lat), np.int64)
-            d2 = np.empty(len(lat), np.int64)
-            for i in range(len(lat)):
-                nn[i], d2[i] = self.index.nearest(
-                    int(lat[i]), int(lon[i]), self.max_dist2
-                )
+            nn, d2 = self.index.nearest_batch(lat, lon, self.max_dist2)
         batch = batch.append_column(
             "nn_id", pa.array(nn, pa.int64(), mask=nn < 0)
         )

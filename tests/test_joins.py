@@ -191,3 +191,40 @@ class TestBicubic:
         assert np.isnan(out[0])       # void window and void bilinear corner
         assert out[1] == 100.0        # border → bilinear fallback
         assert out[2] == 100.0        # interior bicubic on flat grid
+
+
+class TestGridKnnBatch:
+    def test_forced_grid_path_matches_brute(self, ray_session):
+        """Ref count above BRUTE_THRESHOLD forces the grid index; the
+        vectorized batch ring search must match brute-force exactly."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mkgmap_ray.stages.knn import KnnJoin, knn_bruteforce
+
+        rng = np.random.default_rng(99)
+        nref = 6000  # > BRUTE_THRESHOLD=4096
+        ids = rng.permutation(nref * 2)[:nref]
+        rlat = rng.integers(0, 1 << 22, nref)
+        rlon = rng.integers(0, 1 << 22, nref)
+        probes = pa.table(
+            {
+                "pid": pa.array(range(2000), pa.int64()),
+                "lat_hp": pa.array(
+                    rng.integers(0, 1 << 22, 2000), pa.int64()
+                ),
+                "lon_hp": pa.array(
+                    rng.integers(0, 1 << 22, 2000), pa.int64()
+                ),
+            }
+        )
+        join = KnnJoin((ids, rlat, rlon))
+        assert not join.brute
+        out = join(probes)
+        exp_id, exp_d2 = knn_bruteforce(
+            probes["lat_hp"].to_numpy(), probes["lon_hp"].to_numpy(),
+            ids, rlat, rlon,
+        )
+        np.testing.assert_array_equal(out["nn_id"].to_numpy(), exp_id)
+        np.testing.assert_array_equal(out["nn_dist2"].to_numpy(), exp_d2)
