@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "road_merge": Q.q_road_merge,
         "mp_roundtrip": Q.q_mp_roundtrip,
         "multipolygon": Q.q_multipolygon,
+        "shape_merge": Q.q_shape_merge,
+        "hole_cut": Q.q_hole_cut,
         "poi_generate": Q.q_poi_generate,
         "label_encode": Q.q_label_encode,
         "hgt_roundtrip": Q.q_hgt_roundtrip,
@@ -571,6 +573,20 @@ def oracle_sql() -> dict[str, str]:
                    8*s_out*s_out - 8*(s_out//2)*(s_out//2)
                      + 8*(s_out//4)*(s_out//4) AS net_area2
             FROM s
+        """,
+        "shape_merge": """
+            SELECT o_orderkey, 2 AS n_shapes, 10 AS n_points,
+                   6 * (1 + o_orderkey % 7) * (1 + o_orderkey % 7)
+                     AS sum_area2,
+                   4 * (1 + o_orderkey % 7) * (1 + o_orderkey % 7)
+                     AS max_area2
+            FROM orders WHERE o_orderkey % 4 = 1
+        """,
+        "hole_cut": """
+            SELECT o_orderkey, 16 AS n_points,
+                   68 * (1 + o_orderkey % 7) * (1 + o_orderkey % 7)
+                     AS ring_area2
+            FROM orders WHERE o_orderkey % 4 = 1
         """,
         "poi_generate": """
             SELECT o_orderkey,

@@ -75,6 +75,8 @@ QUERY_NAMES = [
     "road_merge",
     "mp_roundtrip",
     "multipolygon",
+    "shape_merge",
+    "hole_cut",
     "poi_generate",
     "label_encode",
     "hgt_roundtrip",

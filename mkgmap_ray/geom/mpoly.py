@@ -75,3 +75,46 @@ def net_area2(rings) -> int:
         a = abs(signed_area2(ring[0], ring[1]))
         total += a if c["depth"] % 2 == 0 else -a
     return int(total)
+
+
+def cut_holes(outer: tuple[np.ndarray, np.ndarray],
+              holes: list[tuple[np.ndarray, np.ndarray]]):
+    """Cut inner rings into the outer shape (``MultiPolygonCutter``
+    analogue): each hole is connected to the current boundary by a
+    zero-width bridge at the closest vertex pair (deterministic
+    smallest-index tie-break), traversed opposite to the outer
+    orientation so the bridge contributes no area and the result's
+    signed area is outer − Σ holes.
+
+    Returns one (lat, lon) int ring with
+    ``len(outer) + Σ (len(hole) + 2)`` vertices. Assumes holes are
+    disjoint and strictly inside the outer ring (the multipolygon
+    contract); bridges to the nearest vertex can cross for pathological
+    concave inputs — the reference's full Area-subtraction covers those.
+    """
+    ola = list(map(int, outer[0]))
+    olo = list(map(int, outer[1]))
+    outer_ccw = signed_area2(np.asarray(ola), np.asarray(olo)) > 0
+    for hla_a, hlo_a in holes:
+        hla = list(map(int, hla_a))
+        hlo = list(map(int, hlo_a))
+        hole_ccw = signed_area2(np.asarray(hla), np.asarray(hlo)) > 0
+        if hole_ccw == outer_ccw:  # hole must run opposite to outer
+            hla.reverse()
+            hlo.reverse()
+        o_lat = np.asarray(ola, np.int64)
+        o_lon = np.asarray(olo, np.int64)
+        h_lat = np.asarray(hla, np.int64)
+        h_lon = np.asarray(hlo, np.int64)
+        d2 = (
+            (o_lat[:, None] - h_lat[None, :]) ** 2
+            + (o_lon[:, None] - h_lon[None, :]) ** 2
+        )
+        flat = int(np.argmin(d2))  # ties: smallest (i, j)
+        i, j = divmod(flat, len(hla))
+        nh = len(hla)
+        bridge_la = [hla[(j + k) % nh] for k in range(nh)] + [hla[j], ola[i]]
+        bridge_lo = [hlo[(j + k) % nh] for k in range(nh)] + [hlo[j], olo[i]]
+        ola = ola[: i + 1] + bridge_la + ola[i + 1 :]
+        olo = olo[: i + 1] + bridge_lo + olo[i + 1 :]
+    return np.asarray(ola, np.int64), np.asarray(olo, np.int64)

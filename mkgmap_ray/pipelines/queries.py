@@ -1921,6 +1921,107 @@ def q_multipolygon(sf_dir: str):
     )
 
 
+def q_shape_merge(sf_dir: str):
+    """Shared-edge polygon merging (``filters/ShapeMergeFilter.java``):
+    per order, two adjacent squares sharing an edge plus one disjoint
+    square; the merger must splice the pair into one 6-vertex rectangle
+    (area preserved — the ``calcAreaSizeTestVal`` invariant) and leave
+    the third alone. Counts and areas are closed-form — SQL-exact."""
+    from ..geom.polyfilters import signed_area2
+    from ..stages.merge import merge_shapes
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = ook % 4 == 1  # bounded fixture subset
+        ook = ook[sel]
+        n = len(ook)
+        n_shapes = np.empty(n, np.int64)
+        n_points = np.empty(n, np.int64)
+        sum_area2 = np.empty(n, np.int64)
+        max_area2 = np.empty(n, np.int64)
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            s = 1 + ok % 7
+            y0 = (ok * A_LAT) % SPAN
+            x0 = (ok * A_LON) % SPAN
+
+            def square(yy, xx, side):
+                return (
+                    np.asarray([yy, yy, yy + side, yy + side]),
+                    np.asarray([xx, xx + side, xx + side, xx]),
+                )
+
+            out = merge_shapes(
+                [square(y0, x0, s), square(y0, x0 + s, s),
+                 square(y0, x0 + 4 * s, s)]
+            )
+            areas = [abs(signed_area2(*r)) for r in out]
+            n_shapes[idx] = len(out)
+            n_points[idx] = sum(len(r[0]) for r in out)
+            sum_area2[idx] = sum(areas)
+            max_area2[idx] = max(areas)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ook, pa.int64()),
+                "n_shapes": pa.array(n_shapes, pa.int64()),
+                "n_points": pa.array(n_points, pa.int64()),
+                "sum_area2": pa.array(sum_area2, pa.int64()),
+                "max_area2": pa.array(max_area2, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_hole_cut(sf_dir: str):
+    """Hole cutting (``MultiPolygonCutter`` analogue): per order an outer
+    square with two disjoint square holes is cut into ONE simple ring via
+    zero-width bridges; vertex count and net signed area (outer − holes)
+    are closed-form — SQL-exact."""
+    from ..geom.mpoly import cut_holes
+    from ..geom.polyfilters import signed_area2
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = ook % 4 == 1
+        ook = ook[sel]
+        n = len(ook)
+        n_points = np.empty(n, np.int64)
+        ring_area2 = np.empty(n, np.int64)
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            s = 1 + ok % 7
+            y0 = (ok * A_LAT) % SPAN
+            x0 = (ok * A_LON) % SPAN
+
+            def square(yy, xx, side):
+                return (
+                    np.asarray([yy, yy, yy + side, yy + side]),
+                    np.asarray([xx, xx + side, xx + side, xx]),
+                )
+
+            la, lo = cut_holes(
+                square(y0, x0, 6 * s),
+                [square(y0 + s, x0 + s, s),
+                 square(y0 + 4 * s, x0 + 4 * s, s)],
+            )
+            n_points[idx] = len(la)
+            ring_area2[idx] = abs(signed_area2(la, lo))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ook, pa.int64()),
+                "n_points": pa.array(n_points, pa.int64()),
+                "ring_area2": pa.array(ring_area2, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_poi_generate(sf_dir: str):
     """POI generation from shapes (``POIGeneratorHook``: synthesize a
     point per polygon): triangle centroid with Java truncating division —

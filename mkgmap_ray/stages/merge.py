@@ -283,3 +283,75 @@ def merge_roads(roads, restricted: set | None = None):
         (np.asarray(la, np.int64), np.asarray(lo, np.int64), attrs)
         for idx, (la, lo, attrs) in sorted(items.items())
     ]
+
+
+def merge_shapes(shapes: list[tuple[np.ndarray, np.ndarray]]):
+    """Merge same-type polygons sharing a common edge
+    (``filters/ShapeMergeFilter.java`` semantics subset: two rings with an
+    opposite-directed shared edge splice into one ring; repeat until
+    stable; the spliced boundary preserves total signed area —
+    ``calcAreaSizeTestVal`` invariant).
+
+    ``shapes``: list of (lat, lon) open int rings with consistent
+    orientation. Returns the merged list of (lat, lon) numpy rings
+    (greedy, input-order deterministic like the reference's loop).
+    """
+    rings: list[tuple[list[int], list[int]] | None] = [
+        (list(map(int, la)), list(map(int, lo))) for la, lo in shapes
+    ]
+
+    def strip_spikes(la: list[int], lo: list[int]):
+        # remove zero-width spikes (v, w, v) introduced by multi-edge
+        # sharing, wrap-around included
+        changed = True
+        while changed and len(la) >= 3:
+            changed = False
+            n = len(la)
+            for i in range(n):
+                p, q = (i - 1) % n, (i + 1) % n
+                if la[p] == la[q] and lo[p] == lo[q]:
+                    drop = sorted({i, q}, reverse=True)
+                    for d in drop:
+                        del la[d]
+                        del lo[d]
+                    changed = True
+                    break
+        return la, lo
+
+    merged_any = True
+    while merged_any:
+        merged_any = False
+        # directed edge -> (ring, pos) for all live rings
+        edge_at: dict[tuple[int, int, int, int], tuple[int, int]] = {}
+        for ri, ring in enumerate(rings):
+            if ring is None:
+                continue
+            la, lo = ring
+            n = len(la)
+            for i in range(n):
+                j = (i + 1) % n
+                edge_at[(la[i], lo[i], la[j], lo[j])] = (ri, i)
+        for (p_lat, p_lon, q_lat, q_lon), (ri, i) in edge_at.items():
+            rev = edge_at.get((q_lat, q_lon, p_lat, p_lon))
+            if rev is None or rev[0] == ri:
+                continue
+            rj, j = rev
+            if rings[ri] is None or rings[rj] is None:
+                continue
+            ala, alo = rings[ri]
+            bla, blo = rings[rj]
+            nb = len(bla)
+            # splice: a[0..i] + b's long way from p to q + a[i+1..]
+            mid_la = [bla[(j + 1 + k) % nb] for k in range(1, nb - 1)]
+            mid_lo = [blo[(j + 1 + k) % nb] for k in range(1, nb - 1)]
+            new_la = ala[: i + 1] + mid_la + ala[i + 1 :]
+            new_lo = alo[: i + 1] + mid_lo + alo[i + 1 :]
+            rings[ri] = strip_spikes(new_la, new_lo)
+            rings[rj] = None
+            merged_any = True
+            break
+    return [
+        (np.asarray(la, np.int64), np.asarray(lo, np.int64))
+        for ring in rings if ring is not None
+        for la, lo in [ring]
+    ]

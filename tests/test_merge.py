@@ -171,3 +171,77 @@ class TestRoadMerger:
         out = merge_roads(r)
         assert len(out) == 1
         assert len(out[0][0]) == n + 1
+
+
+class TestShapeMerge:
+    def test_adjacent_squares_splice(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.polyfilters import signed_area2
+        from mkgmap_ray.stages.merge import merge_shapes
+
+        def square(y0, x0, s):
+            return (np.asarray([y0, y0, y0 + s, y0 + s]),
+                    np.asarray([x0, x0 + s, x0 + s, x0]))
+
+        out = merge_shapes([square(0, 0, 4), square(0, 4, 4), square(0, 20, 4)])
+        assert len(out) == 2
+        areas = sorted(abs(signed_area2(*r)) for r in out)
+        assert areas == [32, 64]  # 2*s^2 and 2*(2s*s)
+
+    def test_three_in_a_row_chain(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.polyfilters import signed_area2
+        from mkgmap_ray.stages.merge import merge_shapes
+
+        def square(y0, x0, s):
+            return (np.asarray([y0, y0, y0 + s, y0 + s]),
+                    np.asarray([x0, x0 + s, x0 + s, x0]))
+
+        out = merge_shapes([square(0, 0, 2), square(0, 2, 2), square(0, 4, 2)])
+        assert len(out) == 1
+        assert abs(signed_area2(*out[0])) == 2 * 6 * 2
+
+    def test_no_shared_edge_untouched(self):
+        import numpy as np
+
+        from mkgmap_ray.stages.merge import merge_shapes
+
+        a = (np.asarray([0, 0, 1]), np.asarray([0, 1, 0]))
+        b = (np.asarray([5, 5, 6]), np.asarray([5, 6, 5]))
+        out = merge_shapes([a, b])
+        assert len(out) == 2
+
+
+class TestCutHoles:
+    def test_area_and_vertices(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.mpoly import cut_holes
+        from mkgmap_ray.geom.polyfilters import signed_area2
+
+        def square(y0, x0, s):
+            return (np.asarray([y0, y0, y0 + s, y0 + s]),
+                    np.asarray([x0, x0 + s, x0 + s, x0]))
+
+        outer = square(0, 0, 12)
+        la, lo = cut_holes(outer, [square(2, 2, 2), square(8, 8, 2)])
+        assert len(la) == 4 + 6 + 6
+        assert abs(signed_area2(la, lo)) == 2 * 144 - 2 * 4 - 2 * 4
+
+    def test_hole_orientation_normalized(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.mpoly import cut_holes
+        from mkgmap_ray.geom.polyfilters import signed_area2
+
+        def square(y0, x0, s, cw=False):
+            la = np.asarray([y0, y0, y0 + s, y0 + s])
+            lo = np.asarray([x0, x0 + s, x0 + s, x0])
+            return (la[::-1], lo[::-1]) if cw else (la, lo)
+
+        outer = square(0, 0, 10)
+        for cw in (False, True):  # either input orientation subtracts
+            la, lo = cut_holes(outer, [square(3, 3, 2, cw=cw)])
+            assert abs(signed_area2(la, lo)) == 2 * 100 - 2 * 4
