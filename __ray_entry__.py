@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_regions": Q.q_pip_regions,
         "knn_join": Q.q_knn_join,
         "tile_refine": Q.q_tile_refine,
+        "level_refine": Q.q_level_refine,
         "raster_sample": Q.q_raster_sample,
         "simplify_dp": Q.q_simplify_dp,
         "images_tiles": Q.q_images_tiles,

@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "knn_join",
     "raster_sample",
     "simplify_dp",
+    "level_refine",
     "q1_pricing",
     "q3_top_orders",
     "q5_nation_revenue",

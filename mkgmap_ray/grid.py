@@ -121,16 +121,39 @@ class SplitTree:
         self.child_off[node] = off
         return True
 
-    def split_max_size(self, max_division_size: int = 0x7FFF) -> None:
-        """Initial root grid: ensure no division exceeds
-        ``MAX_DIVISION_SIZE`` shifted units (``MapSplitter.splitMaxSize``)."""
-        b = self.bounds[0]
+    def split_max_size_leaf(self, node: int,
+                            max_division_size: int = 0x7FFF) -> None:
+        """Grid-split one leaf so no division exceeds
+        ``MAX_DIVISION_SIZE`` shifted units (``MapSplitter.splitMaxSize``
+        applied to an arbitrary area — used per parent area when a finer
+        zoom level continues a coarser tree)."""
+        b = self.bounds[node]
         width = b.width >> self.shift
         height = b.height >> self.shift
         xsplit = width // max_division_size + 1 if width > max_division_size else 1
         ysplit = height // max_division_size + 1 if height > max_division_size else 1
         if xsplit > 1 or ysplit > 1:
-            self.split_node(0, xsplit, ysplit)
+            self.split_node(node, xsplit, ysplit)
+
+    def split_max_size(self, max_division_size: int = 0x7FFF) -> None:
+        """Initial root grid (``MapSplitter.splitMaxSize`` on the root)."""
+        self.split_max_size_leaf(0, max_division_size)
+
+    def copy_with_shift(self, shift: int) -> "SplitTree":
+        """Structural deep copy adopting a (finer) alignment shift — the
+        starting point for continuing refinement at the next zoom level
+        (parent geometry is fixed; only future cuts use the new shift)."""
+        out = SplitTree(shift=shift)
+        out.bounds = list(self.bounds)
+        out.parent = list(self.parent)
+        out.nx = list(self.nx)
+        out.ny = list(self.ny)
+        out.xbase = list(self.xbase)
+        out.ybase = list(self.ybase)
+        out.dx = list(self.dx)
+        out.dy = list(self.dy)
+        out.child_off = list(self.child_off)
+        return out
 
     def canonicalize(self, n_initial: int) -> "SplitTree":
         """Rebuild with the canonical node numbering the iterative

@@ -207,6 +207,32 @@ def q_tile_refine(sf_dir: str):
     return out
 
 
+def q_level_refine(sf_dir: str):
+    """Per-zoom subdivision quadtree (``MapBuilder.makeMapAreas``,
+    levels 4:16 … 0:24): each level's tree continues the parent level's
+    areas. Per level: tile count + bounds checksums (rows-only: per-level
+    leaf areas are checked against the recursive oracle in pytest)."""
+    from ..stages.assign import build_level_trees, narrow_stats
+    from .derive import features_dataset
+
+    ds = features_dataset(sf_dir)
+    shifts = (8, 6, 4, 2, 0)
+    trees = build_level_trees(narrow_stats(ds), shifts)
+    rows = []
+    for level, (shift, tree) in enumerate(zip(shifts, trees)):
+        leaves = tree.leaves()
+        rows.append(
+            {
+                "level": 4 - level,
+                "shift": shift,
+                "n_tiles": len(leaves),
+                "sum_min_lat": sum(tree.bounds[n].min_lat for n in leaves),
+                "sum_max_lon": sum(tree.bounds[n].max_lon for n in leaves),
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
 RASTER_RES = 1024  # power of two → exact fixed-point interpolation
 
 

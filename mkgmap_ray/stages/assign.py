@@ -205,18 +205,44 @@ def build_split_tree(
     ``2^levels_per_round × active leaves`` — bounded by the output tile
     count, not the feature count, so this holds at 10^12 features.
     """
-    import ray
-
-    # one block per CPU: per-round partial aggregates duplicate each
-    # occupied cell once per block, so fewer/larger blocks keep the
-    # driver-side combine linear in cell count, not block count
-    n_blocks = max(1, int(ray.cluster_resources().get("CPU", 32)))
-    narrow_ds = narrow_ds.repartition(n_blocks).materialize()
+    narrow_ds = prepare_narrow(narrow_ds)
     if bounds is None:
         bounds = compute_bounds(narrow_ds)
     tree = SplitTree.root(bounds, shift)
     tree.split_max_size(limits.max_division_size)
     n_initial = tree.n_nodes()
+    refine_tree(narrow_ds, tree, limits, levels_per_round, max_rounds)
+    return tree.canonicalize(n_initial)
+
+
+def prepare_narrow(narrow_ds):
+    """Repartition + materialize the narrow stats projection once so the
+    per-round refinement scans (and the per-level continuation) re-read a
+    compact block set. One block per CPU: per-round partial aggregates
+    duplicate each occupied cell once per block, so fewer/larger blocks
+    keep the driver-side combine linear in cell count, not block count."""
+    import ray
+
+    if getattr(narrow_ds, "_mkgmap_prepared", False):
+        return narrow_ds
+    n_blocks = max(1, int(ray.cluster_resources().get("CPU", 32)))
+    out = narrow_ds.repartition(n_blocks).materialize()
+    out._mkgmap_prepared = True
+    return out
+
+
+def refine_tree(
+    narrow_ds,
+    tree: SplitTree,
+    limits: SplitLimits = SplitLimits(),
+    levels_per_round: int = 6,
+    max_rounds: int = 16,
+) -> None:
+    """The round-based distributed refinement loop, operating IN PLACE on
+    an existing tree from its current leaves (used by both the one-level
+    ``build_split_tree`` and the per-zoom continuation
+    ``continue_split_tree``). ``narrow_ds`` must be prepared
+    (``prepare_narrow``)."""
     min_dim = limits.min_dimension
     t_shift = tree.shift
     active: list[int] = tree.leaves()
@@ -342,7 +368,54 @@ def build_split_tree(
             recurse(leaf, order[s:e], levels)
         active = new_active
 
-    return tree.canonicalize(n_initial)
+
+def continue_split_tree(
+    narrow_ds,
+    parent_tree: SplitTree,
+    shift: int,
+    limits: SplitLimits = SplitLimits(),
+    levels_per_round: int = 6,
+    max_rounds: int = 16,
+) -> SplitTree:
+    """One zoom level's subdivision derived from the PARENT level's areas
+    (``MapBuilder.makeMapAreas``, ``MapBuilder.java:788-813``: each parent
+    ``MapArea`` is fed to a fresh ``MapSplitter`` at the child zoom).
+    Split positions are area-determined, so the child tree is the parent
+    tree continued: copy structure, adopt the finer shift, apply the
+    per-area max-size grid (``splitMaxSize`` at the child resolution),
+    then refine every leaf under the child limits."""
+    tree = parent_tree.copy_with_shift(shift)
+    for leaf in list(tree.leaves()):
+        tree.split_max_size_leaf(leaf, limits.max_division_size)
+    refine_tree(narrow_ds, tree, limits, levels_per_round, max_rounds)
+    return tree
+
+
+def build_level_trees(
+    narrow_ds,
+    shifts: tuple[int, ...] = (8, 6, 4, 2, 0),
+    limits: SplitLimits = SplitLimits(),
+    bounds: Area | None = None,
+) -> list[SplitTree]:
+    """Per-zoom subdivision quadtrees, coarsest first (default levels
+    4:16 … 0:24 → shifts 8,6,4,2,0): level k+1's tree continues level k's
+    (the reference's across-level quadtree). Returns one tree per shift;
+    the last (shift 0) is the full-detail subdivision."""
+    narrow_ds = prepare_narrow(narrow_ds)
+    if bounds is None:
+        bounds = compute_bounds(narrow_ds)
+    trees: list[SplitTree] = []
+    tree: SplitTree | None = None
+    for shift in shifts:
+        if tree is None:
+            t = SplitTree.root(bounds, shift)
+            t.split_max_size(limits.max_division_size)
+            refine_tree(narrow_ds, t, limits)
+            tree = t
+        else:
+            tree = continue_split_tree(narrow_ds, tree, shift, limits)
+        trees.append(tree)
+    return trees
 
 
 class CellAssigner:

@@ -94,3 +94,27 @@ def oracle_split(features, bounds: Area, shift: int,
                 continue
         leaves.append((area, members))
     return leaves
+
+
+def oracle_split_levels(features, bounds: Area, shifts,
+                        limits: SplitLimits = SplitLimits()):
+    """Multi-level oracle (``MapBuilder.makeMapAreas``): level 0 splits the
+    root at shifts[0]; each later level re-splits every parent leaf area at
+    its (finer) shift with only that area's members. Returns one list of
+    (Area, member indices) per shift."""
+    out = []
+    areas = None
+    for shift in shifts:
+        if areas is None:
+            areas = oracle_split(features, bounds, shift, limits)
+        else:
+            nxt = []
+            for a, members in areas:
+                sub = oracle_split(
+                    [features[i] for i in members], a, shift, limits
+                )
+                for la, lmem in sub:
+                    nxt.append((la, [members[j] for j in lmem]))
+            areas = nxt
+        out.append(areas)
+    return out

@@ -84,3 +84,49 @@ def test_ray_assignment_matches_local(ray_session):
     assert meta.num_rows == len(tree.leaves())
     assert set(out["cell"]).issubset(set(meta["cell"].to_pylist()))
     assert (out["tile_id"] >= 0).all()
+
+
+def test_level_trees_match_recursive_oracle(ray_session):
+    """Per-zoom continuation trees (makeMapAreas parity): each level's
+    leaf AREAS must equal the recursive per-parent oracle's."""
+    import ray.data as rd
+
+    from mkgmap_ray.stages.assign import build_level_trees
+    from oracle_splitter import oracle_split_levels
+
+    rng = np.random.default_rng(7)
+    bbox = (100, 100, (1 << 17) + 100, (1 << 17) + 100)
+    feats = make_features(rng, 4000, bbox_mu=bbox)
+    table = features_table(feats)
+    ds = rd.from_arrow(table).repartition(8)
+    bounds = Area(*bbox)
+    shifts = (8, 6, 4, 2, 0)
+    # permissive limits so coarse levels actually split at every shift
+    limits = SplitLimits()
+
+    trees = build_level_trees(narrow_stats(ds), shifts, limits, bounds)
+
+    feat_dicts = [
+        {
+            "kind": int(feats["kind"][i]),
+            "n_points": int(feats["n_points"][i]),
+            "lat_hp": int(feats["lat_hp"][i]),
+            "lon_hp": int(feats["lon_hp"][i]),
+        }
+        for i in range(len(feats["kind"]))
+    ]
+    oracle_levels = oracle_split_levels(feat_dicts, bounds, shifts, limits)
+
+    for tree, oracle in zip(trees, oracle_levels):
+        got = sorted(
+            (b.min_lat, b.min_lon, b.max_lat, b.max_lon)
+            for b in (tree.bounds[leaf] for leaf in tree.leaves())
+        )
+        exp = sorted(
+            (a.min_lat, a.min_lon, a.max_lat, a.max_lon)
+            for a, _members in oracle
+        )
+        assert got == exp
+    # monotone: finer levels never have fewer tiles
+    counts = [len(t.leaves()) for t in trees]
+    assert counts == sorted(counts)
