@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multipolygon": Q.q_multipolygon,
         "shape_merge": Q.q_shape_merge,
         "hole_cut": Q.q_hole_cut,
+        "coastline_assembly": Q.q_coastline_assembly,
         "poi_generate": Q.q_poi_generate,
         "label_encode": Q.q_label_encode,
         "hgt_roundtrip": Q.q_hgt_roundtrip,
@@ -588,6 +589,13 @@ def oracle_sql() -> dict[str, str]:
                    68 * (1 + o_orderkey % 7) * (1 + o_orderkey % 7)
                      AS ring_area2
             FROM orders WHERE o_orderkey % 4 = 1
+        """,
+        "coastline_assembly": """
+            SELECT o_orderkey, 1 AS n_islands, 1 AS n_lakes, 1 AS n_land,
+                   0 AS n_incomplete, 5 AS land_points,
+                   5144 * (1 + o_orderkey % 5) * (1 + o_orderkey % 5)
+                     AS land_area2
+            FROM orders WHERE o_orderkey % 4 = 2
         """,
         "poi_generate": """
             SELECT o_orderkey,

@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "multipolygon",
     "shape_merge",
     "hole_cut",
+    "coastline_assembly",
     "poi_generate",
     "label_encode",
     "hgt_roundtrip",

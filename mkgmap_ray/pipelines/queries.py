@@ -2048,6 +2048,72 @@ def q_hole_cut(sf_dir: str):
     )
 
 
+def q_coastline_assembly(sf_dir: str):
+    """Coastline assembly (``SeaGenerator.java:818-1407``): per order, a
+    two-segment shoreline crossing the tile (closed along the border with
+    the land-left ccw walk), a directed-ring island (scrambled edge
+    order) and a clockwise lake — counts, closure vertex count and the
+    flood-fill land-area invariant are closed forms — SQL-exact."""
+    from ..geom.area import Area as _Area
+    from ..stages.coastline import assemble_coastline
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = ook % 4 == 2  # bounded fixture subset
+        ook = ook[sel]
+        n = len(ook)
+        cols = {
+            c: np.empty(n, np.int64)
+            for c in ("n_islands", "n_lakes", "n_land", "n_incomplete",
+                      "land_points", "land_area2")
+        }
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            u = 1 + ok % 5
+            T = 64 * u
+            b = _Area(0, 0, T, T)
+            mid = (T // 2 + T // 4) // 2
+            segs = [
+                (np.asarray([T // 2, mid]), np.asarray([0, T // 2])),
+                (np.asarray([mid, T // 4]), np.asarray([T // 2, T])),
+            ]
+            s = T // 16
+            cs = [(s, s), (s, 2 * s), (2 * s, 2 * s), (2 * s, s)]  # ccw
+            isl = [
+                (np.asarray([cs[e][0], cs[(e + 1) % 4][0]]),
+                 np.asarray([cs[e][1], cs[(e + 1) % 4][1]]))
+                for e in range(4)
+            ]
+            rot = ok % 4
+            segs += isl[rot:] + isl[:rot]
+            s2 = T // 32
+            y0 = 3 * T // 4
+            cs2 = [(y0, y0), (y0 + s2, y0), (y0 + s2, y0 + s2),
+                   (y0, y0 + s2)]  # cw
+            segs += [
+                (np.asarray([cs2[e][0], cs2[(e + 1) % 4][0]]),
+                 np.asarray([cs2[e][1], cs2[(e + 1) % 4][1]]))
+                for e in range(4)
+            ]
+            res = assemble_coastline(segs, b)
+            cols["n_islands"][idx] = len(res["islands"])
+            cols["n_lakes"][idx] = len(res["lakes"])
+            cols["n_land"][idx] = len(res["land_polys"])
+            cols["n_incomplete"][idx] = res["n_incomplete"]
+            cols["land_points"][idx] = sum(
+                len(r[0]) for r in res["land_polys"]
+            )
+            cols["land_area2"][idx] = res["land_area2"]
+        return pa.table(
+            {"o_orderkey": pa.array(ook, pa.int64()),
+             **{c: pa.array(v, pa.int64()) for c, v in cols.items()}}
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_poi_generate(sf_dir: str):
     """POI generation from shapes (``POIGeneratorHook``: synthesize a
     point per polygon): triangle centroid with Java truncating division —

@@ -245,3 +245,64 @@ class TestCutHoles:
         for cw in (False, True):  # either input orientation subtracts
             la, lo = cut_holes(outer, [square(3, 3, 2, cw=cw)])
             assert abs(signed_area2(la, lo)) == 2 * 100 - 2 * 4
+
+
+class TestCoastline:
+    def _ring(self, cs):
+        import numpy as np
+
+        return [
+            (np.asarray([cs[e][0], cs[(e + 1) % len(cs)][0]]),
+             np.asarray([cs[e][1], cs[(e + 1) % len(cs)][1]]))
+            for e in range(len(cs))
+        ]
+
+    def test_island_lake_orientation(self):
+        from mkgmap_ray.geom.area import Area
+        from mkgmap_ray.stages.coastline import assemble_coastline
+
+        ccw = self._ring([(0, 0), (0, 4), (4, 4), (4, 0)])
+        cw = self._ring([(10, 10), (14, 10), (14, 14), (10, 14)])
+        res = assemble_coastline(ccw + cw, Area(0, 0, 100, 100))
+        assert len(res["islands"]) == 1
+        assert len(res["lakes"]) == 1
+        assert res["land_area2"] == 2 * 16 - 2 * 16
+
+    def test_border_closure_walks_ccw(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.area import Area
+        from mkgmap_ray.stages.coastline import assemble_coastline
+
+        # straight west->east shoreline at mid height: land = north half
+        T = 64
+        segs = [(np.asarray([T // 2, T // 2]), np.asarray([0, T]))]
+        res = assemble_coastline(segs, Area(0, 0, T, T))
+        assert len(res["land_polys"]) == 1
+        la, lo = res["land_polys"][0]
+        assert len(la) == 4  # 2 shoreline + 2 corners
+        assert res["land_area2"] == 2 * (T * T // 2)
+
+    def test_incomplete_chain_reported(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.area import Area
+        from mkgmap_ray.stages.coastline import assemble_coastline
+
+        segs = [(np.asarray([10, 20]), np.asarray([10, 20]))]  # off-border
+        res = assemble_coastline(segs, Area(0, 0, 100, 100))
+        assert res["n_incomplete"] == 1
+        assert not res["land_polys"]
+
+    def test_directed_join_no_reversal(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.area import Area
+        from mkgmap_ray.stages.coastline import assemble_coastline
+
+        # two segments that only connect end->start (correct direction)
+        a = (np.asarray([0, 5]), np.asarray([0, 5]))
+        b = (np.asarray([5, 0]), np.asarray([5, 0]))  # closes the loop
+        res = assemble_coastline([a, b], Area(0, 0, 100, 100))
+        # degenerate 2-point "ring" → zero area, classified cw (lake)
+        assert res["n_incomplete"] == 0
