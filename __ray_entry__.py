@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overview_grid": Q.q_overview_grid,
         "label_prefix": Q.q_label_prefix,
         "sorted_top100": Q.q_sorted_top100,
+        "collate_sort": Q.q_collate_sort,
         "split_lines": Q.q_split_lines,
         "style_apply": Q.q_style_apply,
         "merge_chains": Q.q_merge_chains,
@@ -412,6 +413,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY p_name, p_partkey)
                         AS BIGINT) AS rank
             FROM part ORDER BY p_name, p_partkey LIMIT 100
+        """,
+        "collate_sort": """
+            WITH n AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                              CASE WHEN p_partkey % 2 = 0
+                                   THEN upper(p_name) ELSE p_name
+                              END AS name2
+                       FROM part)
+            SELECT p_partkey, name2,
+                   CAST(row_number() OVER (
+                        ORDER BY lower(name2), name2 DESC, p_partkey)
+                        AS BIGINT) AS rank
+            FROM n ORDER BY lower(name2), name2 DESC, p_partkey LIMIT 100
         """,
         "split_lines": """
             WITH s AS (SELECT o_orderkey,

@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "way_assembly",
     "overview_grid",
     "sorted_top100",
+    "collate_sort",
     "split_lines",
     "style_apply",
     "merge_chains",

@@ -997,6 +997,39 @@ def q_sorted_top100(sf_dir: str):
     return top
 
 
+def q_collate_sort(sf_dir: str):
+    """Codepage collation ordering (``imgfmt/app/srt/Sort.java``): labels
+    with synthesized mixed case sort by the three-strength collation KEY
+    (primary case-insensitive, tertiary lowercase-first) — distributed
+    sort on the key column; the oracle mirrors the key semantics with
+    (lower(name) ASC, name DESC) which is provably the same order for the
+    case-pair alphabet. Rank column makes the order hash-checked."""
+    import pyarrow.compute as pc
+
+    from ..stages.collate import CollateKey
+
+    def mixcase(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].combine_chunks().cast(pa.int64())
+        nm = batch["p_name"].combine_chunks()
+        even = pc.equal(pc.bit_wise_and(pk, 1), 0)
+        name2 = pc.if_else(even, pc.utf8_upper(nm), nm)
+        return pa.table({"p_partkey": pk, "name2": name2})
+
+    ds = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(mixcase, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            CollateKey("name2"), batch_format="pandas", batch_size=None
+        )
+        .sort(["collate_key", "p_partkey"])
+        .limit(100)
+    )
+    top = ds.to_pandas()[["p_partkey", "name2"]]
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["p_partkey"] = top["p_partkey"].astype("int64")
+    return top
+
+
 def q_split_lines(sf_dir: str):
     """``LineSplitterFilter`` sizing (``filters/LineSplitterFilter.java:
     42-76``): per synthetic line of ``1 + o_orderkey % 600`` points, the

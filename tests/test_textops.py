@@ -203,3 +203,48 @@ class TestSeaLookup:
         ).metadata.num_rows
         assert out["n"].sum() == n_events
         assert set(out["state"]) <= {0, 1, 2}
+
+
+class TestCollation:
+    def test_key_structure_and_strengths(self):
+        from mkgmap_ray.stages.collate import sort_key
+
+        # primary: case/accent-insensitive
+        assert sort_key("abc")[:3] == sort_key("ABC")[:3]
+        assert sort_key("été")[:3] == sort_key("ete")[:3]
+        # full key: case decides at tertiary — lowercase first
+        assert sort_key("abc") < sort_key("ABC")
+        assert sort_key("abc") < sort_key("Abc")
+        # accents decide at secondary, before case
+        assert sort_key("ete") < sort_key("été") < sort_key("ETE") or \
+            sort_key("ete") < sort_key("ETE")
+        # primary order: space < digits < letters
+        assert sort_key(" ") < sort_key("0") < sort_key("a")
+        # different letters differ at primary regardless of case
+        assert sort_key("B")[:2] < sort_key("c")[:2]
+
+    def test_expansion(self):
+        from mkgmap_ray.stages.collate import sort_key
+
+        assert sort_key("a…b") == sort_key("a...b")
+        assert sort_key("½") == sort_key("1/2")
+
+    def test_ignorable_dropped(self):
+        from mkgmap_ray.stages.collate import sort_key
+
+        assert sort_key("a\x01b") == sort_key("ab")
+
+    def test_hex_order_preserving(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.collate import sort_key, sort_key_hex
+
+        names = ["forest", "FOREST", "Forest lace", "almond", "Almond",
+                 "zebra stripe", " leading", "9 nine"]
+        by_key = sorted(names, key=sort_key)
+        hexes = sort_key_hex(pd.Series(names))
+        by_hex = [n for _, n in sorted(zip(hexes, names))]
+        assert by_key == by_hex
+        # case-insensitive grouping with lowercase first
+        assert by_key.index("forest") < by_key.index("FOREST")
+        assert by_key.index("almond") < by_key.index("Almond")
