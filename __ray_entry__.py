@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_merge": Q.q_shape_merge,
         "hole_cut": Q.q_hole_cut,
         "coastline_assembly": Q.q_coastline_assembly,
+        "size_filters": Q.q_size_filters,
         "poi_generate": Q.q_poi_generate,
         "label_encode": Q.q_label_encode,
         "hgt_roundtrip": Q.q_hgt_roundtrip,
@@ -609,6 +610,20 @@ def oracle_sql() -> dict[str, str]:
                    5144 * (1 + o_orderkey % 5) * (1 + o_orderkey % 5)
                      AS land_area2
             FROM orders WHERE o_orderkey % 4 = 2
+        """,
+        "size_filters": """
+            SELECT o_orderkey,
+                   CASE WHEN (o_orderkey // 4) % 4 = 0 THEN 1
+                        ELSE 1 << ((o_orderkey // 4) % 4) END AS n_chunks,
+                   CASE WHEN (o_orderkey // 4) % 4 = 0 THEN 2
+                        ELSE 2 * (1 << ((o_orderkey // 4) % 4)) END
+                     AS sum_chunk_points,
+                   CAST(power(4, (o_orderkey // 4) % 3) AS BIGINT) AS n_parts,
+                   4 * CAST(power(4, (o_orderkey // 4) % 3) AS BIGINT)
+                     AS sum_part_points,
+                   2 * (65535 << ((o_orderkey // 4) % 3))
+                     * (65535 << ((o_orderkey // 4) % 3)) AS sum_area2
+            FROM orders WHERE o_orderkey % 4 = 3
         """,
         "poi_generate": """
             SELECT o_orderkey,

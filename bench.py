@@ -80,6 +80,7 @@ QUERY_NAMES = [
     "shape_merge",
     "hole_cut",
     "coastline_assembly",
+    "size_filters",
     "poi_generate",
     "label_encode",
     "hgt_roundtrip",

@@ -127,6 +127,11 @@ def run_images_flagship(
     done: set[int] = set()
     if resume and prev and prev.get("tree_digest") == digest:
         done = man.completed_tiles()
+    from .tiling import clean_stale_partitions
+
+    # demote FIRST: a deleted range file may carry tiles whose markers
+    # must be dropped before the done-filter below is built
+    done = clean_stale_partitions(out_dir, done, man)
     man.write_job(
         {"input": f"images:{n}", "tree_digest": digest,
          "n_tiles": len(leaves), "bbox": list(bbox)}
@@ -144,81 +149,65 @@ def run_images_flagship(
     else:
         to_write = assigned
 
-    from .tiling import _tile_ids_np, clean_stale_partitions, read_written_tiles
+    from ..stages.tilewriter import BlockTileWriter, combine_tile_partials
 
-    clean_stale_partitions(out_dir, done)
-    # Single execution: write the tile partitions FIRST, then derive the
-    # per-tile fidelity/count aggregates from a column-pruned second-stage
-    # read of the files just written (generate → decode/verify → assign runs
-    # exactly once, and the gate provably checks the bytes on disk — the
-    # ``bytes`` column is never re-read).
-    # range-cluster by the partition key before the hive write (one file
-    # per block×tile run; pyarrow caps fragments at 1024 partitions)
-    to_write.sort("tile_id").write_parquet(
-        f"{out_dir}/tiles", partition_cols=["tile_id"]
+    # Single pass: generate -> decode/verify -> assign -> sort by tile_id;
+    # each sorted block writes ONE range file and returns its per-tile
+    # fidelity/count partials, so the expensive stages execute exactly
+    # once and the gate provably checks the bytes on disk.
+    if verify:
+        stat_ops = {"min_psnr_centi_db": "min", "max_phash_dist": "max",
+                    "min_caption_ok": "min"}
+
+        def fid_stats(batch, uniq, inv):
+            out = {}
+            for src_col, op, name in (
+                ("psnr_centi_db", "min", "min_psnr_centi_db"),
+                ("phash_dist", "max", "max_phash_dist"),
+                ("caption_ok", "min", "min_caption_ok"),
+            ):
+                v = np.asarray(batch[src_col].combine_chunks(), np.int64)
+                if op == "min":
+                    agg = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+                    np.minimum.at(agg, inv, v)
+                else:
+                    agg = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+                    np.maximum.at(agg, inv, v)
+                out[name] = (op, agg)
+            return out
+    else:
+        stat_ops = {}
+        fid_stats = None
+
+    parts = to_write.sort("tile_id").map_batches(
+        BlockTileWriter(out_dir, fid_stats, stat_ops),
+        batch_format="pyarrow", batch_size=None,
+    )
+    summary_df, file_of = combine_tile_partials(
+        parts.iter_batches(batch_size=None, batch_format="pyarrow"),
+        stat_ops,
     )
 
-    stat_cols = ["tile_id"] + (
-        ["psnr_centi_db", "phash_dist", "caption_ok"] if verify else []
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        tid = _tile_ids_np(batch)
-        uniq, inv = np.unique(tid, return_inverse=True)
-        out = {
-            "tile_id": pa.array(uniq, pa.int64()),
-            "n_images": pa.array(
-                np.bincount(inv, minlength=len(uniq)).astype(np.int64),
-                pa.int64(),
-            ),
-        }
-        if verify:
-            psnr = np.asarray(
-                batch["psnr_centi_db"].combine_chunks(), np.int64
-            )
-            mn = np.full(len(uniq), 1 << 30, np.int64)
-            np.minimum.at(mn, inv, psnr)
-            out["min_psnr_centi_db"] = pa.array(mn, pa.int64())
-            pd_ = np.asarray(batch["phash_dist"].combine_chunks(), np.int64)
-            mx = np.zeros(len(uniq), np.int64)
-            np.maximum.at(mx, inv, pd_)
-            out["max_phash_dist"] = pa.array(mx, pa.int64())
-            co = np.asarray(batch["caption_ok"].combine_chunks(), np.int64)
-            mc = np.ones(len(uniq), np.int64)
-            np.minimum.at(mc, inv, co)
-            out["min_caption_ok"] = pa.array(mc, pa.int64())
-        return pa.table(out)
-
-    parts = read_written_tiles(out_dir, stat_cols, exclude=done).map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    )
     acc: dict[int, dict] = {}
-    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            cur = acc.setdefault(
-                row["tile_id"],
-                {"n_images": 0, "min_psnr_centi_db": 1 << 30,
-                 "max_phash_dist": 0, "min_caption_ok": 1},
-            )
-            cur["n_images"] += row["n_images"]
-            if verify:
-                cur["min_psnr_centi_db"] = min(
-                    cur["min_psnr_centi_db"], row["min_psnr_centi_db"])
-                cur["max_phash_dist"] = max(
-                    cur["max_phash_dist"], row["max_phash_dist"])
-                cur["min_caption_ok"] = min(
-                    cur["min_caption_ok"], row["min_caption_ok"])
-
-    for tid, agg in acc.items():
+    for row in summary_df.itertuples(index=False):
+        tid = int(row.tile_id)
+        agg = {"n_images": int(row.n_rows)}
         if verify:
+            agg.update(
+                min_psnr_centi_db=int(row.min_psnr_centi_db),
+                max_phash_dist=int(row.max_phash_dist),
+                min_caption_ok=int(row.min_caption_ok),
+            )
             assert agg["min_psnr_centi_db"] >= 4000, (tid, agg)
             assert agg["max_phash_dist"] <= 4, (tid, agg)
             assert agg["min_caption_ok"] == 1, (tid, agg)
+        acc[tid] = agg
         b = tree.bounds[leaves[tid]]
         man.mark_tile(
             tid,
             {"counts": {"n_images": agg["n_images"]},
              "fidelity": {k: int(v) for k, v in agg.items()},
+             "files": file_of.get(tid, []),
              "bounds": [b.min_lat, b.min_lon, b.max_lat, b.max_lon],
              "tree_digest": digest},
         )

@@ -2081,6 +2081,56 @@ def q_hole_cut(sf_dir: str):
     )
 
 
+def q_size_filters(sf_dir: str):
+    """The size-driven splitter filters
+    (``LineSizeSplitterFilter`` + ``PolygonSubdivSizeSplitterFilter``):
+    per order a line of length (maxSize-10)·2^k (k=(ok//4)%4) must chunk
+    into exactly 2^k two-point pieces (1 piece when it already fits),
+    and a square of side 0xffff·2^m must quarter recursively into
+    4^m rects with total area preserved — closed forms, SQL-exact."""
+    from ..geom.polyfilters import signed_area2
+    from ..geom.sizesplit import (
+        line_size_split,
+        polygon_subdiv_size_split,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = ook % 4 == 3  # bounded fixture subset
+        ook = ook[sel]
+        n = len(ook)
+        cols = {c: np.empty(n, np.int64)
+                for c in ("n_chunks", "sum_chunk_points", "n_parts",
+                          "sum_part_points", "sum_area2")}
+        limit = 0x8000 - 10
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            k = (ok // 4) % 4
+            chunks = line_size_split(
+                np.asarray([0, 0]), np.asarray([0, limit << k]), shift=0
+            )
+            cols["n_chunks"][idx] = len(chunks)
+            cols["sum_chunk_points"][idx] = sum(len(c[0]) for c in chunks)
+            m = (ok // 4) % 3
+            side = 0xFFFF << m
+            la = np.asarray([0, 0, side, side])
+            lo = np.asarray([0, side, side, 0])
+            parts = polygon_subdiv_size_split(la, lo, shift=0)
+            cols["n_parts"][idx] = len(parts)
+            cols["sum_part_points"][idx] = sum(len(p[0]) for p in parts)
+            cols["sum_area2"][idx] = sum(
+                abs(signed_area2(*p)) for p in parts
+            )
+        return pa.table(
+            {"o_orderkey": pa.array(ook, pa.int64()),
+             **{c: pa.array(v, pa.int64()) for c, v in cols.items()}}
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_coastline_assembly(sf_dir: str):
     """Coastline assembly (``SeaGenerator.java:818-1407``): per order, a
     two-segment shoreline crossing the tile (closed along the border with

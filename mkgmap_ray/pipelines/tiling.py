@@ -51,37 +51,59 @@ def _tile_ids_np(batch: pa.Table) -> np.ndarray:
     return np.asarray(col, np.int64)
 
 
-def clean_stale_partitions(out_dir: str, done: set[int]) -> None:
-    """Delete tile partition dirs that exist WITHOUT a ``_done`` marker —
-    leftovers of a failed/invalidated run. Without this, rewriting a tile
-    appends new files next to the stale ones and the partition holds
-    duplicate rows."""
+def clean_stale_partitions(out_dir: str, done: set[int],
+                           man: "RunManifest | None" = None) -> set[int]:
+    """Delete range files that touch any tile WITHOUT a ``_done`` marker
+    (leftovers of a failed/invalidated run) and DEMOTE marked tiles whose
+    data lived in a deleted file, iterating to a fixpoint. Returns the
+    effective done set — exactly the tiles whose bytes are still fully on
+    disk. Without this, rewriting a tile would append new files next to
+    stale ones and the range would hold duplicate rows."""
     import os
-    import re
-    import shutil
+
+    from ..stages.tilewriter import parse_part_range
 
     tiles_dir = f"{out_dir}/tiles"
+    done = set(done)
     if not os.path.isdir(tiles_dir):
-        return
-    for name in os.listdir(tiles_dir):
-        m = re.match(r"tile_id=(\d+)$", name)
-        if m and int(m.group(1)) not in done:
-            shutil.rmtree(os.path.join(tiles_dir, name))
+        return done
+    files = {
+        name: rng
+        for name in os.listdir(tiles_dir)
+        if (rng := parse_part_range(name)) is not None
+    }
+    changed = True
+    while changed:
+        changed = False
+        for name, (lo, hi) in list(files.items()):
+            if all(t in done for t in range(lo, hi + 1)):
+                continue
+            os.remove(os.path.join(tiles_dir, name))
+            del files[name]
+            demote = [t for t in range(lo, hi + 1) if t in done]
+            for t in demote:
+                done.discard(t)
+                if man is not None:
+                    man.unmark_tile(t)
+            if demote:
+                changed = True
+    return done
 
 
 def read_written_tiles(out_dir: str, columns: list[str], exclude=None):
-    """Second-stage Dataset over the tile partitions a run just wrote
+    """Second-stage Dataset over the range files a run wrote
     (column-pruned; ``exclude`` drops tiles completed by a PREVIOUS run so
-    resume summaries cover only this run's work)."""
+    summaries cover only this run's work) — the OverviewBuilder read."""
     import os
 
     import ray.data as rd
 
-    if not os.path.isdir(f"{out_dir}/tiles"):  # zero-row run wrote nothing
+    tiles_dir = f"{out_dir}/tiles"
+    if not os.path.isdir(tiles_dir) or not os.listdir(tiles_dir):
         return rd.from_arrow(
             pa.table({c: pa.array([], pa.int64()) for c in columns})
         )
-    ds = rd.read_parquet(f"{out_dir}/tiles", columns=columns)
+    ds = rd.read_parquet(tiles_dir, columns=columns)
     if exclude:
         done_arr = np.asarray(sorted(exclude), np.int64)
 
@@ -147,18 +169,34 @@ def write_tiles(
     resume: bool = True,
     input_desc: str = "",
 ) -> dict:
-    """Write per-tile parquet partitions with lineage manifest + resume.
+    """Write tile-range parquet files with lineage manifest + resume.
 
+    Single pass: rows range-cluster by ``tile_id`` (sort — the one
+    shuffle a partitioned sink needs), then each sorted block writes ONE
+    range file and returns its per-tile count partials
+    (``BlockTileWriter``), so the expensive assign/clip pipeline executes
+    exactly once and the manifest counts describe the bytes on disk.
     Completed tiles (``_done`` markers from a previous run with the same
-    tree digest) are skipped by filtering their rows out before the write —
-    the rerun reads, assigns and skips, recomputing nothing downstream.
+    tree digest) are filtered out before the shuffle.
     """
+    from ..stages.tilewriter import (
+        BlockTileWriter,
+        combine_tile_partials,
+        count_kind_stats,
+    )
+
     man = RunManifest(out_dir)
     digest = tree_digest(tree.pack())
     prev = man.read_job()
     done: set[int] = set()
     if resume and prev and prev.get("tree_digest") == digest:
         done = man.completed_tiles()
+    done = clean_stale_partitions(out_dir, done, man)
+    if not resume:
+        import shutil
+
+        shutil.rmtree(f"{out_dir}/tiles", ignore_errors=True)
+        done = set()
 
     man.write_job(
         {
@@ -181,41 +219,39 @@ def write_tiles(
     else:
         to_write = assigned_ds
 
-    clean_stale_partitions(out_dir, done)
-    # Single execution: write first, then derive per-tile counts from a
-    # column-pruned second-stage read of the files just written (the
-    # OverviewBuilder pattern) — the expensive assign/clip pipeline runs
-    # exactly once and the manifest counts describe the bytes on disk.
-    # The sort clusters each block around contiguous tile_ids before the
-    # hive-partitioned write: one file per (block × few tiles) instead of
-    # per (block × every tile it scatters into) — the same range-shuffle a
-    # partitioned sink needs at any scale (and pyarrow caps fragments at
-    # 1024 partitions).
-    to_write.sort("tile_id").write_parquet(
-        f"{out_dir}/tiles", partition_cols=["tile_id"]
+    stat_ops = {"n_points": "sum", "n_lines": "sum", "n_shapes": "sum"}
+    parts = to_write.sort("tile_id").map_batches(
+        BlockTileWriter(out_dir, count_kind_stats, stat_ops),
+        batch_format="pyarrow", batch_size=None,
     )
-    summary = tile_summary(
-        read_written_tiles(out_dir, ["tile_id", "kind"], exclude=done)
+    summary, file_of = combine_tile_partials(
+        parts.iter_batches(batch_size=None, batch_format="pyarrow"),
+        stat_ops,
     )
 
     meta_pd = meta.to_pandas().set_index("tile_id")
-    for row in summary.to_pylist():
-        tid = int(row["tile_id"])
+    for row in summary.itertuples(index=False):
+        tid = int(row.tile_id)
         b = meta_pd.loc[tid]
         man.mark_tile(
             tid,
             {
-                "counts": {k: int(row[k]) for k in ("n_points", "n_lines", "n_shapes")},
+                "counts": {
+                    "n_points": int(row.n_points),
+                    "n_lines": int(row.n_lines),
+                    "n_shapes": int(row.n_shapes),
+                },
+                "files": file_of.get(tid, []),
                 "bounds": [int(b.min_lat), int(b.min_lon), int(b.max_lat), int(b.max_lon)],
                 "tree_digest": digest,
             },
         )
     return {
         "n_tiles": meta.num_rows,
-        "written_tiles": summary.num_rows,
+        "written_tiles": len(summary),
         "skipped_tiles": len(done),
         "tree_digest": digest,
-        "summary": summary,
+        "summary": pa.Table.from_pandas(summary, preserve_index=False),
     }
 
 

@@ -4,16 +4,20 @@ Output layout (the "resumable output" contract):
 
     out_dir/
       manifest.json            # job-level: input, tree digest, tile list
-      tiles/tile_id=<k>/*.parquet   # one directory per tile (hash-partitioned)
+      tiles/part-<lo>-<hi>-<digest>.parquet  # one file per sorted block,
+                                             # covering tile range [lo, hi]
       _done/tile_<k>.json      # per-tile completion marker + lineage
+                               # (records the contributing range files)
 
 A rerun loads ``_done`` markers and skips completed tiles (the reference
 reruns whole jobs; resumability is an explicit north-rule requirement —
 SURVEY.md §4 "checkpoint/resume").
 
-Markers are written AFTER the tile's parquet directory is fully written, so
-a crash mid-tile leaves no marker and the tile is redone; tile directories
-are overwritten idempotently.
+Markers are written AFTER the range files are fully written, so a crash
+mid-run leaves unmarked tiles; the next run deletes range files touching
+any unmarked tile (demoting marked tiles that shared those files) and
+rewrites exactly the missing work. Range files are content-addressed, so
+identical rewrites are idempotent.
 """
 
 from __future__ import annotations
@@ -67,5 +71,17 @@ class RunManifest:
             json.dump(lineage, f, default=str)
         os.replace(tmp, path)
 
-    def tile_dir(self, tile_id: int) -> str:
-        return os.path.join(self.out_dir, "tiles", f"tile_id={tile_id}")
+    def unmark_tile(self, tile_id: int) -> None:
+        path = os.path.join(self.done_dir, f"tile_{tile_id}.json")
+        if os.path.exists(path):
+            os.remove(path)
+
+    def read_tile(self, tile_id: int) -> dict | None:
+        path = os.path.join(self.done_dir, f"tile_{tile_id}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def tiles_dir(self) -> str:
+        return os.path.join(self.out_dir, "tiles")

@@ -192,6 +192,14 @@ class _Parser:
         kind, key = self.take()
         if kind != "value":
             raise ValueError(f"expected tag key, got {key!r}")
+        # style FUNCTION call: `length() > 100` — the function becomes a
+        # pseudo-tag key "length()" whose column the stage/ruleset supplies
+        # (``osmstyle/function/*.java``)
+        if self.peek() == ("op", "(") and self.toks[self.i + 1 : self.i + 2] \
+                == [("op", ")")]:
+            self.take()
+            self.take()
+            key = key + "()"
         kind, op = self.peek()
         if kind != "op" or op not in ("=", "!=", "<", "<=", ">", ">=", "~", "!~"):
             raise ValueError(f"expected comparison after {key!r}")

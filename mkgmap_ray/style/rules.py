@@ -27,6 +27,12 @@ from .expr import parse_expr
 
 _SUB_RE = re.compile(r"\$\{([^}]+)\}")
 
+# AddAccessAction targets (imgfmt/app/net/AccessTagsAndBits.java:49-57)
+ACCESS_TAGS = (
+    "mkgmap:foot", "mkgmap:bicycle", "mkgmap:car", "mkgmap:delivery",
+    "mkgmap:truck", "mkgmap:bus", "mkgmap:taxi", "mkgmap:emergency",
+)
+
 
 @dataclass(frozen=True)
 class Action:
@@ -69,14 +75,26 @@ class RuleSet:
 
         Returns dict with ``gtype`` (int32, -1 = unresolved),
         ``resolution`` (int32, -1), ``matched_rule`` (int32 index of the
-        finalizing rule, -1), ``name`` (string series) and the mutated tag
-        columns."""
+        finalizing rule, -1), ``name`` (string series, label slot 1),
+        ``labels`` (the four label slots), the mutated tag columns, and
+        ``extra``: additional map elements from rows that matched a typed
+        ``continue`` rule and then ANOTHER typed rule — the reference
+        emits one element per typed match (``RuleSet.java:79-110``), so
+        ``extra`` is a list of (row_indices, gtype, resolution, rule_idx)
+        the caller materializes as duplicate rows.
+
+        Function pseudo-tags: a predicate key like ``maxspeed()`` is
+        served from a provided column of that name (geometry functions
+        are injected by the stage) or derived here for tag-only functions
+        (``maxspeed()`` normalizes the maxspeed tag to km/h)."""
         tags = {k: v.astype("string") for k, v in tags.items()}
+        self._derive_functions(tags, n)
         gtype = np.full(n, -1, np.int32)
         resolution = np.full(n, -1, np.int32)
         matched = np.full(n, -1, np.int32)
-        name = pd.Series([pd.NA] * n, dtype="string")
+        labels = [pd.Series([pd.NA] * n, dtype="string") for _ in range(4)]
         done = np.zeros(n, dtype=bool)
+        extra: list[tuple[np.ndarray, int, int, int]] = []
 
         for ri, rule in enumerate(self.rules):
             live = ~done
@@ -89,6 +107,25 @@ class RuleSet:
                 if a.kind == "delete":
                     if a.key in tags:
                         tags[a.key] = tags[a.key].mask(m)
+                    continue
+                if a.kind == "deletealltags":
+                    for k in list(tags):
+                        if not k.endswith("()"):
+                            tags[k] = tags[k].mask(m)
+                    continue
+                if a.kind == "rename":
+                    # RenameAction: value moves old→new key, old removed
+                    old = tags.get(a.key)
+                    if old is None:
+                        continue
+                    new = tags.get(a.value)
+                    if new is None:
+                        new = pd.Series([pd.NA] * n, dtype="string")
+                    mv = m & old.notna().to_numpy()
+                    tags[a.value] = new.mask(mv, old)
+                    tags[a.key] = old.mask(m)
+                    continue
+                if a.kind == "echo":
                     continue
                 val = _substitute(a.value, tags, n)
                 if a.kind == "set":
@@ -104,9 +141,30 @@ class RuleSet:
                     tags[a.key] = col.mask(
                         m & absent & val.notna().to_numpy(), val
                     )
+                elif a.kind == "addaccess":
+                    # AddAccessAction: the value goes to EVERY mkgmap
+                    # access tag (AccessTagsAndBits.ACCESS_TAGS)
+                    for k in ACCESS_TAGS:
+                        col = tags.get(k)
+                        if col is None:
+                            col = pd.Series([pd.NA] * n, dtype="string")
+                        tags[k] = col.mask(m & val.notna().to_numpy(), val)
                 elif a.kind == "name":
-                    absent = name.isna().to_numpy()
-                    name = name.mask(m & absent & val.notna().to_numpy(), val)
+                    absent = labels[0].isna().to_numpy()
+                    labels[0] = labels[0].mask(
+                        m & absent & val.notna().to_numpy(), val
+                    )
+                elif a.kind == "addlabel":
+                    # first empty of the four label slots per row
+                    remaining = m & val.notna().to_numpy()
+                    for slot in range(4):
+                        absent = labels[slot].isna().to_numpy()
+                        put = remaining & absent
+                        if put.any():
+                            labels[slot] = labels[slot].mask(put, val)
+                            remaining = remaining & ~put
+                        if not remaining.any():
+                            break
             if rule.gtype is not None:
                 sel = m & (gtype < 0)
                 gtype[sel] = rule.gtype
@@ -114,15 +172,48 @@ class RuleSet:
                     rule.resolution if rule.resolution is not None else 24
                 )
                 matched[sel] = ri
+                again = m & (gtype >= 0) & ~sel  # typed-continue re-match
+                if again.any():
+                    extra.append(
+                        (np.nonzero(again)[0],
+                         rule.gtype,
+                         rule.resolution if rule.resolution is not None
+                         else 24,
+                         ri)
+                    )
                 if not rule.cont:
                     done |= m
         return {
             "gtype": gtype,
             "resolution": resolution,
             "matched_rule": matched,
-            "name": name,
+            "name": labels[0],
+            "labels": labels,
             "tags": tags,
+            "extra": extra,
         }
+
+    def _derive_functions(self, tags: dict[str, pd.Series], n: int) -> None:
+        """Fill function pseudo-tag columns used by the rules but not
+        provided by the caller: tag-derived functions are computed here;
+        geometry functions default to NA (never match)."""
+        used = set()
+        for r in self.rules:
+            used |= {k for k in r.expr.used_tags() if k.endswith("()")}
+        for key in used:
+            if key in tags:
+                continue
+            if key == "maxspeed()":
+                from .unitconv import maxspeed_kmh
+
+                src = tags.get("maxspeed")
+                if src is None:
+                    src = pd.Series([pd.NA] * n, dtype="string")
+                tags[key] = maxspeed_kmh(src)
+            elif key == "is_complete()":
+                tags[key] = pd.Series(["true"] * n, dtype="string")
+            else:
+                tags[key] = pd.Series([pd.NA] * n, dtype="string")
 
 
 def _apply_value_filters(col: pd.Series, filters: list[str]) -> pd.Series:
@@ -162,6 +253,10 @@ def _apply_value_filters(col: pd.Series, filters: list[str]) -> pd.Series:
                 return v[idx].strip()
 
             col = split.map(pick).astype("string")
+        elif name == "conv":
+            from .unitconv import convert_series
+
+            col = convert_series(col, arg)
         elif name == "def":
             col = col.mask(col.isna() | (col == ""), arg)
         elif name == "prepend":
@@ -201,6 +296,24 @@ def _substitute(template: str, tags: dict[str, pd.Series], n: int) -> pd.Series:
             pd.Series([parts[i + 1]] * n, dtype="string")
         )
     return result.mask(~ok)
+
+
+DEFAULT_NAME_TAG_LIST = ("name", "place_name", "loc_name")
+
+
+def finder_name(tags: dict[str, pd.Series], n: int,
+                name_tag_list=DEFAULT_NAME_TAG_LIST) -> pd.Series:
+    """``NameFinder`` semantics (``osmstyle/NameFinder.java``): the label
+    is the first present tag in the configured ``name-tag-list`` priority
+    order — a vectorized coalesce."""
+    out = pd.Series([pd.NA] * n, dtype="string")
+    for key in name_tag_list:
+        col = tags.get(key)
+        if col is None:
+            continue
+        col = col.astype("string")
+        out = out.mask(out.isna() & col.notna(), col)
+    return out
 
 
 def _split_rule(line: str):
@@ -309,9 +422,33 @@ def _parse_actions(text: str) -> tuple[Action, ...]:
         if m:
             out.append(Action("delete", m.group(1)))
             continue
+        m = re.match(r"deletealltags$", part)
+        if m:
+            out.append(Action("deletealltags", ""))
+            continue
         m = re.match(r"name\s+(.+)$", part)
         if m:
             out.append(Action("name", "", m.group(1).strip().strip("'\"")))
+            continue
+        m = re.match(r"addlabel\s+(.+)$", part)
+        if m:
+            out.append(
+                Action("addlabel", "", m.group(1).strip().strip("'\""))
+            )
+            continue
+        m = re.match(r"addaccess\s+(.+)$", part)
+        if m:
+            out.append(
+                Action("addaccess", "", m.group(1).strip().strip("'\""))
+            )
+            continue
+        m = re.match(r"rename\s+(\S+)\s+(\S+)$", part)
+        if m:
+            out.append(Action("rename", m.group(1), m.group(2)))
+            continue
+        m = re.match(r"echo(tags)?\b", part)
+        if m:  # diagnostic print in the reference; a no-op here
+            out.append(Action("echo", "", part))
             continue
         raise ValueError(f"unsupported style action: {part!r}")
     return tuple(out)

@@ -193,3 +193,141 @@ class TestValueFilters:
     def test_used_tags_strips_filters(self):
         rs = compile_style("a=* {set b='${c|def:x} ${d|part:;:1}'}\n")
         assert rs.used_tags() == {"a", "b", "c", "d"}
+
+
+class TestStyleFunctions:
+    def test_length_area_closed_predicates(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mkgmap_ray.stages.stylestage import apply_style
+
+        D = 1 << 6  # DELTA_SHIFT
+        rows = {
+            "fid": pa.array([0, 1, 2], pa.int64()),
+            "hw": pa.array(["a", "a", "a"]),
+            # row0: open line length 100mu; row1: closed 10x10 square;
+            # row2: two-point short line
+            "lat_hp": pa.array(
+                [[0, 0], [0 * D, 0 * D, 10 * D, 10 * D, 0 * D], [0, 0]],
+                pa.list_(pa.int64()),
+            ),
+            "lon_hp": pa.array(
+                [[0, 100 * D], [0 * D, 10 * D, 10 * D, 0 * D, 0 * D],
+                 [0, 3 * D]],
+                pa.list_(pa.int64()),
+            ),
+        }
+        style = """
+hw=a & is_closed()=true & area_size() >= 100 [0x10]
+hw=a & length() > 50                         [0x11]
+hw=a                                         [0x12]
+"""
+        out = apply_style(
+            rd.from_arrow(pa.table(rows)), style,
+            tag_columns={"hw": "hw"}, keep=["fid"],
+        ).to_pandas().sort_values("fid")
+        assert out["gtype"].tolist() == [0x11, 0x10, 0x12]
+
+    def test_maxspeed_units_and_conv_filter(self, ray_session):
+        import pandas as pd
+
+        from mkgmap_ray.style import compile_style
+
+        rs = compile_style(
+            "maxspeed() >= 48 [0x01]\nhw=* [0x02]"
+        )
+        tags = {
+            "maxspeed": pd.Series(["30 mph", "45", "50"], dtype="string"),
+            "hw": pd.Series(["x", "x", "x"], dtype="string"),
+        }
+        res = rs.apply(tags, 3)
+        # 30 mph = 48.28 km/h ≥ 48 ✓; 45 < 48 ✗; 50 ✓
+        assert res["gtype"].tolist() == [0x01, 0x02, 0x01]
+
+    def test_conv_value_filter(self):
+        import pandas as pd
+
+        from mkgmap_ray.style.rules import _apply_value_filters
+
+        col = pd.Series(["10", "3 km", "bad"], dtype="string")
+        out = _apply_value_filters(col, ["conv:m=>ft"])
+        assert abs(float(out[0]) - 32.8084) < 0.001
+        assert abs(float(out[1]) - 9842.52) < 0.01
+        assert out[2] is pd.NA
+
+    def test_new_actions(self):
+        import pandas as pd
+
+        from mkgmap_ray.style import compile_style
+        from mkgmap_ray.style.rules import ACCESS_TAGS
+
+        rs = compile_style(
+            "hw=private {addaccess 'no'; rename old new;"
+            " addlabel 'L1'; addlabel 'L2'} [0x01]\n"
+            "hw=wipe {deletealltags} [0x02]"
+        )
+        tags = {
+            "hw": pd.Series(["private", "wipe", "other"], dtype="string"),
+            "old": pd.Series(["v", "w", "x"], dtype="string"),
+        }
+        res = rs.apply(tags, 3)
+        t = res["tags"]
+        for k in ACCESS_TAGS:
+            assert t[k][0] == "no" and pd.isna(t[k][2])
+        assert t["new"][0] == "v" and pd.isna(t["old"][0])
+        assert pd.isna(t["hw"][1]) and pd.isna(t["old"][1])  # deletealltags
+        assert t["old"][2] == "x"
+        assert res["labels"][0][0] == "L1"
+        assert res["labels"][1][0] == "L2"
+
+    def test_typed_continue_emits_extra(self):
+        import pandas as pd
+
+        from mkgmap_ray.style import compile_style
+
+        rs = compile_style(
+            "hw=both [0x01 continue]\nhw=* [0x02]"
+        )
+        tags = {"hw": pd.Series(["both", "only"], dtype="string")}
+        res = rs.apply(tags, 2)
+        assert res["gtype"].tolist() == [0x01, 0x02]
+        assert len(res["extra"]) == 1
+        rows, gtype, resolution, ri = res["extra"][0]
+        assert rows.tolist() == [0] and gtype == 0x02 and ri == 1
+
+    def test_name_finder(self):
+        import pandas as pd
+
+        from mkgmap_ray.style.rules import finder_name
+
+        tags = {
+            "name": pd.Series([pd.NA, "N", pd.NA], dtype="string"),
+            "place_name": pd.Series(["P", "P", pd.NA], dtype="string"),
+        }
+        out = finder_name(tags, 3)
+        assert out.tolist()[:2] == ["P", "N"]
+        assert pd.isna(out[2])
+
+
+class TestOverlays:
+    def test_one_to_n(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mkgmap_ray.stages.stylestage import apply_overlays
+
+        t = pa.table(
+            {
+                "fid": pa.array([0, 1, 2], pa.int64()),
+                "gtype": pa.array([1, 7, 2], pa.int32()),
+            }
+        )
+        out = apply_overlays(
+            rd.from_arrow(t), {1: (0x10, 0x11, 0x12), 2: (0x20,)}
+        ).to_pandas().sort_values(["fid", "gtype"])
+        assert out[out["fid"] == 0]["gtype"].tolist() == [0x10, 0x11, 0x12]
+        assert out[out["fid"] == 1]["gtype"].tolist() == [7]
+        assert out[out["fid"] == 2]["gtype"].tolist() == [0x20]
