@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "osm_relation_resolve": Q.q_osm_relation_resolve,
         "osm_tags_style": Q.q_osm_tags_style,
         "pbf_roundtrip": Q.q_pbf_roundtrip,
+        "o5m_roundtrip": Q.q_o5m_roundtrip,
         "node_degree": Q.q_node_degree,
         "driving_side": Q.q_driving_side,
         "road_merge": Q.q_road_merge,
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hole_cut": Q.q_hole_cut,
         "coastline_assembly": Q.q_coastline_assembly,
         "size_filters": Q.q_size_filters,
+        "routing_graph": Q.q_routing_graph,
+        "locator_normalize": Q.q_locator_normalize,
+        "label_encode8": Q.q_label_encode8,
         "poi_generate": Q.q_poi_generate,
         "label_encode": Q.q_label_encode,
         "hgt_roundtrip": Q.q_hgt_roundtrip,
@@ -543,6 +547,32 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN r ON n.shard = r.shard
             ORDER BY shard
         """,
+"o5m_roundtrip": """
+            WITH n AS (SELECT event_id % 8 AS shard, count(*) AS n_nodes,
+                         CAST(sum((event_id*48271) % 65536) AS BIGINT)
+                           AS sum_lat_mu,
+                         CAST(sum((event_id*16807) % 65536) AS BIGINT)
+                           AS sum_lon_mu
+                       FROM events GROUP BY 1),
+            wb AS (SELECT event_id // 4 AS wid FROM events
+                   GROUP BY 1 HAVING count(*) = 4),
+            w AS (SELECT wid % 8 AS shard, count(*) AS n_ways,
+                         CAST(sum(16*wid + 6) AS BIGINT) AS sum_refs
+                  FROM wb GROUP BY 1),
+            rb AS (SELECT event_id // 64 AS rid FROM events
+                   GROUP BY 1 HAVING count(*) = 64),
+            r AS (SELECT rid % 8 AS shard, count(*) AS n_rels,
+                         CAST(sum(96*rid + 1) AS BIGINT) AS sum_mem
+                  FROM rb GROUP BY 1)
+            SELECT n.shard AS shard, n.n_nodes, n.sum_lat_mu, n.sum_lon_mu,
+                   COALESCE(w.n_ways, 0) AS n_ways,
+                   COALESCE(w.sum_refs, 0) AS sum_refs,
+                   COALESCE(r.n_rels, 0) AS n_rels,
+                   COALESCE(r.sum_mem, 0) AS sum_mem
+            FROM n LEFT JOIN w ON n.shard = w.shard
+                   LEFT JOIN r ON n.shard = r.shard
+            ORDER BY shard
+        """,
         "node_degree": """
             WITH seg AS (
               SELECT (l_orderkey*16807 + l_linenumber*661) % 65536 AS x0,
@@ -583,7 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "multipolygon": """
             WITH s AS (SELECT o_orderkey,
                               400 + (o_orderkey % 100) AS s_out
-                       FROM orders)
+                       FROM orders WHERE o_orderkey % 8 = 5)
             SELECT o_orderkey, CAST(2 AS BIGINT) AS n_outer,
                    CAST(1 AS BIGINT) AS n_inner,
                    8*s_out*s_out - 8*(s_out//2)*(s_out//2)
@@ -610,6 +640,34 @@ def oracle_sql() -> dict[str, str]:
                    5144 * (1 + o_orderkey % 5) * (1 + o_orderkey % 5)
                      AS land_area2
             FROM orders WHERE o_orderkey % 4 = 2
+        """,
+        "routing_graph": """
+            WITH m AS (SELECT o_orderkey, 2 + o_orderkey % 3 AS m
+                       FROM orders WHERE o_orderkey % 4 = 0)
+            SELECT o_orderkey, m + 4 AS n_nodes, m + 2 AS n_arcs,
+                   2 AS n_components, m + 2 AS largest_component,
+                   (9 * m * (m - 1)) // 2 + 11 * m + 21 AS arc_checksum
+            FROM m
+        """,
+        "locator_normalize": """
+            SELECT n.n_name, count(*) AS n,
+                   CAST(sum(c.c_custkey) AS BIGINT) AS sum_custkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "label_encode8": """
+            WITH nm AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                               CASE WHEN p_partkey % 2 = 0
+                                    THEN upper(p_name) ELSE p_name
+                               END AS name2
+                        FROM part)
+            SELECT p_partkey, CAST(length(name2) + 1 AS BIGINT) AS enc8_len,
+                   CAST(list_aggregate(list_transform(
+                        range(1, length(name2) + 1),
+                        i -> ord(substr(name2, i, 1))), 'sum')
+                        AS BIGINT) AS enc8_bytesum,
+                   CAST(length(name2) + 1 AS BIGINT) AS utf8_len
+            FROM nm
         """,
         "size_filters": """
             SELECT o_orderkey,

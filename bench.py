@@ -72,6 +72,7 @@ QUERY_NAMES = [
     "osm_relation_resolve",
     "osm_tags_style",
     "pbf_roundtrip",
+    "o5m_roundtrip",
     "node_degree",
     "driving_side",
     "road_merge",
@@ -81,6 +82,9 @@ QUERY_NAMES = [
     "hole_cut",
     "coastline_assembly",
     "size_filters",
+    "routing_graph",
+    "locator_normalize",
+    "label_encode8",
     "poi_generate",
     "label_encode",
     "hgt_roundtrip",

@@ -188,46 +188,25 @@ def run_images_flagship(
         stat_ops,
     )
 
-    acc: dict[int, dict] = {}
-    for row in summary_df.itertuples(index=False):
-        tid = int(row.tile_id)
-        agg = {"n_images": int(row.n_rows)}
-        if verify:
-            agg.update(
-                min_psnr_centi_db=int(row.min_psnr_centi_db),
-                max_phash_dist=int(row.max_phash_dist),
-                min_caption_ok=int(row.min_caption_ok),
-            )
-            assert agg["min_psnr_centi_db"] >= 4000, (tid, agg)
-            assert agg["max_phash_dist"] <= 4, (tid, agg)
-            assert agg["min_caption_ok"] == 1, (tid, agg)
-        acc[tid] = agg
-        b = tree.bounds[leaves[tid]]
-        man.mark_tile(
-            tid,
-            {"counts": {"n_images": agg["n_images"]},
-             "fidelity": {k: int(v) for k, v in agg.items()},
-             "files": file_of.get(tid, []),
-             "bounds": [b.min_lat, b.min_lon, b.max_lat, b.max_lon],
-             "tree_digest": digest},
-        )
+    # fidelity gate over THIS run's written tiles (from the writer's own
+    # partials — markers were written in parallel by the writer tasks)
+    if verify:
+        for row in summary_df.itertuples(index=False):
+            tid = int(row.tile_id)
+            assert int(row.min_psnr_centi_db) >= 4000, (tid, row)
+            assert int(row.max_phash_dist) <= 4, (tid, row)
+            assert int(row.min_caption_ok) == 1, (tid, row)
 
     import pandas as pd
 
-    rows = []
-    for tid in sorted(man.completed_tiles()):
-        import json
-        import os
-
-        with open(os.path.join(out_dir, "_done", f"tile_{tid}.json")) as f:
-            lin = json.load(f)
-        rows.append(
-            {"tile_id": tid, "n_images": lin["counts"]["n_images"]}
-        )
+    rows = [
+        {"tile_id": tid, "n_images": man.read_tile(tid)["stats"]["n_rows"]}
+        for tid in sorted(man.completed_tiles())
+    ]
     summary = pd.DataFrame(rows)
     stats = {
         "n_tiles": len(leaves),
-        "written_tiles": len(acc),
+        "written_tiles": len(summary_df),
         "skipped_tiles": len(done),
         "tree_digest": digest,
     }

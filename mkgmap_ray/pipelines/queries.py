@@ -1599,17 +1599,23 @@ def q_osm_tags_style(sf_dir: str):
     return out.sort_values("gtype").reset_index(drop=True).astype("int64")
 
 
-def q_pbf_roundtrip(sf_dir: str):
-    """OSM PBF binary reader end-to-end (``OsmBinHandler.java:38-178``
-    semantics: Blob framing + zlib, string tables, DenseNodes delta
-    decode, delta way refs / relation memids — decoded from scratch, no
-    protobuf library): per-shard aggregates over all three element tables
-    must match closed forms from events."""
+def _o5m_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """Same full model written as .o5m binary shards (delta coding,
+    string-reference ring) — feeds the from-scratch o5m reader."""
+    import os
+
+    from ..sources.o5m import write_o5m
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return _write_osm_shards(
+        sf_dir, f"/tmp/mkgmap_ray_o5m_{name}", "o5m", write_o5m, n_shards
+    )
+
+
+def _binary_roundtrip(paths: list[str], read_table):
+    """Shared per-shard aggregate over all three element tables of a
+    binary OSM source (counts + coordinate/ref sums keyed by id % 8)."""
     from ray.data.aggregate import Sum
-
-    from ..sources.pbf import read_pbf_table
-
-    paths = _pbf_fixture_dir(sf_dir)
 
     def node_partial(batch: pa.Table) -> pd.DataFrame:
         nid = np.asarray(batch["id"].combine_chunks(), np.int64)
@@ -1671,13 +1677,13 @@ def q_pbf_roundtrip(sf_dir: str):
     cols = ["n_nodes", "sum_lat_mu", "sum_lon_mu", "n_ways", "sum_refs",
             "n_rels", "sum_mem"]
     ds = (
-        read_pbf_table(paths, "nodes")
+        read_table(paths, "nodes")
         .map_batches(node_partial, batch_format="pyarrow", batch_size=None)
         .union(
-            read_pbf_table(paths, "ways").map_batches(
+            read_table(paths, "ways").map_batches(
                 way_partial, batch_format="pyarrow", batch_size=None
             ),
-            read_pbf_table(paths, "relations").map_batches(
+            read_table(paths, "relations").map_batches(
                 rel_partial, batch_format="pyarrow", batch_size=None
             ),
         )
@@ -1688,6 +1694,27 @@ def q_pbf_roundtrip(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("shard").reset_index(drop=True).astype("int64")
+
+
+def q_pbf_roundtrip(sf_dir: str):
+    """OSM PBF binary reader end-to-end (``OsmBinHandler.java:38-178``
+    semantics: Blob framing + zlib, string tables, DenseNodes delta
+    decode, delta way refs / relation memids — decoded from scratch, no
+    protobuf library): per-shard aggregates over all three element tables
+    must match closed forms from events."""
+    from ..sources.pbf import read_pbf_table
+
+    return _binary_roundtrip(_pbf_fixture_dir(sf_dir), read_pbf_table)
+
+
+def q_o5m_roundtrip(sf_dir: str):
+    """o5m binary reader end-to-end (``O5mBinHandler.java:35-99``
+    semantics: low-bit-sign varints, delta ids/coords/refs, 15000-entry
+    string-reference ring, relation member type-digit roles): same
+    per-shard closed forms as the PBF path."""
+    from ..sources.o5m import read_o5m_table
+
+    return _binary_roundtrip(_o5m_fixture_dir(sf_dir), read_o5m_table)
 
 
 def q_node_degree(sf_dir: str):
@@ -1935,6 +1962,7 @@ def q_multipolygon(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        ook = ook[ook % 8 == 5]  # bounded fixture subset
         n = len(ook)
         n_outer = np.empty(n, np.int64)
         n_inner = np.empty(n, np.int64)
@@ -2074,6 +2102,142 @@ def q_hole_cut(sf_dir: str):
                 "n_points": pa.array(n_points, pa.int64()),
                 "ring_area2": pa.array(ring_area2, pa.int64()),
             }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_label_encode8(sf_dir: str):
+    """8-bit + utf-8 label encodings (``labelenc/AnyCharsetEncoder``,
+    ``Utf8Encoder``): per mixed-case part name, the NUL-terminated
+    encoded length and byte sum — SQL-exact (names are ASCII, so the
+    codepage bytes equal the codepoints; accents/transliteration are
+    covered by pytest)."""
+    import pyarrow.compute as pc
+
+    from ..stages.labelenc import encode8, encode_utf8
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].combine_chunks().cast(pa.int64())
+        nm = batch["p_name"].combine_chunks()
+        even = pc.equal(pc.bit_wise_and(pk, 1), 0)
+        name2 = pc.if_else(even, pc.utf8_upper(nm), nm).to_pylist()
+        enc = [encode8(s) for s in name2]
+        enc_u = [encode_utf8(s) for s in name2]
+        return pa.table(
+            {
+                "p_partkey": pk,
+                "enc8_len": pa.array(
+                    [len(e) for e in enc], pa.int64()
+                ),
+                "enc8_bytesum": pa.array(
+                    [sum(e[:-1]) for e in enc], pa.int64()
+                ),
+                "utf8_len": pa.array(
+                    [len(e) for e in enc_u], pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_locator_normalize(sf_dir: str):
+    """Country normalization (``build/Locator.java`` applied at
+    ``MapBuilder.java:404-410``): each customer's country string is a
+    deterministic case/prefix-mangled variant of its nation name; the
+    Locator must recover the canonical name or per-nation counts
+    fragment — SQL-exact against the unmangled join."""
+    import pyarrow.parquet as pq
+
+    from ..stages.locator import Locator
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = nation["n_name"].to_pylist()
+    nk = np.asarray(nation["n_nationkey"], np.int64)
+    name_of = np.empty(int(nk.max()) + 1, dtype=object)
+    for k, nm in zip(nk, names):
+        name_of[int(k)] = nm
+    loc = Locator(names)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(batch["c_custkey"].combine_chunks(), np.int64)
+        cnk = np.asarray(batch["c_nationkey"].combine_chunks(), np.int64)
+        base = pd.Series(name_of[cnk], dtype="string")
+        variant = base.copy()
+        variant = variant.mask(pd.Series(ck % 3 == 1), base.str.lower())
+        variant = variant.mask(
+            pd.Series(ck % 3 == 2), "The " + base.str.title()
+        )
+        canon = loc.normalize_series(variant)
+        df = pd.DataFrame(
+            {"n_name": canon, "n": 1, "sum_custkey": ck}
+        )
+        return df.groupby("n_name", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .groupby("n_name")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_custkey", alias_name="sum_custkey"),
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_custkey"] = out["sum_custkey"].astype("int64")
+    return out
+
+
+def q_routing_graph(sf_dir: str):
+    """Per-tile routing graph build (NET/NOD analogue +
+    ``findUnconnectedRoads``): per order, a chain of m=2+ok%3 roads, an
+    isolated road and a branch build a graph whose deterministic
+    (sorted-coordinate) node numbering, arc count, component structure
+    and arc checksum are closed forms — SQL-exact."""
+    from ..stages.routing import build_road_graph
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = ook % 4 == 0  # bounded fixture subset
+        ook = ook[sel]
+        n = len(ook)
+        cols = {c: np.empty(n, np.int64)
+                for c in ("n_nodes", "n_arcs", "n_components",
+                          "largest_component", "arc_checksum")}
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            m = 2 + ok % 3
+            s = 10 + ok % 5
+            y0 = (ok * A_LAT) % SPAN
+            x0 = (ok * A_LON) % SPAN
+            roads = [
+                (np.asarray([y0, y0]),
+                 np.asarray([x0 + i * s, x0 + (i + 1) * s]))
+                for i in range(m)
+            ]
+            roads.append(  # isolated
+                (np.asarray([y0 + s, y0 + s]), np.asarray([x0, x0 + s]))
+            )
+            roads.append(  # branch at chain node 1
+                (np.asarray([y0, y0 + s]),
+                 np.asarray([x0 + s, x0 + 2 * s]))
+            )
+            g = build_road_graph(roads)
+            for c in cols:
+                cols[c][idx] = g[c]
+        return pa.table(
+            {"o_orderkey": pa.array(ook, pa.int64()),
+             **{c: pa.array(v, pa.int64()) for c, v in cols.items()}}
         )
 
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
@@ -2536,23 +2700,21 @@ def q_house_intervals(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
         concurrency=pool_concurrency(),
     )
-    # min/max combine (not sums) — single streamed pass over the partials
-    acc: dict[int, list] = {}
+    # min/max combine (not sums) — vectorized reduceat over the streamed
+    # partials (bounded by keys × blocks)
+    names = ("key", "n", "min_house", "max_house", "min_pos", "max_pos")
+    cols: dict[str, list] = {c: [] for c in names}
     for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            cur = acc.setdefault(
-                row["key"],
-                [0, np.iinfo(np.int64).max, np.iinfo(np.int64).min,
-                 np.iinfo(np.int64).max, np.iinfo(np.int64).min],
-            )
-            cur[0] += row["n"]
-            cur[1] = min(cur[1], row["min_house"])
-            cur[2] = max(cur[2], row["max_house"])
-            cur[3] = min(cur[3], row["min_pos"])
-            cur[4] = max(cur[4], row["max_pos"])
-    rows = [
-        {"key": k, "n": v[0], "min_house": v[1], "max_house": v[2],
-         "min_pos": v[3], "max_pos": v[4]}
-        for k, v in sorted(acc.items())
-    ]
-    return pd.DataFrame(rows).astype("int64")
+        for c in names:
+            cols[c].append(np.asarray(b[c].combine_chunks(), np.int64))
+    key = np.concatenate(cols["key"]) if cols["key"] else np.empty(0, np.int64)
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    out = {"key": key[starts]}
+    for c, red in (("n", np.add), ("min_house", np.minimum),
+                   ("max_house", np.maximum), ("min_pos", np.minimum),
+                   ("max_pos", np.maximum)):
+        v = np.concatenate(cols[c])[order]
+        out[c] = red.reduceat(v, starts)
+    return pd.DataFrame(out).astype("int64")

@@ -72,6 +72,19 @@ def clean_stale_partitions(out_dir: str, done: set[int],
         for name in os.listdir(tiles_dir)
         if (rng := parse_part_range(name)) is not None
     }
+    # broken pairs first: parquet without marker (crashed mid-block) and
+    # marker without parquet are both invalid
+    if man is not None:
+        marked = set()
+        for mpath, data in man.iter_block_markers():
+            if data["file"] in files:
+                marked.add(data["file"])
+            else:
+                os.remove(mpath)
+        for name in list(files):
+            if name not in marked:
+                os.remove(os.path.join(tiles_dir, name))
+                del files[name]
     changed = True
     while changed:
         changed = False
@@ -79,6 +92,8 @@ def clean_stale_partitions(out_dir: str, done: set[int],
             if all(t in done for t in range(lo, hi + 1)):
                 continue
             os.remove(os.path.join(tiles_dir, name))
+            if man is not None:
+                man.remove_marker_for(name)
             del files[name]
             demote = [t for t in range(lo, hi + 1) if t in done]
             for t in demote:
@@ -224,28 +239,12 @@ def write_tiles(
         BlockTileWriter(out_dir, count_kind_stats, stat_ops),
         batch_format="pyarrow", batch_size=None,
     )
-    summary, file_of = combine_tile_partials(
+    # lineage markers are written by the writer tasks themselves (one per
+    # range file, in parallel); the driver only combines the summary
+    summary, _file_of = combine_tile_partials(
         parts.iter_batches(batch_size=None, batch_format="pyarrow"),
         stat_ops,
     )
-
-    meta_pd = meta.to_pandas().set_index("tile_id")
-    for row in summary.itertuples(index=False):
-        tid = int(row.tile_id)
-        b = meta_pd.loc[tid]
-        man.mark_tile(
-            tid,
-            {
-                "counts": {
-                    "n_points": int(row.n_points),
-                    "n_lines": int(row.n_lines),
-                    "n_shapes": int(row.n_shapes),
-                },
-                "files": file_of.get(tid, []),
-                "bounds": [int(b.min_lat), int(b.min_lon), int(b.max_lat), int(b.max_lon)],
-                "tree_digest": digest,
-            },
-        )
     return {
         "n_tiles": meta.num_rows,
         "written_tiles": len(summary),
@@ -293,21 +292,17 @@ def overview_from_tiles(out_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     acc: dict[int, int] = {}
     for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for row in b.to_pylist():
-            acc[row["kind"]] = acc.get(row["kind"], 0) + row["n"]
+        ks = np.asarray(b["kind"].combine_chunks(), np.int64)
+        ns = np.asarray(b["n"].combine_chunks(), np.int64)
+        for k, nv in zip(ks.tolist(), ns.tolist()):
+            acc[k] = acc.get(k, 0) + nv
 
     import pandas as pd
 
-    man = RunManifest(out_dir)
-    manifest_totals = {"n_points": 0, "n_lines": 0, "n_shapes": 0}
-    import json
-    import os
-
-    for tid in man.completed_tiles():
-        with open(os.path.join(out_dir, "_done", f"tile_{tid}.json")) as f:
-            counts = json.load(f)["counts"]
-        for k in manifest_totals:
-            manifest_totals[k] += counts.get(k, 0)
+    agg = RunManifest(out_dir).aggregate_counts()
+    manifest_totals = {
+        k: agg.get(k, 0) for k in ("n_points", "n_lines", "n_shapes")
+    }
     overview = pd.DataFrame(
         sorted(acc.items()), columns=["kind", "n"]
     ).astype("int64")

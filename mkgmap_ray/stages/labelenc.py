@@ -98,3 +98,69 @@ def encoded_len6(n_codes: np.ndarray) -> np.ndarray:
     included), the reference's ``((off-1)*6)/8 + 1`` with off = codes+1."""
     n = np.asarray(n_codes, np.int64) + 1  # + terminator
     return ((n - 1) * 6) // 8 + 1
+
+
+# --- 8-bit / UTF-8 label encodings ------------------------------------------
+
+# authored ASCII transliteration rows for the Latin-1 block (the
+# reference reads these from resources/chars/ascii/row00.trans via
+# TableTransliterator; same substitution scheme, compact table)
+_TRANSLIT = {
+    "À": "A", "Á": "A", "Â": "A", "Ã": "A", "Ä": "A", "Å": "AA",
+    "Æ": "AE", "Ç": "C", "È": "E", "É": "E", "Ê": "E", "Ë": "E",
+    "Ì": "I", "Í": "I", "Î": "I", "Ï": "I", "Ð": "D", "Ñ": "N",
+    "Ò": "O", "Ó": "O", "Ô": "O", "Õ": "O", "Ö": "O", "Ø": "OE",
+    "Ù": "U", "Ú": "U", "Û": "U", "Ü": "U", "Ý": "Y", "Þ": "TH",
+    "ß": "ss",
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "aa",
+    "æ": "ae", "ç": "c", "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ì": "i", "í": "i", "î": "i", "ï": "i", "ð": "d", "ñ": "n",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o", "ø": "oe",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u", "ý": "y", "þ": "th",
+    "ÿ": "y",
+}
+
+
+def transliterate_ascii(text: str) -> str:
+    """``TableTransliterator.transliterate`` semantics for an ASCII
+    target: chars ≤ 0x7f pass through, known accents substitute, the
+    rest become '?'."""
+    out = []
+    for c in text:
+        if ord(c) <= 0x7F:
+            out.append(c)
+        else:
+            out.append(_TRANSLIT.get(c, "?"))
+    return "".join(out)
+
+
+def encode8(text: str, codepage: str = "latin1",
+            upper: bool = False) -> bytes:
+    """8-bit label encoding (``labelenc/AnyCharsetEncoder.java:50-100``):
+    encode in the target codepage, transliterating unmappable characters,
+    NUL-terminated."""
+    if upper:
+        text = text.upper()
+    if codepage == "ascii":
+        text = transliterate_ascii(text)
+        return text.encode("ascii", errors="replace") + b"\x00"
+    out = bytearray()
+    for c in text:
+        try:
+            out += c.encode("latin-1")
+        except UnicodeEncodeError:
+            out += transliterate_ascii(c).encode("ascii", errors="replace")
+    return bytes(out) + b"\x00"
+
+
+def encode_utf8(text: str, upper: bool = False) -> bytes:
+    """Unicode label encoding (``labelenc/Utf8Encoder.java:29-45``):
+    utf-8 bytes, NUL-terminated."""
+    if upper:
+        text = text.upper()
+    return text.encode("utf-8") + b"\x00"
+
+
+def decode8(data: bytes, codepage: str = "latin1") -> str:
+    enc = "latin-1" if codepage == "latin1" else "ascii"
+    return data.rstrip(b"\x00").decode(enc)

@@ -99,23 +99,36 @@ class BlockTileWriter:
         tid = np.asarray(batch["tile_id"].combine_chunks(), np.int64)
         lo, hi = int(tid.min()), int(tid.max())
         digest = _content_digest(batch)
-        path = os.path.join(
-            self.tiles_dir, f"part-{lo:08d}-{hi:08d}-{digest}.parquet"
-        )
+        basename = f"part-{lo:08d}-{hi:08d}-{digest}.parquet"
+        path = os.path.join(self.tiles_dir, basename)
         pq.write_table(batch, path)
 
         uniq, inv = np.unique(tid, return_inverse=True)
-        cols = {
-            "tile_id": pa.array(uniq, pa.int64()),
-            "n_rows": pa.array(
-                np.bincount(inv, minlength=len(uniq)).astype(np.int64),
-                pa.int64(),
-            ),
+        stat_arrays: dict[str, np.ndarray] = {
+            "n_rows": np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         }
         if self.stats_fn is not None:
             for name, (_op, arr) in self.stats_fn(batch, uniq, inv).items():
-                cols[name] = pa.array(arr.astype(np.int64), pa.int64())
-        cols["file"] = pa.array([os.path.basename(path)] * len(uniq))
+                stat_arrays[name] = arr.astype(np.int64)
+
+        # the marker is written by THIS task, right after its parquet —
+        # lineage stays one parallel pass, never a per-tile driver loop
+        from ..state.manifest import RunManifest
+
+        RunManifest(os.path.dirname(self.tiles_dir)).write_block_marker(
+            basename,
+            {
+                int(t): {
+                    name: int(arr[i]) for name, arr in stat_arrays.items()
+                }
+                for i, t in enumerate(uniq)
+            },
+        )
+
+        cols = {"tile_id": pa.array(uniq, pa.int64())}
+        for name, arr in stat_arrays.items():
+            cols[name] = pa.array(arr, pa.int64())
+        cols["file"] = pa.array([basename] * len(uniq))
         return pa.table(cols)
 
 

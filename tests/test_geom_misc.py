@@ -169,3 +169,62 @@ class TestMultipolygon:
         r = (np.asarray([0, 0, 10, 10]), np.asarray([0, 10, 10, 0]))
         cls = classify_rings([r, r])
         assert [c["depth"] for c in cls] == [0, 0]
+
+
+class TestWrongAngleFixer:
+    def test_reduces_bearing_error(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.anglefix import (
+            _angle_err,
+            _bearings,
+            fix_wrong_angles,
+        )
+
+        D = 6
+        scale = 1 << D
+        lat_hp = np.asarray(
+            [0, int(0.55 * scale), int(0.9 * scale), int(1.55 * scale),
+             int(1.9 * scale), int(2.55 * scale)]
+        )
+        lon_hp = np.arange(6) * 10 * scale
+        (rla, rlo), = fix_wrong_angles([(lat_hp, lon_hp)], D)
+        tb = _bearings(lat_hp.astype(float) / scale,
+                       lon_hp.astype(float) / scale)
+        naive_lat = (lat_hp + scale // 2) >> D
+        naive_err = _angle_err(tb, _bearings(naive_lat, lon_hp >> D)).max()
+        if len(rla) == len(lat_hp):
+            fixed_err = _angle_err(tb, _bearings(rla, rlo)).max()
+            assert fixed_err <= naive_err
+
+    def test_shared_point_moves_consistently(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.anglefix import fix_wrong_angles
+
+        D = 6
+        scale = 1 << D
+        shared = (int(1.55 * scale), 5 * scale)
+        l1 = (np.asarray([0, shared[0], int(3.1 * scale)]),
+              np.asarray([0, shared[1], 10 * scale]))
+        l2 = (np.asarray([int(3.2 * scale), shared[0], 0]),
+              np.asarray([0, shared[1], 10 * scale]))
+        o1, o2 = fix_wrong_angles([l1, l2], D)
+        assert (o1[0][1], o1[1][1]) == (o2[0][1], o2[1][1])
+
+    def test_spike_from_rounding_removed(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.anglefix import fix_wrong_angles
+
+        D = 6
+        scale = 1 << D
+        # middle point rounds a full unit off a straight line → removable
+        lat_hp = np.asarray([0, int(0.6 * scale), 0])
+        lon_hp = np.asarray([0, 10 * scale, 20 * scale])
+        (rla, rlo), = fix_wrong_angles([(lat_hp, lon_hp)], D)
+        # either moved back onto the line or removed; no zigzag survives
+        if len(rla) == 3:
+            assert abs(int(rla[1])) <= 1
+        else:
+            assert len(rla) == 2

@@ -4,11 +4,7 @@ import json
 import os
 
 
-def lin_files_of(out, tid):
-    import json as _json
 
-    with open(f"{out}/_done/tile_{tid}.json") as f:
-        return _json.load(f).get("files", [])
 
 import numpy as np
 import pytest
@@ -52,15 +48,18 @@ def test_flagship_runs_and_resumes(ray_session, tmp_path):
     assert stats["skipped_tiles"] == 0
     assert stats["written_tiles"] >= 2
     assert summary["n_images"].sum() == 1200
-    # every tile dir exists + marker agrees
+    # every tile's range files exist + combined marker stats agree
+    from mkgmap_ray.state.manifest import RunManifest
+
+    man = RunManifest(out)
     for _, row in summary.iterrows():
         tid = int(row["tile_id"])
-        for fn in lin_files_of(out, tid):
+        lin = man.read_tile(tid)
+        assert lin is not None
+        for fn in lin["files"]:
             assert os.path.isfile(f"{out}/tiles/{fn}")
-        with open(f"{out}/_done/tile_{tid}.json") as f:
-            lin = json.load(f)
-        assert lin["counts"]["n_images"] == int(row["n_images"])
-        assert lin["fidelity"]["min_psnr_centi_db"] >= 4000
+        assert lin["stats"]["n_rows"] == int(row["n_images"])
+        assert lin["stats"]["min_psnr_centi_db"] >= 4000
 
     # rerun: everything skipped, same summary (from manifest)
     summary2, stats2 = run_images_flagship(1200, out, verify=True)
@@ -68,9 +67,10 @@ def test_flagship_runs_and_resumes(ray_session, tmp_path):
     assert stats2["written_tiles"] == 0
     assert summary2.equals(summary)
 
-    # delete one marker: only that tile is rewritten
+    # invalidate one tile's lineage: it (plus range-file neighbors)
+    # is rewritten
     victim = int(summary["tile_id"].iloc[0])
-    os.remove(f"{out}/_done/tile_{victim}.json")
+    man.unmark_tile(victim)
     summary3, stats3 = run_images_flagship(1200, out, verify=True)
     # range-file layout: the victim rewrites along with any tile
     # that shared its range files; final state identical

@@ -117,3 +117,59 @@ class TestTagColumn:
         )
         out = tag_column(batch, "a").to_pylist()
         assert out == ["1", None, "first"]
+
+
+class TestO5m:
+    def test_roundtrip_parity_with_xml(self, tmp_path):
+        from mkgmap_ray.sources.o5m import parse_o5m_bytes, write_o5m
+        from mkgmap_ray.sources.osmxml import parse_osm_bytes, write_osm_xml
+
+        ids = np.asarray([1, 5, 6, 100, 99999])
+        lat = np.asarray([100, -200, 65535, 0, -70000])
+        lon = np.asarray([7, 0, -65535, 12345, 8388607])
+        tags = {5: {"amenity": "cafe", "name": "X"},
+                100: {"amenity": "cafe"}}
+        ways = [(10, [1, 5, 6]), (11, [6, 100, 99999, 1])]
+        way_tags = {10: {"highway": "residential", "oneway": "yes"},
+                    11: {"highway": "residential"}}
+        rels = [(7, [("way", 10, "outer"), ("way", 11, "inner"),
+                     ("node", 5, "via")], {"type": "multipolygon"})]
+        po = str(tmp_path / "a.o5m")
+        px = str(tmp_path / "a.osm")
+        write_o5m(po, ids, lat, lon, ways=ways, tags=tags,
+                  way_tags=way_tags, relations=rels)
+        write_osm_xml(px, ids, lat, lon, ways=ways, tags=tags,
+                      way_tags=way_tags, relations=rels)
+        got = parse_o5m_bytes(open(po, "rb").read())
+        exp = parse_osm_bytes(open(px, "rb").read())
+        for g, e in zip(got, exp):
+            assert g.equals(e)
+
+    def test_string_ring_backrefs(self, tmp_path):
+        # the same tag pair used many times must round-trip through
+        # back-references (file stays small)
+        from mkgmap_ray.sources.o5m import parse_o5m_bytes, write_o5m
+
+        ids = np.arange(200)
+        tags = {int(i): {"highway": "residential"} for i in ids}
+        p = str(tmp_path / "ring.o5m")
+        write_o5m(p, ids, ids * 3, ids * 5, tags=tags)
+        n, _, _ = parse_o5m_bytes(open(p, "rb").read())
+        assert all(
+            t == ["residential"] for t in n["tag_vals"].to_pylist()
+        )
+        # one literal pair + 199 one-byte refs → far smaller than literal
+        assert len(open(p, "rb").read()) < 200 * 24
+
+    def test_ray_reader(self, ray_session, tmp_path):
+        from mkgmap_ray.sources.o5m import read_o5m_table, write_o5m
+
+        paths = []
+        for s in range(2):
+            p = str(tmp_path / f"s{s}.o5m")
+            ids = np.arange(s * 10, s * 10 + 5)
+            write_o5m(p, ids, ids * 3, ids * 5)
+            paths.append(p)
+        out = read_o5m_table(paths, "nodes").to_pandas().sort_values("id")
+        assert len(out) == 10
+        assert (out["lat_mu"] == out["id"] * 3).all()

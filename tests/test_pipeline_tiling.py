@@ -74,9 +74,10 @@ def test_resumable_write(tiled, tmp_path):
     out = str(tmp_path / "tiles_out")
     r1 = write_tiles(assigned, meta, tree, out, input_desc="sf0.001")
     assert r1["written_tiles"] > 0 and r1["skipped_tiles"] == 0
-    # every written tile has a marker and a parquet dir
-    done = os.listdir(os.path.join(out, "_done"))
-    assert len(done) == r1["written_tiles"]
+    # every written tile is recoverable from the block markers
+    from mkgmap_ray.state.manifest import RunManifest
+
+    assert len(RunManifest(out).completed_tiles()) == r1["written_tiles"]
 
     r2 = write_tiles(assigned, meta, tree, out, input_desc="sf0.001")
     assert r2["skipped_tiles"] == r1["written_tiles"]

@@ -248,3 +248,51 @@ class TestCollation:
         # case-insensitive grouping with lowercase first
         assert by_key.index("forest") < by_key.index("FOREST")
         assert by_key.index("almond") < by_key.index("Almond")
+
+
+class TestLabel8:
+    def test_roundtrip_and_terminator(self):
+        from mkgmap_ray.stages.labelenc import decode8, encode8, encode_utf8
+
+        for t in ["Main Street 42", "", "ASCII only"]:
+            e = encode8(t)
+            assert e.endswith(b"\x00")
+            assert decode8(e) == t
+            assert encode_utf8(t) == t.encode() + b"\x00"
+
+    def test_latin1_and_transliteration(self):
+        from mkgmap_ray.stages.labelenc import encode8, transliterate_ascii
+
+        assert encode8("café")[:-1] == "café".encode("latin-1")
+        assert transliterate_ascii("Ærø straße") == "AEroe strasse"
+        # ascii target transliterates; unknown non-latin becomes ?
+        assert encode8("café", codepage="ascii") == b"cafe\x00"
+        assert encode8("日", codepage="ascii") == b"?\x00"
+
+    def test_upper_flag(self):
+        from mkgmap_ray.stages.labelenc import encode8
+
+        assert encode8("abc", upper=True) == b"ABC\x00"
+
+
+class TestLocator:
+    def test_variants_normalize(self):
+        from mkgmap_ray.stages.locator import Locator
+
+        loc = Locator(["FRANCE", "UNITED STATES"])
+        for v in ("FRANCE", "france", "France", "The France",
+                  " the france "):
+            assert loc.normalize(v) == "FRANCE"
+        assert loc.normalize("narnia") is None
+
+    def test_series_form(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.locator import Locator
+
+        loc = Locator(["KENYA"])
+        out = loc.normalize_series(
+            pd.Series(["kenya", "The Kenya", "mars"], dtype="string")
+        )
+        assert out.tolist()[:2] == ["KENYA", "KENYA"]
+        assert pd.isna(out[2])
