@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "size_filters": Q.q_size_filters,
         "routing_graph": Q.q_routing_graph,
         "locator_normalize": Q.q_locator_normalize,
+        "wrong_angle": Q.q_wrong_angle,
         "label_encode8": Q.q_label_encode8,
         "poi_generate": Q.q_poi_generate,
         "label_encode": Q.q_label_encode,

@@ -16,8 +16,8 @@ CPU counts (default 2 vs 8 — the N-vs-4N pair where per-process memory
 bandwidth stays constant on this shared-bus box; see BASELINE.md) on a
 repeat-replicated input and report both throughputs plus scaling
 efficiency (the BASELINE.json north-rule two-cluster-size criterion).
-Takes ~25 minutes at the defaults (repeat=128, the measured-0.876
-configuration).
+Takes ~35 minutes at the defaults (repeat=96; the headline now
+includes the partitioned tile write + lineage markers).
 
 This script OWNS its Ray session (unlike __ray_entry__ / the library).
 """
@@ -84,6 +84,7 @@ QUERY_NAMES = [
     "size_filters",
     "routing_graph",
     "locator_normalize",
+    "wrong_angle",
     "label_encode8",
     "poi_generate",
     "label_encode",
@@ -263,7 +264,7 @@ def main() -> None:
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=1)
-    ap.add_argument("--scale-repeat", type=int, default=128)
+    ap.add_argument("--scale-repeat", type=int, default=96)
     args = ap.parse_args()
 
     if args.scaling:

@@ -120,3 +120,18 @@ def signed_area2(lat_hp, lon_hp) -> int:
     x, y = lon, lat
     xn, yn = np.roll(x, -1), np.roll(y, -1)
     return int(np.sum(x * yn - xn * y))
+
+
+def order_by_decreasing_area(rings, ids=None) -> np.ndarray:
+    """``--order-by-decreasing-area`` (``doc/options.txt:844``,
+    ``MapBuilder`` orderByDecreasingArea / ``Way.getFullArea``): indices
+    ordering shapes by |signed area| DESCENDING so large polygons draw
+    first; ties break on ascending id for determinism."""
+    areas = np.asarray(
+        [abs(signed_area2(la, lo)) for la, lo in rings], np.int64
+    )
+    ids = (
+        np.arange(len(rings), dtype=np.int64)
+        if ids is None else np.asarray(ids, np.int64)
+    )
+    return np.lexsort((ids, -areas))

@@ -2146,6 +2146,45 @@ def q_label_encode8(sf_dir: str):
     )
 
 
+def q_wrong_angle(sf_dir: str):
+    """Rounding-artifact repair (``WrongAngleFixer`` subset): per order a
+    shallow near-straight polyline whose naive rounding zigzags; the
+    fixer must not INCREASE the max bearing error and shared endpoints
+    stay consistent. Reports per-order point count + coordinate checksum
+    (rows-only: bearing math is float; the pytest oracle asserts the
+    error bound)."""
+    from ..geom.anglefix import fix_wrong_angles
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        ook = ook[ook % 16 == 7]  # bounded fixture subset
+        n = len(ook)
+        n_points = np.empty(n, np.int64)
+        coord_sum = np.empty(n, np.int64)
+        D = 6
+        scale = 1 << D
+        for idx, ok in enumerate(ook):
+            ok = int(ok)
+            m = 6 + ok % 4
+            step = scale // 2 + 1 + (ok % 13)
+            lat_hp = (np.arange(m) * step) % (4 * scale)
+            lon_hp = np.arange(m) * 10 * scale
+            (rla, rlo), = fix_wrong_angles([(lat_hp, lon_hp)], D)
+            n_points[idx] = len(rla)
+            coord_sum[idx] = int(rla.sum() + rlo.sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ook, pa.int64()),
+                "n_points": pa.array(n_points, pa.int64()),
+                "coord_sum": pa.array(coord_sum, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_locator_normalize(sf_dir: str):
     """Country normalization (``build/Locator.java`` applied at
     ``MapBuilder.java:404-410``): each customer's country string is a

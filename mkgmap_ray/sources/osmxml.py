@@ -235,10 +235,12 @@ _EMPTY = {"nodes": empty_nodes_table, "ways": empty_ways_table,
 
 
 def read_osm_table(paths: list[str], table: str = "nodes",
-                   parser=parse_osm_bytes):
+                   parser=parse_osm_bytes, dict_tags: bool = True):
     """Ray Data source: .osm files → one of the three element Datasets
-    (one streaming parse per file; ``parser`` is swappable so the PBF
-    source reuses the plumbing)."""
+    (one streaming parse per file; ``parser`` is swappable so the
+    PBF/o5m sources reuse the plumbing). ``dict_tags`` dictionary-encodes
+    the tag list columns (the ``TagDict`` analogue) so repeated keys ship
+    as int32 indices through every downstream shuffle."""
     import ray.data as rd
 
     idx = ("nodes", "ways", "relations").index(table)
@@ -246,8 +248,14 @@ def read_osm_table(paths: list[str], table: str = "nodes",
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
         for payload in batch["bytes"]:
-            tables.append(parser(payload.as_py())[idx])
-        return pa.concat_tables(tables) if tables else _EMPTY[table]()
+            t = parser(payload.as_py())[idx]
+            if dict_tags:
+                t = dictionary_encode_tags(t)
+            tables.append(t)
+        if tables:
+            return pa.concat_tables(tables)
+        empty = _EMPTY[table]()
+        return dictionary_encode_tags(empty) if dict_tags else empty
 
     return rd.read_binary_files(paths).map_batches(
         parse, batch_format="pyarrow", batch_size=None
@@ -284,3 +292,45 @@ def tag_column(batch: pa.Table, key: str) -> pa.Array:
     for i in hit[::-1]:
         out[parent[i]] = vv[i]
     return pa.array(out, pa.string())
+
+
+def dictionary_encode_tags(table: pa.Table) -> pa.Table:
+    """``TagDict`` analogue (``reader/osm/TagDict.java``): tag keys (and
+    values) become Arrow dictionary-encoded list columns — each distinct
+    string is stored once per block and shuffles as int32 indices, the
+    columnar form of the reference's global string↔short dictionary."""
+    import pyarrow.compute as pc
+
+    out = table
+    for col in ("tag_keys", "tag_vals"):
+        if col not in table.column_names:
+            continue
+        arr = table[col].combine_chunks()
+        enc = pc.dictionary_encode(arr.flatten())
+        out = out.set_column(
+            out.column_names.index(col), col,
+            pa.ListArray.from_arrays(arr.offsets, enc),
+        )
+    return out
+
+
+def normalize_tag_values(table: pa.Table) -> pa.Table:
+    """Ingest-time tag value normalization
+    (``Element.addTagFromRawOSM``, ``Element.java:54-74``): trim, squash
+    internal whitespace runs to one space, strip DEL (0x7f) — vectorized
+    pyarrow string kernels over the flattened value column."""
+    import pyarrow.compute as pc
+
+    if "tag_vals" not in table.column_names:
+        return table
+    arr = table["tag_vals"].combine_chunks()
+    flat = arr.flatten()
+    if pa.types.is_dictionary(flat.type):
+        flat = flat.cast(pa.string())
+    flat = pc.utf8_trim_whitespace(flat)
+    flat = pc.replace_substring_regex(flat, r"\s+", " ")
+    flat = pc.replace_substring(flat, "\x7f", "")
+    return table.set_column(
+        table.column_names.index("tag_vals"), "tag_vals",
+        pa.ListArray.from_arrays(arr.offsets, flat),
+    )

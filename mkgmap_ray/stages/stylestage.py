@@ -197,3 +197,44 @@ def apply_overlays(ds, overlays: dict[int, tuple[int, ...]],
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# explicit access tags stripped from the synthesized way
+# (StyledConverter.makeCycleWay, StyledConverter.java:549-571)
+_CYCLEWAY_STRIP = (
+    "foot", "motorcar", "goods", "hgv", "bus", "taxi", "emergency",
+    "vehicle", "motor_vehicle", "carpool", "motorcycle", "psv", "truck",
+)
+
+
+def make_cycle_ways(df: pd.DataFrame) -> pd.DataFrame:
+    """``makeCycleWay`` 1→2 flat-map over a tag-columns frame
+    (``StyledConverter.java:352-357,549-571``): rows tagged
+    ``mkgmap:make-cycle-way=yes`` emit a synthesized copy with
+    access=no, bicycle=yes, oneway=no, mkgmap:synthesised=yes and the
+    explicit access tags removed; the ORIGINAL gets bicycle=no and
+    loses the trigger tag."""
+    trig = df.get("mkgmap:make-cycle-way")
+    if trig is None:
+        return df
+    m = (trig == "yes").fillna(False)
+    if not m.any():
+        return df
+    orig = df.copy()
+    orig.loc[m, "mkgmap:make-cycle-way"] = pd.NA
+    if "bicycle" not in orig.columns:
+        orig["bicycle"] = pd.Series([pd.NA] * len(orig), dtype="string")
+    orig.loc[m, "bicycle"] = "no"
+    cyc = df[m].copy()
+    cyc["mkgmap:make-cycle-way"] = pd.NA
+    for col, val in (("access", "no"), ("bicycle", "yes"),
+                     ("oneway", "no"), ("mkgmap:synthesised", "yes")):
+        cyc[col] = val
+    for col in _CYCLEWAY_STRIP:
+        if col in cyc.columns:
+            cyc[col] = pd.NA
+    out = pd.concat([orig, cyc], ignore_index=True)
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].astype("string")
+    return out

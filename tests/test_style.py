@@ -331,3 +331,71 @@ class TestOverlays:
         assert out[out["fid"] == 0]["gtype"].tolist() == [0x10, 0x11, 0x12]
         assert out[out["fid"] == 1]["gtype"].tolist() == [7]
         assert out[out["fid"] == 2]["gtype"].tolist() == [0x20]
+
+
+class TestIngestNormalization:
+    def test_tag_value_normalize(self):
+        import pyarrow as pa
+
+        from mkgmap_ray.sources.osmxml import normalize_tag_values
+
+        t = pa.table(
+            {"tag_vals": pa.array(
+                [["  a   b ", "x\x7fy"], [], ["ok"]],
+                pa.list_(pa.string()))}
+        )
+        out = normalize_tag_values(t)
+        assert out["tag_vals"].to_pylist() == [["a b", "xy"], [], ["ok"]]
+
+    def test_reader_dispatch(self):
+        import pytest
+
+        from mkgmap_ray.sources import reader_for
+
+        assert reader_for("planet.osm.pbf")[0] == "pbf"
+        assert reader_for("x.o5m")[0] == "o5m"
+        assert reader_for("uk.osm.gz")[0] == "osm"
+        assert reader_for("map.mp")[0] == "polish"
+        with pytest.raises(ValueError):
+            reader_for("something.img")
+
+
+class TestMakeCycleWay:
+    def test_one_to_two(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.stylestage import make_cycle_ways
+
+        df = pd.DataFrame(
+            {
+                "wid": pd.Series(["1", "2"], dtype="string"),
+                "mkgmap:make-cycle-way": pd.Series(
+                    ["yes", None], dtype="string"
+                ),
+                "oneway": pd.Series(["yes", "yes"], dtype="string"),
+                "foot": pd.Series(["yes", None], dtype="string"),
+            }
+        )
+        out = make_cycle_ways(df)
+        assert len(out) == 3
+        o = out[out["wid"] == "1"]
+        orig = o[o["mkgmap:synthesised"].isna()].iloc[0]
+        cyc = o[o["mkgmap:synthesised"] == "yes"].iloc[0]
+        assert orig["bicycle"] == "no"
+        assert cyc["access"] == "no" and cyc["bicycle"] == "yes"
+        assert cyc["oneway"] == "no" and pd.isna(cyc["foot"])
+
+
+class TestAreaOrder:
+    def test_decreasing_area(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.polyfilters import order_by_decreasing_area
+
+        def square(s):
+            return (np.asarray([0, 0, s, s]), np.asarray([0, s, s, 0]))
+
+        order = order_by_decreasing_area(
+            [square(2), square(10), square(5)]
+        )
+        assert order.tolist() == [1, 2, 0]
