@@ -1370,6 +1370,37 @@ highway=path                        [0x16 resolution 23]
 """
 
 
+def _osm_parquet_tables(sf_dir: str) -> dict:
+    """Parse the XML fixture shards ONCE into columnar parquet (cached),
+    then serve each element table as a read_parquet Dataset — the
+    parse-once-store-columnar shape a real pipeline uses (SURVEY.md §2.1
+    "pre-converted Lance/Parquet"); queries about joins shouldn't re-pay
+    the XML parse per consumed table."""
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..sources.osmxml import parse_osm_bytes
+
+    paths = _osm_fixture_dir(sf_dir)
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/mkgmap_ray_osmpq_{name}"
+    if not os.path.exists(f"{out}/_done"):
+        os.makedirs(out, exist_ok=True)
+        for i, p in enumerate(paths):
+            tables = parse_osm_bytes(open(p, "rb").read())
+            for tname, t in zip(("nodes", "ways", "relations"), tables):
+                os.makedirs(f"{out}/{tname}", exist_ok=True)
+                _pq.write_table(t, f"{out}/{tname}/shard{i}.parquet")
+        with open(f"{out}/_done", "w") as f:
+            f.write("ok")
+    return {
+        t: rd.read_parquet(f"{out}/{t}")
+        for t in ("nodes", "ways", "relations")
+    }
+
+
 def q_osm_way_tags(sf_dir: str):
     """Way tags parsed from OSM XML (``OsmXmlHandler`` emitting full
     key/value pairs, ``OsmXmlHandler.java:52-258``): per-highway-class
@@ -1421,12 +1452,11 @@ def q_osm_relation_resolve(sf_dir: str):
     salted union+groupby join; per-relation (n_nodes, sum_lat_mu) out."""
     from ray.data.aggregate import Sum
 
-    from ..sources.osmxml import MEMBER_WAY, read_osm_table
+    from ..sources.osmxml import MEMBER_WAY
 
-    paths = _osm_fixture_dir(sf_dir)
-    rels = read_osm_table(paths, "relations")
-    ways = read_osm_table(paths, "ways")
-    nodes = read_osm_table(paths, "nodes")
+    rels, ways, nodes = (
+        _osm_parquet_tables(sf_dir)[t] for t in ("relations", "ways", "nodes")
+    )
 
     def rel_side(batch: pa.Table) -> pa.Table:
         types = batch["member_types"].combine_chunks()
@@ -1469,26 +1499,16 @@ def q_osm_relation_resolve(sf_dir: str):
         return batch.append_column("part", pa.array(k & 255, pa.int64()))
 
     def hop1(g: pd.DataFrame) -> pd.DataFrame:
-        # per way id: cross relations-wanting-it × its node refs
-        out_rid, out_ref = [], []
-        for _, grp in g.groupby("key", sort=False):
-            rids = grp.loc[grp["rid"] >= 0, "rid"].to_numpy(np.int64)
-            refs = grp.loc[grp["ref"] >= 0, "ref"].to_numpy(np.int64)
-            if len(rids) == 0 or len(refs) == 0:
-                continue
-            out_rid.append(np.repeat(rids, len(refs)))
-            out_ref.append(np.tile(refs, len(rids)))
-        if not out_rid:
-            return pd.DataFrame({"key": [], "rid": [], "lat_mu": []}).astype(
-                np.int64
-            )
+        # per way id: relations-wanting-it × its node refs — ONE pandas
+        # merge per partition (vectorized), no per-key Python loop
+        rels_side = g.loc[g["rid"] >= 0, ["key", "rid"]]
+        refs_side = g.loc[g["ref"] >= 0, ["key", "ref"]]
+        hit = rels_side.merge(refs_side, on="key")
         return pd.DataFrame(
             {
-                "key": np.concatenate(out_ref),  # node id for hop 2
-                "rid": np.concatenate(out_rid),
-                "lat_mu": np.full(
-                    sum(len(x) for x in out_rid), -1, np.int64
-                ),
+                "key": hit["ref"].to_numpy(np.int64),  # node id for hop 2
+                "rid": hit["rid"].to_numpy(np.int64),
+                "lat_mu": np.full(len(hit), -1, np.int64),
             }
         )
 
@@ -1504,16 +1524,18 @@ def q_osm_relation_resolve(sf_dir: str):
         )
 
     def hop2(g: pd.DataFrame) -> pd.DataFrame:
-        # per node id: attach lat to every (rid) wanting it, partial-agg
-        lat_rows = g[g["lat_mu"] >= 0].drop_duplicates("key")
-        lat_of = dict(zip(lat_rows["key"], lat_rows["lat_mu"]))
-        want = g[g["rid"] >= 0]
-        lat = want["key"].map(lat_of)
+        # per node id: attach lat to every rid wanting it (merge), then
+        # partial-aggregate per relation
+        lat_rows = g.loc[g["lat_mu"] >= 0, ["key", "lat_mu"]].drop_duplicates(
+            "key"
+        )
+        want = g.loc[g["rid"] >= 0, ["key", "rid"]]
+        hit = want.merge(lat_rows, on="key")
         df = pd.DataFrame(
             {
-                "rid": want["rid"].to_numpy(np.int64),
-                "n_nodes": np.ones(len(want), np.int64),
-                "sum_lat_mu": lat.to_numpy(np.int64),
+                "rid": hit["rid"].to_numpy(np.int64),
+                "n_nodes": np.ones(len(hit), np.int64),
+                "sum_lat_mu": hit["lat_mu"].to_numpy(np.int64),
             }
         )
         return df.groupby("rid", as_index=False).sum()
@@ -1536,13 +1558,11 @@ def q_osm_relation_resolve(sf_dir: str):
         .map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(hop2, batch_format="pandas")
-        .groupby("rid")
-        .aggregate(
-            Sum("n_nodes", alias_name="n_nodes"),
-            Sum("sum_lat_mu", alias_name="sum_lat_mu"),
-        )
         .to_pandas()
     )
+    # hop2 emits per-partition per-relation partials (≤ parts × relations
+    # rows) — final combine on the driver, no third shuffle
+    out = out.groupby("rid", as_index=False)[["n_nodes", "sum_lat_mu"]].sum()
     return out.sort_values("rid").reset_index(drop=True).astype("int64")
 
 
