@@ -164,3 +164,61 @@ def encode_utf8(text: str, upper: bool = False) -> bytes:
 def decode8(data: bytes, codepage: str = "latin1") -> str:
     enc = "latin-1" if codepage == "latin1" else "ascii"
     return data.rstrip(b"\x00").decode(enc)
+
+
+# --- road-name prefix/suffix separators --------------------------------------
+
+SEP_PREFIX_SHOWN = "\x1e"   # blank-joined prefix, shown as a blank
+SEP_PREFIX_HIDDEN = "\x1b"  # glued prefix, fully hidden
+SEP_SUFFIX_SHOWN = "\x1f"
+SEP_SUFFIX_HIDDEN = "\x1c"
+
+# authored per-country search lists in the reference's option-file
+# structure (osmstyle/PrefixSuffixFilter.java:95-204 reads them from a
+# config; first case-insensitive match wins, longest-first like the
+# sorted lists the reference builds)
+DEFAULT_PREFIXES = {
+    "FRA": ["Rue de la ", "Rue des ", "Avenue des ", "Rue ", "Avenue "],
+    "DEU": ["An der ", "Am "],
+    "GBR": ["The "],
+}
+DEFAULT_SUFFIXES = {
+    "GBR": [" Street", " Road", " Lane"],
+    "USA": [" Street", " Road", " Avenue"],
+    "DEU": ["straße", "strasse", "weg"],
+}
+
+
+def prefix_suffix_filter(label: str, country: str,
+                         prefixes: dict | None = None,
+                         suffixes: dict | None = None) -> str:
+    """``PrefixSuffixFilter.filter`` (``PrefixSuffixFilter.java:205-265``):
+    insert the Garmin zoom-out separators into a road label — a
+    well-known prefix ending in a blank replaces the blank with 0x1e
+    (else 0x1b after it); a suffix starting with a blank replaces it
+    with 0x1f (else 0x1c before it). Labels starting with shield codes
+    (< 0x07) pass unchanged; first match per side wins."""
+    if not label or not country:
+        return label
+    out = label
+    for prefix in (prefixes or DEFAULT_PREFIXES).get(country, []):
+        if out and ord(out[0]) < 7:
+            break
+        if len(out) >= len(prefix) and \
+                out[: len(prefix)].lower() == prefix.lower():
+            if prefix.endswith(" "):
+                out = prefix[:-1] + SEP_PREFIX_SHOWN + out[len(prefix):]
+            else:
+                out = prefix + SEP_PREFIX_HIDDEN + out[len(prefix):]
+            break
+    for suffix in (suffixes or DEFAULT_SUFFIXES).get(country, []):
+        if len(out) < len(suffix):
+            continue
+        pos = len(out) - len(suffix)
+        if out[pos:].lower() == suffix.lower():
+            if suffix.startswith(" "):
+                out = out[:pos] + SEP_SUFFIX_SHOWN + suffix[1:]
+            else:
+                out = out[:pos] + SEP_SUFFIX_HIDDEN + suffix
+            break
+    return out

@@ -296,3 +296,37 @@ class TestLocator:
         )
         assert out.tolist()[:2] == ["KENYA", "KENYA"]
         assert pd.isna(out[2])
+
+
+class TestPrefixSuffix:
+    def test_prefix_blank_becomes_1e(self):
+        from mkgmap_ray.stages.labelenc import prefix_suffix_filter
+
+        out = prefix_suffix_filter("Rue de la Paix", "FRA")
+        assert out == "Rue de la\x1ePaix"
+
+    def test_suffix_blank_becomes_1f(self):
+        from mkgmap_ray.stages.labelenc import prefix_suffix_filter
+
+        out = prefix_suffix_filter("Abbey Road", "GBR")
+        assert out == "Abbey\x1fRoad"
+
+    def test_glued_suffix_gets_1c(self):
+        from mkgmap_ray.stages.labelenc import prefix_suffix_filter
+
+        out = prefix_suffix_filter("Hauptstraße", "DEU")
+        assert out == "Haupt\x1cstraße"
+
+    def test_case_insensitive_and_first_wins(self):
+        from mkgmap_ray.stages.labelenc import prefix_suffix_filter
+
+        out = prefix_suffix_filter("rue de la paix", "FRA")
+        # the reference splices the LIST's canonical casing in
+        # (label = prefix.substring(...) + 0x1e + rest)
+        assert out == "Rue de la\x1epaix"
+
+    def test_no_country_or_no_match(self):
+        from mkgmap_ray.stages.labelenc import prefix_suffix_filter
+
+        assert prefix_suffix_filter("Main Plaza", "USA") == "Main Plaza"
+        assert prefix_suffix_filter("Rue X", "") == "Rue X"
