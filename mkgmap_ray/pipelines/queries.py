@@ -1472,7 +1472,11 @@ def q_osm_relation_resolve(sf_dir: str):
             {
                 "key": pa.array(fr[m], pa.int64()),  # way id
                 "rid": pa.array(rid[parent[m]], pa.int64()),
-                "ref": pa.array(np.full(m.sum(), -1, np.int64), pa.int64()),
+                "ref": pa.array(np.zeros(m.sum(), np.int64), pa.int64()),
+                # explicit row kind (0 = relation-wants-way, 1 = way-refs)
+                # instead of sign sentinels, so negative ids/coords in real
+                # OSM data can't be silently dropped (round-2 ADVICE)
+                "kind": pa.array(np.zeros(m.sum(), np.int8), pa.int8()),
             }
         )
 
@@ -1482,15 +1486,15 @@ def q_osm_relation_resolve(sf_dir: str):
         offs = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         counts = offs[1:] - offs[:-1]
         parent = np.repeat(np.arange(len(wid)), counts)
+        n_flat = int(counts.sum())
         return pa.table(
             {
                 "key": pa.array(wid[parent], pa.int64()),
-                "rid": pa.array(
-                    np.full(int(counts.sum()), -1, np.int64), pa.int64()
-                ),
+                "rid": pa.array(np.zeros(n_flat, np.int64), pa.int64()),
                 "ref": pa.array(
                     np.asarray(refs.flatten(), np.int64), pa.int64()
                 ),
+                "kind": pa.array(np.ones(n_flat, np.int8), pa.int8()),
             }
         )
 
@@ -1501,14 +1505,15 @@ def q_osm_relation_resolve(sf_dir: str):
     def hop1(g: pd.DataFrame) -> pd.DataFrame:
         # per way id: relations-wanting-it × its node refs — ONE pandas
         # merge per partition (vectorized), no per-key Python loop
-        rels_side = g.loc[g["rid"] >= 0, ["key", "rid"]]
-        refs_side = g.loc[g["ref"] >= 0, ["key", "ref"]]
+        rels_side = g.loc[g["kind"] == 0, ["key", "rid"]]
+        refs_side = g.loc[g["kind"] == 1, ["key", "ref"]]
         hit = rels_side.merge(refs_side, on="key")
         return pd.DataFrame(
             {
                 "key": hit["ref"].to_numpy(np.int64),  # node id for hop 2
                 "rid": hit["rid"].to_numpy(np.int64),
-                "lat_mu": np.full(len(hit), -1, np.int64),
+                "lat_mu": np.zeros(len(hit), np.int64),
+                "kind": np.zeros(len(hit), np.int8),
             }
         )
 
@@ -1518,18 +1523,19 @@ def q_osm_relation_resolve(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(nid, pa.int64()),
-                "rid": pa.array(np.full(len(nid), -1, np.int64), pa.int64()),
+                "rid": pa.array(np.zeros(len(nid), np.int64), pa.int64()),
                 "lat_mu": pa.array(lat, pa.int64()),
+                "kind": pa.array(np.ones(len(nid), np.int8), pa.int8()),
             }
         )
 
     def hop2(g: pd.DataFrame) -> pd.DataFrame:
         # per node id: attach lat to every rid wanting it (merge), then
         # partial-aggregate per relation
-        lat_rows = g.loc[g["lat_mu"] >= 0, ["key", "lat_mu"]].drop_duplicates(
+        lat_rows = g.loc[g["kind"] == 1, ["key", "lat_mu"]].drop_duplicates(
             "key"
         )
-        want = g.loc[g["rid"] >= 0, ["key", "rid"]]
+        want = g.loc[g["kind"] == 0, ["key", "rid"]]
         hit = want.merge(lat_rows, on="key")
         df = pd.DataFrame(
             {

@@ -83,6 +83,10 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     )
 
 
+def _zigzag_scalar(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
 # --- protobuf wire walker ----------------------------------------------------
 
 
@@ -200,10 +204,13 @@ def _blob(path_buf: bytearray, kind: str, payload: bytes) -> None:
 
 def write_pbf(path: str, node_ids, lat_mu, lon_mu,
               ways=None, tags=None, way_tags=None, relations=None,
-              granularity: int = DEFAULT_GRANULARITY) -> None:
+              granularity: int = DEFAULT_GRANULARITY,
+              plain_nodes: int = 0) -> None:
     """Deterministic .osm.pbf fixture writer (same interface as
     ``write_osm_xml``): DenseNodes with delta-coded ids/coords + keys_vals,
-    Ways with delta refs, Relations with delta memids + roles."""
+    Ways with delta refs, Relations with delta memids + roles. The first
+    ``plain_nodes`` nodes are written as plain Node messages (sint64
+    id/lat/lon + packed keys/vals) to exercise the non-dense decode path."""
     from .osmxml import to_degrees
 
     node_ids = np.asarray(node_ids, np.int64)
@@ -223,16 +230,36 @@ def write_pbf(path: str, node_ids, lat_mu, lon_mu,
     st = _StringTable()
     groups = bytearray()
 
+    # plain Node group (optional head slice)
+    np_ = min(int(plain_nodes), len(node_ids))
+    if np_:
+        grp = bytearray()
+        for i in range(np_):
+            nd = bytearray()
+            _put_varint(nd, 1, zigzag_encode(int(node_ids[i])))
+            t = (tags or {}).get(int(node_ids[i]), {})
+            if t:
+                _put_bytes(nd, 2, _packed([st.add(k) for k in t]))
+                _put_bytes(nd, 3, _packed([st.add(v) for v in t.values()]))
+            _put_varint(nd, 8, zigzag_encode(
+                int(lat_nano[i]) // granularity))
+            _put_varint(nd, 9, zigzag_encode(
+                int(lon_nano[i]) // granularity))
+            _put_bytes(grp, 1, bytes(nd))
+        _put_bytes(groups, 2, bytes(grp))
+
     # DenseNodes group
-    if len(node_ids):
+    if len(node_ids) > np_:
+        d_ids = node_ids[np_:]
+        d_lat, d_lon = lat_nano[np_:], lon_nano[np_:]
         dense = bytearray()
-        _put_bytes(dense, 1, _packed(np.diff(node_ids, prepend=0), zigzag=True))
+        _put_bytes(dense, 1, _packed(np.diff(d_ids, prepend=0), zigzag=True))
         _put_bytes(dense, 8, _packed(
-            np.diff(lat_nano // granularity, prepend=0), zigzag=True))
+            np.diff(d_lat // granularity, prepend=0), zigzag=True))
         _put_bytes(dense, 9, _packed(
-            np.diff(lon_nano // granularity, prepend=0), zigzag=True))
+            np.diff(d_lon // granularity, prepend=0), zigzag=True))
         kv: list[int] = []
-        for nid in node_ids:
+        for nid in d_ids:
             for k, v in (tags or {}).get(int(nid), {}).items():
                 kv.append(st.add(k))
                 kv.append(st.add(v))
@@ -379,15 +406,32 @@ def parse_pbf_bytes(data: bytes):
                         tag_lists.append([])
                     ntags_all.extend(tag_lists)
                 elif f == 1:  # plain Nodes (rare)
-                    w_id = _field(v, 1, 0)
-                    la = _field(v, 8, 0)
-                    lo = _field(v, 9, 0)
-                    nid_all.append(np.asarray([w_id], np.int64))
+                    # per the OSMPBF spec Node.id/lat/lon are sint64
+                    # (zigzag), and keys/vals are packed uint32 fields 2/3
+                    # — mirroring the DenseNodes path (round-2 ADVICE: raw
+                    # varints parsed id 42 as 84 and dropped the tags)
+                    n_id = la = lo = 0
+                    keys = vals = np.empty(0, np.uint64)
+                    for nf, _, nv in iter_fields(v):
+                        if nf == 1:
+                            n_id = _zigzag_scalar(nv)
+                        elif nf == 2:
+                            keys = decode_varints(nv)
+                        elif nf == 3:
+                            vals = decode_varints(nv)
+                        elif nf == 8:
+                            la = _zigzag_scalar(nv)
+                        elif nf == 9:
+                            lo = _zigzag_scalar(nv)
+                    nid_all.append(np.asarray([n_id], np.int64))
                     nlat_all.append(_nano_to_mu(
                         np.asarray([lat_off + granularity * la], np.int64)))
                     nlon_all.append(_nano_to_mu(
                         np.asarray([lon_off + granularity * lo], np.int64)))
-                    ntags_all.append([])
+                    ntags_all.append(
+                        [(strings[int(k)], strings[int(x)])
+                         for k, x in zip(keys, vals)]
+                    )
                 elif f == 3:  # Way
                     keys = vals = np.empty(0, np.uint64)
                     refs = np.empty(0, np.int64)

@@ -159,10 +159,11 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
     candidate if ANY band agrees), buckets hash-partitioned into bounded
     groups, per-bucket exact cosine verification vectorized, membership
     capped at ``max_bucket`` (deterministic smallest-ids) so a dense
-    cluster cannot go O(n²). Cross-band dedupe is LOCAL: a pair is emitted
-    only from the first band whose buckets agree (recomputed from the unit
-    vectors riding with the rows) — no second shuffle. Only unit vectors
-    shuffle, never raw embeddings; payload per row is dim × float32."""
+    cluster cannot go O(n²). Cross-band dedupe shuffles only the (tiny)
+    candidate-pairs table (``unique_pairs``) — round 2's local
+    canonical-band rule could permanently drop a pair whose first
+    co-bucketing band was capped. Only unit vectors shuffle as band rows,
+    never raw embeddings; payload per row is dim × float32."""
     signer = RandomHyperplaneSigner(dim, n_bits, n_bands, seed, id_col,
                                     emb_col)
     signed = ds.map_batches(signer, batch_format="pyarrow", batch_size=None)
@@ -178,48 +179,38 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
         )
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_c = [], [], []
-        sizes = g.groupby(["band", "lsh_bucket"], sort=False)[
-            id_col
-        ].transform("size")
-        g = g[sizes >= 2]
-        for (band, _), grp in g.groupby(["band", "lsh_bucket"], sort=False):
-            grp = grp.sort_values(id_col).drop_duplicates(id_col)
-            if len(grp) > max_bucket:
-                grp = grp.head(max_bucket)
-            if len(grp) < 2:
-                continue
-            ids = grp[id_col].to_numpy()
-            unit = np.stack(grp["unit"].to_numpy()).astype(np.float64)
-            iu, ju = np.triu_indices(len(ids), 1)
-            sim = np.einsum("ij,ij->i", unit[iu], unit[ju])
-            keep = sim >= threshold
-            if not keep.any():
-                continue
-            iu, ju, sim = iu[keep], ju[keep], sim[keep]
-            B = signer.buckets(unit)
-            first_band = np.argmax(B[iu] == B[ju], axis=1)
-            canon = first_band == band
-            out_a.append(ids[iu[canon]])
-            out_b.append(ids[ju[canon]])
-            out_c.append(sim[canon])
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-                {"a": np.int64, "b": np.int64, "cosine": np.float64}
-            )
-        return pd.DataFrame(
-            {
-                "a": np.concatenate(out_a).astype(np.int64),
-                "b": np.concatenate(out_b).astype(np.int64),
-                "cosine": np.concatenate(out_c),
-            }
-        )
+        from .dedup import _bucket_pairs
 
-    return (
+        empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+            {"a": np.int64, "b": np.int64, "cosine": np.float64}
+        )
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["band", "lsh_bucket", id_col])
+        gid = g.groupby(["band", "lsh_bucket"], sort=False).ngroup(
+        ).to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, gid))
+        gid, ids = gid[order], ids[order]
+        iu, ju = _bucket_pairs(gid, max_bucket)
+        if not len(iu):
+            return empty
+        unit = np.stack(g["unit"].to_numpy()[order]).astype(np.float64)
+        sim = np.einsum("ij,ij->i", unit[iu], unit[ju])
+        keep = sim >= threshold
+        out = pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "cosine": sim[keep]}
+        )
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = (
         signed.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(pairs_part, batch_format="pandas")
     )
+    from .dedup import unique_pairs
+
+    return unique_pairs(pairs, ("cosine",))
 
 
 class IVFTopKPartial:

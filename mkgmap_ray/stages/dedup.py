@@ -16,19 +16,18 @@ candidate tables shuffle, never the document payloads.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
 from ..util import pool_concurrency
 import pandas as pd
 
 def text_hash64(s: pd.Series) -> pd.Series:
-    return s.map(
-        lambda t: int.from_bytes(
-            hashlib.sha1(t.encode("utf-8")).digest()[:8], "big", signed=True
-        )
-    ).astype("int64")
+    """Vectorized 64-bit content hash (pandas' C string hasher). Used only
+    to hash-PARTITION groupbys — the true key always rides alongside, so
+    collisions are safe; determinism is all that matters (round-2 version
+    dispatched one Python sha1 call per row)."""
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+    return pd.Series(h.view(np.int64), index=s.index)
 
 
 def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
@@ -89,9 +88,10 @@ def _shingle_hash_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     local = np.arange(total) - np.repeat(starts[:-1], counts)
     pos = offs[doc_of] + local
     vals = np.zeros(total, np.int64)
-    guard = max(len(buf) - 1, 0)
-    for j in range(k):
-        vals = vals * SHINGLE_BASE + buf[np.minimum(pos + j, guard)]
+    if len(buf):  # all-empty batch: vals stay 0 (empty-string polynomial)
+        guard = len(buf) - 1
+        for j in range(k):
+            vals = vals * SHINGLE_BASE + buf[np.minimum(pos + j, guard)]
     short = np.nonzero(lens < k)[0]
     for d in short:  # rare: whole-text polynomial
         h = 0
@@ -198,6 +198,64 @@ N_BUCKET_PARTS = 64  # LSH buckets hash-partitioned into this many groups
 MAX_BUCKET = 512  # cap per-bucket membership (deterministic: smallest ids)
 
 
+def _bucket_pairs(gid: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (iu, ju) within each run of a grouped-sorted code
+    array. The dominant 2-member-bucket case extracts in ONE vectorized
+    pass (sorted-run first-index + 1); only buckets with >2 members loop,
+    capped at ``max_bucket`` rows (rows are id-sorted, so the cap keeps
+    the smallest ids deterministically)."""
+    if not len(gid):
+        e = np.empty(0, np.int64)
+        return e, e
+    starts = np.flatnonzero(np.diff(gid, prepend=gid[0] - 1))
+    sizes = np.diff(np.append(starts, len(gid)))
+    iu_all, ju_all = [], []
+    two = sizes == 2
+    if two.any():
+        i0 = starts[two]
+        iu_all.append(i0)
+        ju_all.append(i0 + 1)
+    for bi in np.flatnonzero(sizes > 2):
+        s = int(starts[bi])
+        sz = min(int(sizes[bi]), max_bucket)
+        li, lj = np.triu_indices(sz, 1)
+        iu_all.append(s + li)
+        ju_all.append(s + lj)
+    if not iu_all:
+        e = np.empty(0, np.int64)
+        return e, e
+    return (
+        np.concatenate(iu_all).astype(np.int64),
+        np.concatenate(ju_all).astype(np.int64),
+    )
+
+
+def unique_pairs(pairs_ds, value_cols: tuple[str, ...]):
+    """Exactly-once (a, b) pairs: hash-partition the (small) pairs table
+    and drop duplicates per partition. Replaces round 2's canonical-band
+    local dedupe, which silently LOST a pair when the first co-bucketing
+    band's bucket was capped (ADVICE round 2): every band now emits its
+    surviving pairs and this stage dedupes them — only candidate pairs
+    shuffle, never band rows or payloads."""
+
+    def add_pp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        key = b["a"].to_numpy(np.int64) * 1000003 + b["b"].to_numpy(np.int64)
+        b["pp"] = key & (N_BUCKET_PARTS - 1)
+        return b
+
+    cols = ["a", "b", *value_cols]
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[cols]
+
+    return (
+        pairs_ds.map_batches(add_pp, batch_format="pandas", batch_size=None)
+        .groupby("pp")
+        .map_groups(drop, batch_format="pandas")
+    )
+
+
 def minhash_candidates(ds, num_perm=64, bands=16, shingle_k=5, seed=42,
                        threshold: float = 0.5, text_col="text", id_col="doc_id"):
     """documents → candidate near-dup pairs (a < b) with minhash-estimated
@@ -227,56 +285,49 @@ def minhash_candidates(ds, num_perm=64, bands=16, shingle_k=5, seed=42,
         b["part"] = b["band_hash"].to_numpy(np.int64) & (N_BUCKET_PARTS - 1)
         return b
 
-    n_bands = bands
-
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        # one call per hash partition; iterate only the multi-member
-        # buckets inside it, each bucket fully vectorized. Cross-band
-        # dedupe is LOCAL: a pair is emitted only from the FIRST band
-        # where the two docs co-bucket (recomputable from the signatures
-        # riding with the rows), so no second shuffle is needed.
-        out_a, out_b, out_j = [], [], []
-        sizes = g.groupby(["band", "band_hash"], sort=False)[
-            "doc_id"
-        ].transform("size")
-        g = g[sizes >= 2]
-        for (band, _), grp in g.groupby(["band", "band_hash"], sort=False):
-            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
-            if len(grp) > MAX_BUCKET:
-                grp = grp.head(MAX_BUCKET)
-            if len(grp) < 2:
-                continue
-            ids = grp["doc_id"].to_numpy()
-            S = np.stack([np.frombuffer(s, np.int64) for s in grp["sig"]])
-            iu, ju = np.triu_indices(len(ids), 1)
-            est = (S[iu] == S[ju]).mean(axis=1)
-            keep = est >= threshold
-            if not keep.any():
-                continue
-            iu, ju, est = iu[keep], ju[keep], est[keep]
-            BH = band_hashes(S, n_bands)
-            first_band = np.argmax(BH[iu] == BH[ju], axis=1)
-            canon = first_band == band
-            out_a.append(ids[iu[canon]])
-            out_b.append(ids[ju[canon]])
-            out_j.append(est[canon])
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
-                {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
-            )
-        return pd.DataFrame(
+        # one call per hash partition, fully vectorized: bucket runs are
+        # found by sorting once, the dominant 2-member buckets extract
+        # their pair in one pass, and ALL pairs' signature comparisons run
+        # as a single matrix op (round 2 looped Python over thousands of
+        # tiny buckets — the engine's slowest query two rounds running).
+        empty = pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
+            {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
+        )
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        gid = g.groupby(["band", "band_hash"], sort=False).ngroup().to_numpy(
+            np.int64
+        )
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, gid))
+        gid, ids = gid[order], ids[order]
+        iu, ju = _bucket_pairs(gid, MAX_BUCKET)
+        if not len(iu):
+            return empty
+        sigs = g["sig"].to_numpy()[order]
+        S = np.frombuffer(b"".join(sigs), np.int64).reshape(len(gid), -1)
+        est = (S[iu] == S[ju]).mean(axis=1)
+        keep = est >= threshold
+        out = pd.DataFrame(
             {
-                "a": np.concatenate(out_a).astype(np.int64),
-                "b": np.concatenate(out_b).astype(np.int64),
-                "est_jaccard": np.concatenate(out_j),
+                "a": ids[iu[keep]],
+                "b": ids[ju[keep]],
+                "est_jaccard": est[keep],
             }
         )
+        return out.drop_duplicates(["a", "b"])
 
-    return (
+    pairs = (
         banded.map_batches(add_part, batch_format="pandas", batch_size=None)
         .groupby("part")
         .map_groups(pairs_part, batch_format="pandas")
     )
+    # exactly-once across bands: every band emits, the (tiny) pairs table
+    # dedupes — see unique_pairs for why the local canonical-band rule was
+    # dropped (capped buckets could lose a pair permanently)
+    return unique_pairs(pairs, ("est_jaccard",))
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -334,13 +385,14 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     ).astype(np.int64)
     votes = 2 * bits - 1  # ±1 per bit per token
     starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    # guard empty docs (reduceat needs valid starts); zero tokens → acc 0
-    safe_starts = np.minimum(starts, max(len(all_tokens) - 1, 0))
-    acc = np.add.reduceat(votes, safe_starts, axis=0) if len(all_tokens) \
-        else np.zeros((len(texts), 64), np.int64)
-    acc[counts == 0] = 0
-    # reduceat quirk: when starts[i] == starts[i+1] (empty doc) it returns
-    # the single row at starts[i]; the mask above overrides those.
+    # reduceat runs over NON-EMPTY docs' starts only (strictly increasing,
+    # each segment ends exactly where the next non-empty doc begins), so a
+    # trailing/interior empty doc can never steal or clamp a neighbor's
+    # token segment; empty docs keep acc = 0.
+    acc = np.zeros((len(texts), 64), np.int64)
+    nonempty = counts > 0
+    if len(all_tokens):
+        acc[nonempty] = np.add.reduceat(votes, starts[nonempty], axis=0)
     sh = np.where(acc > 0, np.uint64(1), np.uint64(0)) << np.arange(
         64, dtype=np.uint64
     )[None, :]
@@ -415,55 +467,35 @@ def simhash_candidates(ds, max_hamming: int = 3, text_col="text", id_col="doc_id
         return b
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        # cross-chunk dedupe is local: emit a pair only from the FIRST of
-        # the four 16-bit chunks where both docs agree (derivable from the
-        # simhash values riding with the rows) — no second shuffle.
-        out_a, out_b, out_d = [], [], []
-        sizes = g.groupby(["chunk_idx", "chunk_val"], sort=False)[
-            "doc_id"
-        ].transform("size")
-        g = g[sizes >= 2]
-        for (cidx, _), grp in g.groupby(["chunk_idx", "chunk_val"], sort=False):
-            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
-            if len(grp) > MAX_BUCKET:
-                grp = grp.head(MAX_BUCKET)
-            if len(grp) < 2:
-                continue
-            ids = grp["doc_id"].to_numpy()
-            hs = grp["simhash"].to_numpy(np.int64)
-            iu, ju = np.triu_indices(len(ids), 1)
-            ham = hamming64(np.bitwise_xor(hs[iu], hs[ju]))
-            keep = ham <= max_hamming
-            if not keep.any():
-                continue
-            iu, ju, ham = iu[keep], ju[keep], ham[keep]
-            u = hs.view(np.uint64)
-            shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
-            chunks = (
-                (u[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
-            )
-            first_chunk = np.argmax(chunks[iu] == chunks[ju], axis=1)
-            canon = first_chunk == cidx
-            out_a.append(ids[iu[canon]])
-            out_b.append(ids[ju[canon]])
-            out_d.append(ham[canon])
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                np.int64
-            )
-        return pd.DataFrame(
-            {
-                "a": np.concatenate(out_a).astype(np.int64),
-                "b": np.concatenate(out_b).astype(np.int64),
-                "hamming": np.concatenate(out_d).astype(np.int64),
-            }
+        # fully vectorized (same sorted-run shape as minhash pairs_part)
+        empty = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+            np.int64
         )
+        if not len(g):
+            return empty
+        g = g.drop_duplicates(["chunk_idx", "chunk_val", "doc_id"])
+        gid = g.groupby(["chunk_idx", "chunk_val"], sort=False).ngroup(
+        ).to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, gid))
+        gid, ids = gid[order], ids[order]
+        iu, ju = _bucket_pairs(gid, MAX_BUCKET)
+        if not len(iu):
+            return empty
+        hs = g["simhash"].to_numpy(np.int64)[order]
+        ham = hamming64(np.bitwise_xor(hs[iu], hs[ju]))
+        keep = ham <= max_hamming
+        out = pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": ham[keep]}
+        )
+        return out.drop_duplicates(["a", "b"])
 
-    return (
+    pairs = (
         chunked.map_batches(add_part, batch_format="pandas", batch_size=None)
         .groupby("part")
         .map_groups(pairs_part, batch_format="pandas")
     )
+    return unique_pairs(pairs, ("hamming",))
 
 
 class MinHashSig:

@@ -173,3 +173,25 @@ class TestO5m:
         out = read_o5m_table(paths, "nodes").to_pandas().sort_values("id")
         assert len(out) == 10
         assert (out["lat_mu"] == out["id"] * 3).all()
+
+
+class TestPlainNodes:
+    def test_plain_nodes_match_dense(self, tmp_path):
+        """Plain (non-dense) Node messages: sint64 id/lat/lon + packed
+        keys/vals parse identically to the DenseNodes encoding (round-2
+        ADVICE: raw-varint decode read id 42 as 84, dropped tags)."""
+        p1, p2 = str(tmp_path / "plain.pbf"), str(tmp_path / "dense.pbf")
+        ids = np.asarray([42, 43, 44])
+        lat = np.asarray([-3000, 100, 65535])
+        lon = np.asarray([-70000, -1, 7])
+        tags = {42: {"amenity": "cafe"}, 44: {"name": "Neg"}}
+        write_pbf(p1, ids, lat, lon, tags=tags, plain_nodes=2)
+        write_pbf(p2, ids, lat, lon, tags=tags)
+        n1, _, _ = parse_pbf_bytes(open(p1, "rb").read())
+        n2, _, _ = parse_pbf_bytes(open(p2, "rb").read())
+        assert n1.to_pylist() == n2.to_pylist()
+        assert n1["id"].to_pylist() == [42, 43, 44]
+        assert n1["lat_mu"].to_pylist() == [-3000, 100, 65535]
+        assert n1["lon_mu"].to_pylist() == [-70000, -1, 7]
+        assert n1["tag_keys"].to_pylist() == [["amenity"], [], ["name"]]
+        assert n1["tag_vals"].to_pylist() == [["cafe"], [], ["Neg"]]

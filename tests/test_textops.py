@@ -330,3 +330,58 @@ class TestPrefixSuffix:
 
         assert prefix_suffix_filter("Main Plaza", "USA") == "Main Plaza"
         assert prefix_suffix_filter("Rue X", "") == "Rue X"
+
+
+class TestDedupEdgeCases:
+    def test_trailing_empty_doc_does_not_corrupt_simhash(self):
+        """Round-2 ADVICE: a whitespace-only doc after a non-empty doc in
+        the same batch clamped the reduceat boundary and stole the final
+        token's votes."""
+        from mkgmap_ray.stages.dedup import simhash64_batch
+
+        a = int(simhash64_batch(["alpha beta gamma"])[0])
+        b = simhash64_batch(["alpha beta gamma", "   "])
+        c = simhash64_batch(["", "alpha beta gamma", " ", "x y z", ""])
+        assert int(b[0]) == a
+        assert int(c[1]) == a
+        assert int(c[3]) == int(simhash64_batch(["x y z"])[0])
+        assert int(b[1]) == int(simhash64_batch([""])[0])
+
+    def test_all_empty_minhash_batch(self):
+        """Round-2 ADVICE: an all-empty batch crashed _shingle_hash_batch
+        with IndexError on the zero-length byte buffer."""
+        mh = MinHasher()
+        sig = mh.signatures(["", "", ""])
+        assert sig.shape == (3, mh.num_perm)
+        assert (sig[0] == sig[1]).all() and (sig[1] == sig[2]).all()
+        # and mixed empty/non-empty stays consistent with solo hashing
+        mixed = mh.signatures(["", "hello world shingles", ""])
+        solo = mh.signature("hello world shingles")
+        assert (mixed[1] == solo).all()
+
+    def test_bucket_pairs_runs_and_cap(self):
+        from mkgmap_ray.stages.dedup import _bucket_pairs
+
+        gid = np.array([0, 0, 1, 2, 2, 2, 3])
+        iu, ju = _bucket_pairs(gid, 512)
+        assert set(zip(iu.tolist(), ju.tolist())) == {
+            (0, 1), (3, 4), (3, 5), (4, 5)
+        }
+        iu, ju = _bucket_pairs(gid, 2)  # cap trims the 3-member bucket
+        assert set(zip(iu.tolist(), ju.tolist())) == {(0, 1), (3, 4)}
+        iu, ju = _bucket_pairs(np.array([], dtype=np.int64), 4)
+        assert len(iu) == 0 and len(ju) == 0
+
+    def test_candidate_pairs_exactly_once(self, ray_session):
+        """Near-dup pairs co-bucket in MANY bands; the output must still
+        contain each (a, b) exactly once (global pair dedupe)."""
+        import ray.data as rd
+
+        ds = rd.from_arrow(docs_with_dups())
+        for pairs in (
+            minhash_candidates(ds, threshold=0.5).to_pandas(),
+            simhash_candidates(ds, max_hamming=4).to_pandas(),
+        ):
+            keys = list(zip(pairs["a"], pairs["b"]))
+            assert len(keys) == len(set(keys))
+            assert (pairs["a"] < pairs["b"]).all()
