@@ -29,8 +29,27 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordering contract: the driver's correctness gate checks only the
+    FIRST 50 entries, so (a) queries that have never had a driver-green
+    CORRECTNESS row and (b) everything new this round come first;
+    long-stable hash-exact evergreens rotate to the tail (round-2 VERDICT
+    finding 1)."""
     return {
-        # geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8)
+        # --- never driver-verified (shipped round 2 past the 50-cap) ---
+        "routing_graph": Q.q_routing_graph,
+        "locator_normalize": Q.q_locator_normalize,
+        "wrong_angle": Q.q_wrong_angle,
+        "label_encode8": Q.q_label_encode8,
+        "poi_generate": Q.q_poi_generate,
+        "label_encode": Q.q_label_encode,
+        "hgt_roundtrip": Q.q_hgt_roundtrip,
+        "sea_lookup": Q.q_sea_lookup,
+        "restriction_merge": Q.q_restriction_merge,
+        "ann_ivf": Q.q_ann_ivf,
+        "house_intervals": Q.q_house_intervals,
+        # --- new in round 3 ---
+        "relation_apply": Q.q_relation_apply,
+        # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
         "pip_regions": Q.q_pip_regions,
@@ -40,15 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_sample": Q.q_raster_sample,
         "simplify_dp": Q.q_simplify_dp,
         "images_tiles": Q.q_images_tiles,
-        # relational core (groupby / join / sort / window)
-        "q1_pricing": Q.q_q1_pricing,
-        "q3_top_orders": Q.q_q3_top_orders,
-        "q5_nation_revenue": Q.q_q5_nation_revenue,
-        "events_window": Q.q_events_window,
-        "top_users": Q.q_top_users,
-        # documents / training-data operators
-        "doc_stats": Q.q_doc_stats,
-        "doc_lang_counts": Q.q_doc_lang_counts,
+        # --- documents / training-data operators ---
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash": Q.q_dedup_minhash,
         "dedup_simhash": Q.q_dedup_simhash,
@@ -56,17 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sig": Q.q_simhash_sig,
         "langid": Q.q_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
-        # embeddings
+        # --- embeddings ---
         "ann_topk_dot": Q.q_ann_topk_dot,
         "ann_cosine_pairs": Q.q_ann_cosine_pairs,
-        "emb_label_sums": Q.q_emb_label_sums,
-        # way assembly / overview / label index / splitting
+        # --- OSM model / style / merges ---
         "way_assembly": Q.q_way_assembly,
         "overview_grid": Q.q_overview_grid,
-        "label_prefix": Q.q_label_prefix,
-        "sorted_top100": Q.q_sorted_top100,
-        "collate_sort": Q.q_collate_sort,
-        "split_lines": Q.q_split_lines,
         "style_apply": Q.q_style_apply,
         "merge_chains": Q.q_merge_chains,
         "ring_assembly": Q.q_ring_assembly,
@@ -85,17 +91,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hole_cut": Q.q_hole_cut,
         "coastline_assembly": Q.q_coastline_assembly,
         "size_filters": Q.q_size_filters,
-        "routing_graph": Q.q_routing_graph,
-        "locator_normalize": Q.q_locator_normalize,
-        "wrong_angle": Q.q_wrong_angle,
-        "label_encode8": Q.q_label_encode8,
-        "poi_generate": Q.q_poi_generate,
-        "label_encode": Q.q_label_encode,
-        "hgt_roundtrip": Q.q_hgt_roundtrip,
-        "sea_lookup": Q.q_sea_lookup,
-        "restriction_merge": Q.q_restriction_merge,
-        "ann_ivf": Q.q_ann_ivf,
-        "house_intervals": Q.q_house_intervals,
+        # --- tail: hash-exact evergreens since round 1 (past the gate
+        # --- cap by design; replica-checkable via scripts/check_oracles)
+        "events_window": Q.q_events_window,
+        "top_users": Q.q_top_users,
+        "doc_stats": Q.q_doc_stats,
+        "doc_lang_counts": Q.q_doc_lang_counts,
+        "emb_label_sums": Q.q_emb_label_sums,
+        "label_prefix": Q.q_label_prefix,
+        "sorted_top100": Q.q_sorted_top100,
+        "collate_sort": Q.q_collate_sort,
+        "split_lines": Q.q_split_lines,
+        "q1_pricing": Q.q_q1_pricing,
+        "q3_top_orders": Q.q_q3_top_orders,
+        "q5_nation_revenue": Q.q_q5_nation_revenue,
     }
 
 
@@ -509,6 +518,30 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN events e
               ON e.event_id // 64 = r.rid AND e.event_id % 64 < 8
             GROUP BY r.rid ORDER BY rid
+        """,
+        "relation_apply": """
+            WITH w AS (SELECT event_id // 4 AS wid FROM events
+                       GROUP BY 1 HAVING count(*) = 4),
+            r AS (SELECT event_id // 64 AS rid FROM events
+                  GROUP BY 1 HAVING count(*) = 64),
+            m AS (SELECT rid, rid*16 AS wid, 'outer' AS role FROM r
+                  UNION ALL
+                  SELECT rid, rid*16 + 1 AS wid, 'inner' AS role FROM r)
+            SELECT w.wid AS wid,
+              COALESCE(CASE WHEN m.rid % 4 = 1 AND m.role = 'outer'
+                            THEN 1 END, 0) AS ncn,
+              COALESCE(CASE WHEN m.rid % 4 = 1 AND m.role = 'outer'
+                            THEN 'R' || CAST(m.rid AS VARCHAR) END, '')
+                AS rref,
+              COALESCE(CASE WHEN m.rid % 2 = 1 THEN 1 END, 0) AS rel_seen,
+              COALESCE(CASE WHEN m.rid % 2 = 1 THEN 'route_' ||
+                   CASE w.wid % 3 WHEN 0 THEN 'motorway'
+                        WHEN 1 THEN 'residential' ELSE 'path' END
+                   END, '') AS marker,
+              COALESCE(CASE WHEN m.rid % 2 = 0 AND m.role = 'inner'
+                            THEN 1 END, 0) AS is_inner
+            FROM w LEFT JOIN m ON w.wid = m.wid
+            ORDER BY wid
         """,
         "osm_tags_style": """
             WITH w AS (SELECT event_id // 4 AS wid FROM events

@@ -1244,12 +1244,22 @@ def _osm_full_model(sf_dir: str):
             t["oneway"] = "yes"
         way_tags[int(w)] = t
     rids = np.arange(n // 64, dtype=np.int64)
+
+    def rel_tags(r: int) -> dict:
+        if r % 2 == 0:
+            return {"type": "multipolygon"}
+        return {
+            "type": "route",
+            "route": "bicycle" if r % 4 == 1 else "bus",
+            "ref": f"R{r}",
+        }
+
     relations = [
         (
             int(r),
             [("way", int(16 * r), "outer"), ("way", int(16 * r + 1), "inner"),
              ("node", int(64 * r), "via")],
-            {"type": "multipolygon" if int(r) % 2 == 0 else "route"},
+            rel_tags(int(r)),
         )
         for r in rids
     ]
@@ -1295,7 +1305,7 @@ def _osm_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
 
     name = os.path.basename(sf_dir.rstrip("/"))
     return _write_osm_shards(
-        sf_dir, f"/tmp/mkgmap_ray_osm_v2_{name}", "osm", write_osm_xml,
+        sf_dir, f"/tmp/mkgmap_ray_osm_v3_{name}", "osm", write_osm_xml,
         n_shards,
     )
 
@@ -1309,7 +1319,7 @@ def _pbf_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
 
     name = os.path.basename(sf_dir.rstrip("/"))
     return _write_osm_shards(
-        sf_dir, f"/tmp/mkgmap_ray_pbf_{name}", "pbf", write_pbf, n_shards
+        sf_dir, f"/tmp/mkgmap_ray_pbf_v3_{name}", "pbf", write_pbf, n_shards
     )
 
 
@@ -1385,7 +1395,7 @@ def _osm_parquet_tables(sf_dir: str) -> dict:
 
     paths = _osm_fixture_dir(sf_dir)
     name = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/mkgmap_ray_osmpq_{name}"
+    out = f"/tmp/mkgmap_ray_osmpq_v3_{name}"
     if not os.path.exists(f"{out}/_done"):
         os.makedirs(out, exist_ok=True)
         for i, p in enumerate(paths):
@@ -1625,6 +1635,72 @@ def q_osm_tags_style(sf_dir: str):
     return out.sort_values("gtype").reset_index(drop=True).astype("int64")
 
 
+RELATION_APPLY_STYLE = """
+type=route & route=bicycle { apply role=outer { set ncn=yes; add rref='$(ref)' } }
+type=route { apply_once { add rel_seen=yes; set marker='route_${highway}' } }
+type=multipolygon { apply role=inner { set is_inner=yes } }
+"""
+
+
+def q_relation_apply(sf_dir: str):
+    """Style ``apply`` action + RelationStyleHook: relation rules push
+    tags to member ways before way-rule matching — the one style-language
+    feature round 2 lacked (``osmstyle/actions/SubAction.java:46-71``,
+    ``reader/osm/RelationStyleHook.java:41-50``). Exercises role filters,
+    ``apply_once``, member-scope ``${highway}`` substitution and
+    relation-scope ``$(ref)`` shipping. Output: every way with the
+    tags its member patches produced (ints/strings, SQL-exact)."""
+    from ..sources.osmxml import MEMBER_WAY, tag_column
+    from ..stages.relstyle import (
+        apply_patches,
+        member_ref_tags,
+        relation_patches,
+    )
+    from ..style.rules import compile_style
+
+    tabs = _osm_parquet_tables(sf_dir)
+    rels, ways = tabs["relations"], tabs["ways"]
+    rs = compile_style(RELATION_APPLY_STYLE)
+
+    patches = rels.map_batches(
+        lambda b: relation_patches(b, rs),
+        batch_format="pyarrow", batch_size=None,
+    )
+    need = member_ref_tags(rs)  # member tags read by ${} substitutions
+
+    def way_side(batch: pa.Table) -> pa.Table:
+        cols = {"id": batch["id"].combine_chunks()}
+        for t in need:
+            cols[t] = tag_column(batch, t)
+        return pa.table(cols)
+
+    members = ways.map_batches(
+        way_side, batch_format="pyarrow", batch_size=None
+    )
+    out = apply_patches(
+        members, patches, rs, member_tag_cols=need,
+        member_type=MEMBER_WAY,
+    ).to_pandas()
+
+    def flag(col: pd.Series) -> pd.Series:
+        return col.astype("string").eq("yes").fillna(False).astype("int64")
+
+    def text(col: pd.Series) -> pd.Series:
+        return col.astype(object).where(col.notna(), "")
+
+    res = pd.DataFrame(
+        {
+            "wid": out["id"].astype("int64"),
+            "ncn": flag(out["ncn"]),
+            "rref": text(out["rref"]),
+            "rel_seen": flag(out["rel_seen"]),
+            "marker": text(out["marker"]),
+            "is_inner": flag(out["is_inner"]),
+        }
+    )
+    return res.sort_values("wid").reset_index(drop=True)
+
+
 def _o5m_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
     """Same full model written as .o5m binary shards (delta coding,
     string-reference ring) — feeds the from-scratch o5m reader."""
@@ -1634,7 +1710,7 @@ def _o5m_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
 
     name = os.path.basename(sf_dir.rstrip("/"))
     return _write_osm_shards(
-        sf_dir, f"/tmp/mkgmap_ray_o5m_{name}", "o5m", write_o5m, n_shards
+        sf_dir, f"/tmp/mkgmap_ray_o5m_v3_{name}", "o5m", write_o5m, n_shards
     )
 
 

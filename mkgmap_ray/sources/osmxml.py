@@ -286,12 +286,14 @@ def tag_column(batch: pa.Table, key: str) -> pa.Array:
     m = np.asarray(m, bool) & ~np.asarray(pc.is_null(flat_k).to_numpy(
         zero_copy_only=False), bool)
     hit = np.nonzero(m)[0]
-    out = np.full(n, None, object)
-    # reversed so the FIRST occurrence per row wins
-    vv = flat_v.to_pylist()
-    for i in hit[::-1]:
-        out[parent[i]] = vv[i]
-    return pa.array(out, pa.string())
+    # first-occurrence-per-row scatter: writing hits in REVERSE order
+    # leaves each row holding its smallest flat index; then one Arrow
+    # take() pulls just those values (round 2 called to_pylist() on the
+    # whole flattened value column plus a Python loop over hits)
+    out_idx = np.full(n, -1, np.int64)
+    out_idx[parent[hit[::-1]]] = hit[::-1]
+    idx_arr = pa.array(out_idx, pa.int64(), mask=out_idx < 0)
+    return flat_v.take(idx_arr).cast(pa.string())
 
 
 def dictionary_encode_tags(table: pa.Table) -> pa.Table:

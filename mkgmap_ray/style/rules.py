@@ -36,9 +36,19 @@ ACCESS_TAGS = (
 
 @dataclass(frozen=True)
 class Action:
-    kind: str  # set | add | delete | name
+    kind: str  # set | add | delete | name | ... | apply
     key: str
     value: str = ""
+    # `apply` / `apply_once` sub-block (``osmstyle/actions/SubAction.java``):
+    # the sub-actions run on each relation MEMBER (optionally role-filtered,
+    # `once` dedupes repeated members). Inside sub-action values ``${x}``
+    # reads the member's tags and ``$(x)`` the relation's — the compiler
+    # rewrites ``$(x)`` to ``${__rel__x}`` and records the relation tags
+    # needed (``rel_refs``) so the pipeline can ship them as patch columns.
+    sub: tuple = ()
+    role: str | None = None
+    once: bool = False
+    rel_refs: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -58,17 +68,32 @@ class RuleSet:
         """The style's used-tag set — the reference's projection pushdown
         (``OsmHandler.setUsedTags``, ``reader/osm/OsmHandler.java:60-128``):
         readers may drop every other tag column at the source."""
+
+        def action_tags(a: Action) -> set:
+            out = {a.key} if a.key else set()
+            # a spec is "tag" or "tag|filter:arg|..." — only the tag
+            out |= {
+                spec.split("|", 1)[0] for spec in _SUB_RE.findall(a.value)
+            }
+            for s in a.sub:
+                out |= action_tags(s)
+            return {
+                t[len("__rel__"):] if t.startswith("__rel__") else t
+                for t in out
+            }
+
         out = set()
         for r in self.rules:
             out |= r.expr.used_tags()
             for a in r.actions:
-                out.add(a.key)
-                # a spec is "tag" or "tag|filter:arg|..." — only the tag
-                out |= {
-                    spec.split("|", 1)[0]
-                    for spec in _SUB_RE.findall(a.value)
-                }
+                out |= action_tags(a)
+        out.discard("")
         return out
+
+    def apply_programs(self) -> list[Action]:
+        """All ``apply``/``apply_once`` actions in static rule order — the
+        program table the relation→member patch pipeline indexes into."""
+        return [a for r in self.rules for a in r.actions if a.kind == "apply"]
 
     def apply(self, tags: dict[str, pd.Series], n: int) -> dict:
         """Run the program over ``n`` rows of tag columns.
@@ -95,6 +120,14 @@ class RuleSet:
         labels = [pd.Series([pd.NA] * n, dtype="string") for _ in range(4)]
         done = np.zeros(n, dtype=bool)
         extra: list[tuple[np.ndarray, int, int, int]] = []
+        # static index of each apply action (order in the rule file) — the
+        # relation→member pipeline ships this as the patch `prog` id
+        prog_of: dict[int, int] = {}
+        for r in self.rules:
+            for a in r.actions:
+                if a.kind == "apply":
+                    prog_of[id(a)] = len(prog_of)
+        applies: list[tuple[int, Action, np.ndarray, dict]] = []
 
         for ri, rule in enumerate(self.rules):
             live = ~done
@@ -104,6 +137,21 @@ class RuleSet:
             if not m.any():
                 continue
             for a in rule.actions:
+                if a.kind == "apply":
+                    # record (prog, matched rows, $()-referenced relation
+                    # values AT THIS POINT — later actions may mutate them)
+                    idxs = np.nonzero(m)[0]
+                    relvals = {
+                        t: np.asarray(
+                            tags.get(
+                                t, pd.Series([pd.NA] * n, dtype="string")
+                            ),
+                            object,
+                        )[idxs]
+                        for t in a.rel_refs
+                    }
+                    applies.append((prog_of[id(a)], a, idxs, relvals))
+                    continue
                 if a.kind == "delete":
                     if a.key in tags:
                         tags[a.key] = tags[a.key].mask(m)
@@ -191,6 +239,10 @@ class RuleSet:
             "labels": labels,
             "tags": tags,
             "extra": extra,
+            # (prog_id, action, row_indices, {rel_tag: values-at-rows}) per
+            # fired apply action, in firing order — consumed by
+            # stages/relstyle.py to emit member patches
+            "applies": applies,
         }
 
     def _derive_functions(self, tags: dict[str, pd.Series], n: int) -> None:
@@ -383,11 +435,14 @@ def _split_rule(line: str):
 
 
 def _split_actions(text: str) -> list[str]:
-    """Split an action block on ``;`` OUTSIDE quotes (a ``part:;`` filter
-    argument inside a quoted value must survive)."""
+    """Split an action block on ``;`` OUTSIDE quotes and OUTSIDE nested
+    ``{}`` (a ``part:;`` filter argument inside a quoted value and the
+    ``;``-separated sub-actions of an ``apply { ... }`` block must
+    survive)."""
     parts = []
     cur = []
     q = None
+    depth = 0
     for c in text:
         if q is not None:
             cur.append(c)
@@ -398,7 +453,11 @@ def _split_actions(text: str) -> list[str]:
             q = c
             cur.append(c)
             continue
-        if c == ";":
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+        if c == ";" and depth == 0:
             parts.append("".join(cur))
             cur = []
             continue
@@ -407,11 +466,52 @@ def _split_actions(text: str) -> list[str]:
     return parts
 
 
-def _parse_actions(text: str) -> tuple[Action, ...]:
+_REL_SUB_RE = re.compile(r"\$\(([^)]+)\)")
+
+
+def _rewrite_rel_refs(text: str) -> tuple[str, tuple[str, ...]]:
+    """Rewrite ``$(spec)`` (relation-scope substitution inside apply
+    blocks, ``ValueBuilder.java`` '(' state) to ``${__rel__tag|filters}``
+    and return the referenced relation tag names."""
+    refs: list[str] = []
+
+    def rw(mo: re.Match) -> str:
+        spec = mo.group(1)
+        tag, sep, rest = spec.partition("|")
+        refs.append(tag)
+        return "${__rel__" + tag + (sep + rest if sep else "") + "}"
+
+    return _REL_SUB_RE.sub(rw, text), tuple(dict.fromkeys(refs))
+
+
+def _parse_actions(text: str, in_apply: bool = False) -> tuple[Action, ...]:
     out = []
     for part in _split_actions(text):
         part = part.strip()
         if not part:
+            continue
+        m = re.match(
+            r"apply(_once)?(?:\s+role\s*=\s*(\S+))?\s*\{(.*)\}\s*$",
+            part,
+            re.S,
+        )
+        if m:
+            if in_apply:
+                raise ValueError("nested apply blocks are not supported")
+            body, refs = _rewrite_rel_refs(m.group(3))
+            sub = _parse_actions(body, in_apply=True)
+            for s in sub:
+                if s.kind not in ("set", "add", "delete", "addaccess"):
+                    raise ValueError(
+                        f"unsupported sub-action in apply block: {s.kind!r}"
+                    )
+            role = m.group(2).strip("'\"") if m.group(2) else None
+            out.append(
+                Action(
+                    "apply", "", "", sub=sub, role=role,
+                    once=bool(m.group(1)), rel_refs=refs,
+                )
+            )
             continue
         m = re.match(r"(set|add)\s+([^\s=]+)\s*=\s*(.+)$", part)
         if m:

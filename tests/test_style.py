@@ -399,3 +399,147 @@ class TestAreaOrder:
             [square(2), square(10), square(5)]
         )
         assert order.tolist() == [1, 2, 0]
+
+
+class TestApplyAction:
+    """Style `apply` / `apply_once` (SubAction.java:46-71) + the
+    relation→member patch pipeline (stages/relstyle.py)."""
+
+    STYLE = (
+        "type=route & route=bicycle "
+        "{ apply role=outer { set ncn=yes; add rref='$(ref)' } }\n"
+        "type=route { apply_once "
+        "{ add seen=yes; set marker='m_${highway}' } }\n"
+    )
+
+    def test_compile(self):
+        from mkgmap_ray.style.rules import compile_style
+
+        rs = compile_style(self.STYLE)
+        progs = rs.apply_programs()
+        assert len(progs) == 2
+        a0, a1 = progs
+        assert a0.role == "outer" and not a0.once
+        assert a1.role is None and a1.once
+        assert a0.rel_refs == ("ref",)
+        # $(ref) rewritten to the member-side shipped column
+        assert any("${__rel__ref}" in s.value for s in a0.sub)
+        kinds = [s.kind for s in a0.sub]
+        assert kinds == ["set", "add"]
+        # used_tags covers predicate, sub keys, ${} and $() refs
+        used = rs.used_tags()
+        assert {"type", "route", "ncn", "rref", "ref",
+                "seen", "marker", "highway"} <= used
+
+    def test_nested_apply_rejected(self):
+        import pytest as _pytest
+
+        from mkgmap_ray.style.rules import compile_style
+
+        with _pytest.raises(ValueError):
+            compile_style(
+                "type=route { apply { apply { set a=b } } }"
+            )
+
+    def test_apply_records(self):
+        import pandas as pd
+
+        from mkgmap_ray.style.rules import compile_style
+
+        rs = compile_style(self.STYLE)
+        tags = {
+            "type": pd.Series(["route", "route", "x"], dtype="string"),
+            "route": pd.Series(["bicycle", "bus", None], dtype="string"),
+            "ref": pd.Series(["R1", "R2", None], dtype="string"),
+        }
+        res = rs.apply(tags, 3)
+        applies = res["applies"]
+        assert [p[0] for p in applies] == [0, 1]
+        assert applies[0][2].tolist() == [0]  # only the bicycle row
+        assert applies[1][2].tolist() == [0, 1]
+        assert applies[0][3]["ref"].tolist() == ["R1"]
+
+    def test_end_to_end_patches(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mkgmap_ray.sources.osmxml import MEMBER_NODE, MEMBER_WAY
+        from mkgmap_ray.stages.relstyle import (
+            apply_patches,
+            relation_patches,
+        )
+        from mkgmap_ray.style.rules import compile_style
+
+        rs = compile_style(self.STYLE)
+        # relation 1: bicycle route, member ways 10 (outer, twice!) + 11
+        # (inner) + node 5; relation 2: bus route, way 11 (outer)
+        rels = pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "member_types": pa.array(
+                    [[MEMBER_WAY, MEMBER_WAY, MEMBER_WAY, MEMBER_NODE],
+                     [MEMBER_WAY]],
+                    pa.list_(pa.int64()),
+                ),
+                "member_refs": pa.array(
+                    [[10, 10, 11, 5], [11]], pa.list_(pa.int64())
+                ),
+                "member_roles": pa.array(
+                    [["outer", "outer", "inner", "via"], ["outer"]],
+                    pa.list_(pa.string()),
+                ),
+                "tag_keys": pa.array(
+                    [["type", "route", "ref"], ["type", "route", "ref"]],
+                    pa.list_(pa.string()),
+                ),
+                "tag_vals": pa.array(
+                    [["route", "bicycle", "R1"], ["route", "bus", "R2"]],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+        pat = relation_patches(rels, rs)
+        # rel 1 prog 0: outer ways 10, 10 (no once); prog 1 apply_once:
+        # ways 10, 11, node 5 (deduped); rel 2 prog 1: way 11
+        assert len(pat[(pat["prog"] == 0)]) == 2
+        p1 = pat[pat["prog"] == 1]
+        assert sorted(p1["mref"].tolist()) == [5, 10, 11, 11]
+        # only prog 0 references $(ref); the bus relation fires prog 1
+        # alone, so no R2 value ever ships
+        assert set(pat["__rel__ref"].dropna()) == {"R1"}
+
+        members = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([10, 11, 12], pa.int64()),
+                    "highway": pa.array(
+                        ["residential", "path", "track"], pa.string()
+                    ),
+                }
+            )
+        )
+        out = (
+            apply_patches(
+                members, rd.from_pandas(pat), rs,
+                member_tag_cols=["highway"], member_type=MEMBER_WAY,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .set_index("id")
+        )
+        assert out.loc[10, "ncn"] == "yes"
+        assert out.loc[10, "rref"] == "R1"
+        assert out.loc[10, "marker"] == "m_residential"
+        # way 11: inner in rel 1 (no ncn), outer in rel 2 (bus: rule 1
+        # doesn't match) — but apply_once rule touched it from BOTH rels
+        assert pd.isna(out.loc[11, "ncn"])
+        assert pd.isna(out.loc[11, "rref"])
+        assert out.loc[11, "seen"] == "yes"
+        assert out.loc[11, "marker"] == "m_path"
+        # way 12 is no relation's member
+        assert pd.isna(out.loc[12, "seen"])
+        np.testing.assert_array_equal(
+            sorted(out.index), [10, 11, 12]
+        )
