@@ -203,11 +203,37 @@ def _simhash_sig_sql() -> str:
     """
 
 
+def _ann_exact_topk_sql() -> str:
+    """Exact integer-quantized top-k — the face of BOTH ann_topk_dot and
+    ann_ivf (probing all centroid lists of the inverted layout must
+    reproduce exact brute force bit-for-bit)."""
+    return f"""
+            WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id < {Q.N_ANN_QUERIES}),
+            e AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS ev
+               FROM embeddings),
+            s AS (SELECT query_id, vec_id,
+                  CAST(list_sum(list_transform(list_zip(qv, ev),
+                           p -> p[1]*p[2])) AS BIGINT) AS score
+               FROM q CROSS JOIN e),
+            r AS (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+               FROM s)
+            SELECT query_id, rank, vec_id, score FROM r
+            WHERE rank <= {Q.ANN_K}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     pip_parts = " UNION ALL ".join(
         _pip_region_sql(rid, pts) for rid, pts in Q.PIP_REGIONS
     )
     return {
+        "ann_ivf": _ann_exact_topk_sql(),
         "cell_assign_grid": """
             SELECT ((event_id * 48271) % 65536) // 4096 * 16
                  + ((event_id * 16807) % 65536) // 4096 AS cell,
@@ -356,25 +382,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _minhash_sig_sql(),
         "simhash_sig": _simhash_sig_sql(),
-        "ann_topk_dot": f"""
-            WITH q AS (SELECT vec_id AS query_id,
-                  list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qv
-               FROM embeddings WHERE vec_id < {Q.N_ANN_QUERIES}),
-            e AS (SELECT vec_id,
-                  list_transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS ev
-               FROM embeddings),
-            s AS (SELECT query_id, vec_id,
-                  CAST(list_sum(list_transform(list_zip(qv, ev),
-                           p -> p[1]*p[2])) AS BIGINT) AS score
-               FROM q CROSS JOIN e),
-            r AS (SELECT *, row_number() OVER
-                  (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-               FROM s)
-            SELECT query_id, rank, vec_id, score FROM r
-            WHERE rank <= {Q.ANN_K}
-        """,
+        "ann_topk_dot": _ann_exact_topk_sql(),
         "emb_label_sums": """
             SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
               CAST(sum(CAST(list_sum(list_transform(embedding,

@@ -199,9 +199,12 @@ def run_images_flagship(
 
     import pandas as pd
 
+    # ONE marker pass for the whole summary (a per-tile read_tile loop
+    # here re-parsed every marker JSON per tile — round-2 VERDICT 4)
+    idx = man.tile_index()
     rows = [
-        {"tile_id": tid, "n_images": man.read_tile(tid)["stats"]["n_rows"]}
-        for tid in sorted(man.completed_tiles())
+        {"tile_id": tid, "n_images": idx[tid]["stats"]["n_rows"]}
+        for tid in sorted(idx)
     ]
     summary = pd.DataFrame(rows)
     stats = {

@@ -86,6 +86,7 @@ def clean_stale_partitions(out_dir: str, done: set[int],
                 os.remove(os.path.join(tiles_dir, name))
                 del files[name]
     changed = True
+    demoted: set[int] = set()
     while changed:
         changed = False
         for name, (lo, hi) in list(files.items()):
@@ -98,10 +99,15 @@ def clean_stale_partitions(out_dir: str, done: set[int],
             demote = [t for t in range(lo, hi + 1) if t in done]
             for t in demote:
                 done.discard(t)
-                if man is not None:
-                    man.unmark_tile(t)
+                demoted.add(t)
             if demote:
                 changed = True
+    # one batched marker rewrite for ALL demoted tiles (a per-tile
+    # unmark_tile here re-parsed every marker per demotion — round-2
+    # VERDICT 4); the fixpoint above only consults in-memory state, so
+    # deferring the file rewrites is safe
+    if man is not None and demoted:
+        man.unmark_tiles(demoted)
     return done
 
 

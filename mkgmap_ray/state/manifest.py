@@ -107,34 +107,55 @@ class RunManifest:
                 out.update(int(t) for t in data["tiles"])
         return out
 
-    def read_tile(self, tile_id: int) -> dict | None:
-        """Combined lineage for one tile across its range files:
-        {"stats": combined per-tile stats, "files": [parquet names]}."""
-        stats: dict[str, int] = {}
-        files: list[str] = []
-        key = str(tile_id)
+    def tile_index(self, require_file: bool = True) -> dict[int, dict]:
+        """ONE pass over the block markers → ``{tile_id: {"stats":
+        combined per-tile stats, "files": [parquet names]}}``. Replaces
+        per-tile ``read_tile`` loops: those re-listed and re-parsed every
+        marker per call — O(tiles × markers) driver JSON work, the
+        round-2 verdict's next serial scaling term."""
+        tiles_dir = os.path.join(self.out_dir, "tiles")
+        out: dict[int, dict] = {}
         for _path, data in self.iter_block_markers():
-            s = data["tiles"].get(key)
-            if s is None:
+            if require_file and not os.path.exists(
+                os.path.join(tiles_dir, data["file"])
+            ):
                 continue
-            files.append(data["file"])
-            for name, v in s.items():
-                if name in stats:
-                    stats[name] = combine_stat(name, stats[name], int(v))
-                else:
-                    stats[name] = int(v)
-        if not files:
-            return None
-        return {"stats": stats, "files": files}
+            for t_str, s in data["tiles"].items():
+                t = int(t_str)
+                e = out.get(t)
+                if e is None:
+                    out[t] = {
+                        "stats": {k: int(v) for k, v in s.items()},
+                        "files": [data["file"]],
+                    }
+                    continue
+                e["files"].append(data["file"])
+                st = e["stats"]
+                for name, v in s.items():
+                    st[name] = (
+                        combine_stat(name, st[name], int(v))
+                        if name in st else int(v)
+                    )
+        return out
 
-    def unmark_tile(self, tile_id: int) -> None:
-        """Drop one tile from every marker listing it (marker removed
-        when empty) — used when its range files are being invalidated."""
-        key = str(tile_id)
+    def read_tile(self, tile_id: int) -> dict | None:
+        """Combined lineage for ONE tile (single marker pass). Callers
+        that need many tiles must use ``tile_index`` instead."""
+        return self.tile_index(require_file=False).get(int(tile_id))
+
+    def unmark_tiles(self, tile_ids) -> None:
+        """Drop a BATCH of tiles from every marker listing any of them
+        (markers removed when empty; each marker rewritten at most once).
+        Used when range files are being invalidated."""
+        keys = {str(int(t)) for t in tile_ids}
+        if not keys:
+            return
         for path, data in self.iter_block_markers():
-            if key not in data["tiles"]:
+            hit = keys & data["tiles"].keys()
+            if not hit:
                 continue
-            del data["tiles"][key]
+            for k in hit:
+                del data["tiles"][k]
             if data["tiles"]:
                 tmp = path + f".tmp{os.getpid()}"
                 with open(tmp, "w") as f:
@@ -142,6 +163,9 @@ class RunManifest:
                 os.replace(tmp, path)
             else:
                 os.remove(path)
+
+    def unmark_tile(self, tile_id: int) -> None:
+        self.unmark_tiles([tile_id])
 
     def remove_marker_for(self, parquet_basename: str) -> None:
         path = self.marker_path(parquet_basename)

@@ -181,14 +181,51 @@ class TestAnn:
 
 
 class TestAnnIvf:
-    def test_recall_floor_and_coverage(self, ray_session):
-        from mkgmap_ray.pipelines.queries import q_ann_ivf, ANN_K
+    def test_full_probe_equals_exact(self, ray_session):
+        """The SQL face: probing every centroid list over the inverted
+        layout reproduces exact brute-force top-k bit-for-bit."""
+        from mkgmap_ray.pipelines.queries import (
+            ANN_K,
+            N_ANN_QUERIES,
+            q_ann_ivf,
+            q_ann_topk_dot,
+        )
 
         out = q_ann_ivf("/root/testdata/sf0.001")
-        assert len(out) == 8
-        assert (out["n_results"] == ANN_K).all()
-        # probing 4/16 lists must beat random (25%) clearly on this data
-        assert out["recall_pct"].mean() >= 40, out["recall_pct"].tolist()
+        exact = q_ann_topk_dot("/root/testdata/sf0.001")
+        assert len(out) == N_ANN_QUERIES * ANN_K
+        pd.testing.assert_frame_equal(
+            out.sort_values(["query_id", "rank"]).reset_index(drop=True),
+            exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        )
+
+    def test_partial_probe_prunes_reads_with_recall(self, ray_session):
+        """nprobe=4 of 16 must READ a strict subset of the data (the
+        inverted property round 2 lacked) and still beat random recall."""
+        from mkgmap_ray.pipelines.queries import (
+            ANN_K,
+            IVF_NPROBE,
+            _ivf_setup,
+            q_ann_topk_dot,
+        )
+        from mkgmap_ray.stages.ann import ivf_scan_rows, ivf_topk_indexed
+
+        sf = "/root/testdata/sf0.001"
+        q_ids, q_mat, centroids, index_dir = _ivf_setup(sf)
+        out, scanned = ivf_topk_indexed(
+            index_dir, q_ids, q_mat, centroids, k=ANN_K, nprobe=IVF_NPROBE
+        )
+        import glob
+
+        total = ivf_scan_rows(glob.glob(f"{index_dir}/centroid=*"))
+        assert 0 < scanned < total, (scanned, total)
+        exact = q_ann_topk_dot(sf)
+        ex = exact.groupby("query_id")["vec_id"].apply(set)
+        recalls = [
+            len(set(g["vec_id"]) & ex.get(qid, set())) / ANN_K * 100
+            for qid, g in out.groupby("query_id")
+        ]
+        assert np.mean(recalls) >= 40, recalls
 
 
 class TestSeaLookup:
