@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "house_intervals": Q.q_house_intervals,
         # --- new in round 3 ---
         "relation_apply": Q.q_relation_apply,
+        "house_numbers": Q.q_house_numbers,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -798,5 +799,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(pos) AS BIGINT) AS min_pos,
                    CAST(max(pos) AS BIGINT) AS max_pos
             FROM x GROUP BY 1
+        """,
+        "house_numbers": """
+            WITH h AS (SELECT c_custkey,
+                              (c_custkey*48271) % 65536 AS hy,
+                              (c_custkey*16807) % 65536 AS hx FROM customer),
+            r AS (SELECT s_suppkey,
+                         (s_suppkey*48271 + 777) % 65536 AS ry,
+                         (s_suppkey*16807 + 333) % 65536 AS rx FROM supplier),
+            d AS (SELECT h.c_custkey, h.hy, h.hx, r.s_suppkey, r.ry, r.rx,
+                         (h.hy-r.ry)*(h.hy-r.ry)
+                         + (h.hx-r.rx)*(h.hx-r.rx) AS dist2
+                  FROM h CROSS JOIN r),
+            m AS (SELECT c_custkey, min(dist2*1048576 + s_suppkey) AS comb
+                  FROM d GROUP BY c_custkey),
+            j AS (SELECT d.* FROM d JOIN m ON d.c_custkey = m.c_custkey
+                  AND d.dist2*1048576 + d.s_suppkey = m.comb),
+            seq AS (SELECT s_suppkey AS road,
+                           CASE WHEN 500*(hy-ry) - 1000*(hx-rx) > 0 THEN 1
+                                WHEN 500*(hy-ry) - 1000*(hx-rx) < 0 THEN -1
+                                ELSE 0 END AS side,
+                           1000*(hy-ry) + 500*(hx-rx) AS pos,
+                           c_custkey AS house,
+                           (c_custkey*17) % 200 + 1 AS num
+                    FROM j),
+            w AS (SELECT road, side, num, pos, house,
+                         num - lag(num) OVER
+                           (PARTITION BY road, side
+                            ORDER BY pos, house) AS dstep
+                  FROM seq),
+            agg AS (SELECT road, side,
+                           count(*) AS n,
+                           min(num) AS lo, max(num) AS hi,
+                           count(DISTINCT num) AS nd,
+                           max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END)
+                             AS has_even,
+                           max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END)
+                             AS has_odd,
+                           max(CASE WHEN dstep > 0 THEN 1 ELSE 0 END) AS inc,
+                           max(CASE WHEN dstep < 0 THEN 1 ELSE 0 END) AS dec,
+                           first(num ORDER BY pos, house) AS fn,
+                           last(num ORDER BY pos, house) AS ln
+                    FROM w GROUP BY road, side),
+            f AS (SELECT *,
+                         CASE WHEN has_even = 1 AND has_odd = 1 THEN 3
+                              WHEN has_even = 1 THEN 2 ELSE 1 END AS style,
+                         ((fn <> hi AND fn <> lo) OR (ln <> hi AND ln <> lo))
+                           AS not_ext,
+                         (fn = ln AND hi <> lo) AS case1
+                  FROM agg),
+            g AS (SELECT *,
+                         CASE WHEN case1 THEN true
+                              WHEN not_ext THEN fn <= ln
+                              ELSE fn < ln END AS increasing
+                  FROM f)
+            SELECT road, side, CAST(style AS BIGINT) AS style,
+                   CASE WHEN increasing THEN lo ELSE hi END AS start_num,
+                   CASE WHEN increasing THEN hi ELSE lo END AS end_num,
+                   n,
+                   CAST(CASE WHEN (inc = 1 AND dec = 1)
+                                  OR (NOT case1 AND not_ext)
+                             THEN 1 ELSE 0 END AS BIGINT) AS not_in_order,
+                   CAST(CASE WHEN hi > lo AND
+                             (hi - lo) // (CASE WHEN style = 3
+                                                THEN 1 ELSE 2 END) - 1 > nd - 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS has_gaps
+            FROM g ORDER BY road, side
         """,
     }

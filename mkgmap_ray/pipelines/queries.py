@@ -2870,3 +2870,70 @@ def q_house_intervals(sf_dir: str):
         v = np.concatenate(cols[c])[order]
         out[c] = red.reduceat(v, starts)
     return pd.DataFrame(out).astype("int64")
+
+
+def q_house_numbers(sf_dir: str):
+    """``ExtNumbers.fillNumbers`` interval assembly (ExtNumbers.java:208-333;
+    HousenumberGenerator.java:1695-1783): houses matched to their nearest
+    road, split by road side, sorted by position along the road; each
+    (road, side) yields ONE Numbers interval with parity style (ODD=1 /
+    EVEN=2 / BOTH=3), direction-normalized start/end numbers, not-in-order
+    and has-gaps flags — all integer closed form, SQL-exact.
+
+    Scale: only compact (road, side, pos, house, num) match rows shuffle,
+    hash-partitioned by road; each partition computes every interval in
+    one lexsort + reduceat pass (``stages/housenum.py``)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.housenum import N_HOUSE_PARTS, fill_numbers_part
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = np.asarray(sup["s_suppkey"], np.int64)
+    ry = (sk * A_LAT + 777) % SPAN
+    rx = (sk * A_LON + 333) % SPAN
+    ref = ray.put((sk, ry, rx))
+
+    class MatchHouses:
+        def __init__(self, ref):
+            self.sk, self.ry, self.rx = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"].combine_chunks(), np.int64)
+            hy = (ck * A_LAT) % SPAN
+            hx = (ck * A_LON) % SPAN
+            d2 = (hy[:, None] - self.ry[None, :]) ** 2 \
+                + (hx[:, None] - self.rx[None, :]) ** 2
+            comb = d2 * (1 << 20) + self.sk[None, :]
+            near = np.argmin(comb, axis=1)
+            road = self.sk[near]
+            ay, ax = self.ry[near], self.rx[near]
+            dy, dx = 1000, 500
+            side = np.sign(dx * (hy - ay) - dy * (hx - ax)).astype(np.int64)
+            pos = dy * (hy - ay) + dx * (hx - ax)
+            return pa.table(
+                {
+                    "road": pa.array(road, pa.int64()),
+                    "side": pa.array(side, pa.int64()),
+                    "pos": pa.array(pos, pa.int64()),
+                    "house": pa.array(ck, pa.int64()),
+                    "num": pa.array((ck * 17) % 200 + 1, pa.int64()),
+                    "part": pa.array(road & (N_HOUSE_PARTS - 1), pa.int64()),
+                }
+            )
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(
+            MatchHouses,
+            fn_constructor_kwargs=dict(ref=ref),
+            batch_format="pyarrow", batch_size=None,
+            concurrency=pool_concurrency(),
+        )
+        .groupby("part")
+        .map_groups(fill_numbers_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["road", "side"]).reset_index(drop=True).astype(
+        "int64"
+    )

@@ -228,3 +228,111 @@ class TestGridKnnBatch:
         )
         np.testing.assert_array_equal(out["nn_id"].to_numpy(), exp_id)
         np.testing.assert_array_equal(out["nn_dist2"].to_numpy(), exp_d2)
+
+
+class TestFillNumbers:
+    """fill_numbers_part vs a scalar transliteration of
+    ExtNumbers.fillNumbers (ExtNumbers.java:208-333, prev==next==null)."""
+
+    @staticmethod
+    def _scalar(houses):
+        # houses: list of (pos, house, num) for ONE (road, side)
+        houses = sorted(houses)
+        nums = [n for _, _, n in houses]
+        lo, hi = min(nums), max(nums)
+        even = any(n % 2 == 0 for n in nums)
+        odd = any(n % 2 == 1 for n in nums)
+        style = 3 if even and odd else (2 if even else 1)
+        inc = any(b - a > 0 for a, b in zip(nums, nums[1:]))
+        dec = any(b - a < 0 for a, b in zip(nums, nums[1:]))
+        in_order = not (inc and dec)
+        start, end = nums[0], nums[-1]
+        if start == end and hi != lo:
+            increasing = True
+        elif (start != hi and start != lo) or (end != hi and end != lo):
+            in_order = False
+            increasing = start <= end
+        elif start < end:
+            increasing = True
+        else:
+            increasing = False
+        if increasing:
+            start, end = lo, hi
+        else:
+            start, end = hi, lo
+        step = 1 if style == 3 else 2
+        distinct = set(nums)
+        has_gaps = any(
+            n not in distinct for n in range(lo + step, hi, step)
+        )
+        return (style, start, end, len(nums), int(not in_order),
+                int(has_gaps))
+
+    def test_randomized_vs_scalar(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.housenum import fill_numbers_part
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for road in range(40):
+            for side in (-1, 0, 1):
+                k = int(rng.integers(1, 12))
+                for _ in range(k):
+                    rows.append(
+                        (road, side, int(rng.integers(0, 50)),
+                         int(rng.integers(0, 10000)),
+                         int(rng.integers(1, 30)))
+                    )
+        g = pd.DataFrame(
+            rows, columns=["road", "side", "pos", "house", "num"]
+        )
+        out = fill_numbers_part(g.sample(frac=1, random_state=3))
+        assert len(out) == 120
+        by_key = {
+            (r.road, r.side): (r.style, r.start_num, r.end_num, r.n,
+                               r.not_in_order, r.has_gaps)
+            for r in out.itertuples()
+        }
+        for (road, side), grp in g.groupby(["road", "side"]):
+            houses = list(
+                zip(grp["pos"], grp["house"], grp["num"])
+            )
+            assert by_key[(road, side)] == self._scalar(houses), (
+                road, side, houses,
+            )
+
+    def test_edge_cases(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.housenum import fill_numbers_part
+
+        # single house; constant number run; strictly decreasing; gap
+        g = pd.DataFrame(
+            {
+                "road": [1, 2, 2, 2, 3, 3, 4, 4],
+                "side": [1, 1, 1, 1, 1, 1, 1, 1],
+                "pos": [0, 0, 1, 2, 0, 1, 0, 1],
+                "house": [10, 20, 21, 22, 30, 31, 40, 41],
+                "num": [5, 7, 7, 7, 9, 3, 2, 8],
+            }
+        )
+        out = fill_numbers_part(g).set_index("road")
+        assert tuple(out.loc[1][["style", "start_num", "end_num"]]) == (1, 5, 5)
+        assert tuple(out.loc[2][["style", "start_num", "end_num"]]) == (1, 7, 7)
+        r3 = out.loc[3]
+        assert (r3.style, r3.start_num, r3.end_num, r3.has_gaps) == (1, 9, 3, 1)
+        r4 = out.loc[4]
+        assert (r4.style, r4.start_num, r4.end_num, r4.has_gaps) == (2, 2, 8, 1)
+
+    def test_empty(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.housenum import fill_numbers_part
+
+        out = fill_numbers_part(
+            pd.DataFrame(
+                {c: [] for c in ("road", "side", "pos", "house", "num")}
+            )
+        )
+        assert len(out) == 0
