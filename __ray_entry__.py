@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3 ---
         "relation_apply": Q.q_relation_apply,
         "house_numbers": Q.q_house_numbers,
+        "hook_chain": Q.q_hook_chain,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -865,5 +866,91 @@ def oracle_sql() -> dict[str, str]:
                                                 THEN 1 ELSE 2 END) - 1 > nd - 2
                              THEN 1 ELSE 0 END AS BIGINT) AS has_gaps
             FROM g ORDER BY road, side
+        """,
+        "hook_chain": """
+            WITH base AS (SELECT o_orderkey AS k FROM orders),
+            t AS (SELECT k,
+              ['motorway_link','trunk_link','motorway','residential',
+               'primary_link','secondary','service'][(k%7)+1] AS highway,
+              CASE WHEN k%5=0 THEN 'roundabout' END AS junction,
+              CASE WHEN k%3=0 THEN 'yes' WHEN k%3=1 THEN '-1' END AS ow0,
+              CASE WHEN k%4=0 THEN 'D'||CAST(k%10 AS VARCHAR) END AS dest,
+              CASE WHEN k%8=2 THEN 'A'||CAST(k%5 AS VARCHAR)||'|B'
+                   WHEN k%8=6 THEN 'L'||CAST(k%5 AS VARCHAR) END AS lanes,
+              CASE WHEN k%6=1 THEN 'F'||CAST(k%3 AS VARCHAR) END AS lanes_f,
+              CASE WHEN k%6=2 THEN 'G'||CAST(k%3 AS VARCHAR) END AS lanes_b,
+              CASE WHEN k%6=1 THEN 'DF'||CAST(k%4 AS VARCHAR) END AS dest_f,
+              CASE WHEN k%6=2 THEN 'DB'||CAST(k%4 AS VARCHAR) END AS dest_b,
+              CASE WHEN k%9=3 THEN 'S'||CAST(k%6 AS VARCHAR) END AS street,
+              CASE WHEN k%10=7 THEN 'destination'
+                   WHEN k%10=5 THEN 'oneway;destination:street'
+                   WHEN k%10=3 THEN 'name' END AS removetags,
+              CASE WHEN k%11=4 THEN 'residential' END AS landuse,
+              (k*48271)%65536 AS wy, (k*16807)%65536 AS wx
+              FROM base),
+            p1 AS (SELECT *, CASE WHEN highway IS NOT NULL
+                                   AND junction='roundabout'
+                                   AND ow0 IS NULL
+                              THEN 'yes' ELSE ow0 END AS ow1 FROM t),
+            p2 AS (SELECT *,
+              CASE WHEN removetags='oneway;destination:street' THEN NULL
+                   ELSE ow1 END AS ow,
+              CASE WHEN removetags='destination' THEN NULL
+                   ELSE dest END AS dest2,
+              CASE WHEN removetags='oneway;destination:street' THEN NULL
+                   ELSE street END AS street2
+              FROM p1),
+            p3 AS (SELECT *,
+              (ow IN ('yes','true','1')) AS fwd,
+              (ow IN ('-1','reverse')) AS bwd FROM p2),
+            p4 AS (SELECT *,
+              CASE WHEN fwd THEN dest_f WHEN bwd THEN dest_b
+                   END AS ddest,
+              COALESCE(lanes, CASE WHEN fwd THEN lanes_f
+                                   WHEN bwd THEN lanes_b END) AS lt,
+              CASE WHEN lanes IS NOT NULL THEN 'destination:lanes'
+                   WHEN fwd THEN 'destination:lanes:forward'
+                   WHEN bwd THEN 'destination:lanes:backward'
+                   END AS lt_src,
+              CASE WHEN fwd THEN 'destination:forward'
+                   WHEN bwd THEN 'destination:backward' END AS dd_src
+              FROM p3),
+            p5 AS (SELECT *,
+              CASE WHEN dest2 IS NOT NULL THEN dest2
+                   WHEN lt IS NOT NULL AND strpos(lt,'|')=0 THEN lt
+                   WHEN ddest IS NOT NULL THEN ddest
+                   ELSE street2 END AS hint,
+              CASE WHEN dest2 IS NOT NULL THEN 'destination'
+                   WHEN lt IS NOT NULL AND strpos(lt,'|')=0 THEN lt_src
+                   WHEN ddest IS NOT NULL THEN dd_src
+                   WHEN street2 IS NOT NULL THEN 'destination:street'
+                   END AS src
+              FROM p4),
+            lnk AS (SELECT *, highway IN
+                    ('motorway_link','trunk_link','primary_link',
+                     'secondary_link','tertiary_link') AS is_link
+                    FROM p5),
+            areas AS (SELECT k AS ak,
+                COALESCE(CASE WHEN k%10=3 THEN NULL
+                              WHEN k%2=0 THEN 'N'||CAST(k%20 AS VARCHAR)
+                         END, 'yes') AS aname,
+                (k*48271)%65536 AS ay, (k*16807)%65536 AS ax
+                FROM base WHERE k%11=4),
+            res AS (SELECT w.k AS rk, a.aname,
+                    row_number() OVER (PARTITION BY w.k
+                                       ORDER BY a.ak) AS rn
+                    FROM lnk w JOIN areas a
+                    ON w.wy BETWEEN a.ay-3000 AND a.ay+3000
+                   AND w.wx BETWEEN a.ax-3000 AND a.ax+3000
+                   WHERE w.landuse IS DISTINCT FROM 'residential')
+            SELECT l.k AS way_id,
+              COALESCE(l.ow,'') AS oneway,
+              COALESCE(CASE WHEN is_link THEN hint END, '') AS dest_hint,
+              COALESCE(CASE WHEN is_link AND hint IS NOT NULL
+                            THEN src END, '') AS dest_source,
+              COALESCE(r.aname,'') AS residential
+            FROM lnk l LEFT JOIN
+              (SELECT rk, aname FROM res WHERE rn=1) r ON l.k=r.rk
+            ORDER BY way_id
         """,
     }

@@ -2937,3 +2937,122 @@ def q_house_numbers(sf_dir: str):
     return out.sort_values(["road", "side"]).reset_index(drop=True).astype(
         "int64"
     )
+
+
+def q_hook_chain(sf_dir: str):
+    """Ordered OSM reading-hook chain (OsmMapDataSource.java:66-78 — "the
+    order of the hooks is important!"): HighwayHooks.onAddWay (parse-time
+    roundabout→oneway) → MultiPolygonFinishHook (mkgmap:removetags
+    deletion) → LinkDestinationHook (destination-hint cascade, direction
+    from the POST-roundabout POST-removetags oneway) → ResidentialHook
+    (boundary names read AFTER removetags may have deleted them → "yes").
+    Every step's output depends on its position in the chain; SQL-exact.
+
+    Scale: four fused map_batches passes, no shuffle; residential
+    boundaries are a dimension-sized broadcast via ray.put."""
+    import ray
+
+    from ..stages.hooks import (
+        ResidentialTagger,
+        highway_on_add_way,
+        link_destination,
+        multipolygon_finish,
+    )
+
+    RES_HALF = 3000
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        hw = np.array(
+            ["motorway_link", "trunk_link", "motorway", "residential",
+             "primary_link", "secondary", "service"], object
+        )[k % 7]
+        df = pd.DataFrame({"way_id": k, "highway": hw})
+        df["junction"] = np.where(k % 5 == 0, "roundabout", None)
+        df["oneway"] = np.select(
+            [k % 3 == 0, k % 3 == 1], ["yes", "-1"], None
+        )
+        df["destination"] = np.where(
+            k % 4 == 0, np.char.add("D", (k % 10).astype(str)), None
+        )
+        df["destination:lanes"] = np.select(
+            [k % 8 == 2, k % 8 == 6],
+            [np.char.add(np.char.add("A", (k % 5).astype(str)), "|B"),
+             np.char.add("L", (k % 5).astype(str))],
+            None,
+        )
+        df["destination:lanes:forward"] = np.where(
+            k % 6 == 1, np.char.add("F", (k % 3).astype(str)), None
+        )
+        df["destination:lanes:backward"] = np.where(
+            k % 6 == 2, np.char.add("G", (k % 3).astype(str)), None
+        )
+        df["destination:forward"] = np.where(
+            k % 6 == 1, np.char.add("DF", (k % 4).astype(str)), None
+        )
+        df["destination:backward"] = np.where(
+            k % 6 == 2, np.char.add("DB", (k % 4).astype(str)), None
+        )
+        df["destination:street"] = np.where(
+            k % 9 == 3, np.char.add("S", (k % 6).astype(str)), None
+        )
+        df["name"] = np.where(
+            k % 2 == 0, np.char.add("N", (k % 20).astype(str)), None
+        )
+        df["mkgmap:removetags"] = np.select(
+            [k % 10 == 7, k % 10 == 5, k % 10 == 3],
+            ["destination", "oneway;destination:street", "name"],
+            None,
+        )
+        df["landuse"] = np.where(k % 11 == 4, "residential", None)
+        df["wy"] = (k * A_LAT) % SPAN
+        df["wx"] = (k * A_LON) % SPAN
+        return df
+
+    REMOVABLE = ("destination", "oneway", "destination:street", "name")
+
+    # residential boundaries need the POST-removetags names, so the
+    # broadcast side runs the first two hooks itself (tiny: one scan of
+    # the dimension-sized area subset, pruned at the read)
+    import pyarrow.parquet as pq
+
+    ok = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ka = np.asarray(ok["o_orderkey"], np.int64)
+    ka = ka[ka % 11 == 4]
+    aname = np.where(
+        ka % 2 == 0, np.char.add("N", (ka % 20).astype(str)), None
+    )
+    aname = np.where(ka % 10 == 3, None, aname)  # removetags 'name'
+    aname = np.where(pd.isna(aname), "yes", aname).astype(object)
+    ay = (ka * A_LAT) % SPAN
+    ax = (ka * A_LON) % SPAN
+    bounds_ref = ray.put(
+        (ka, aname, ay - RES_HALF, ay + RES_HALF, ax - RES_HALF,
+         ax + RES_HALF)
+    )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .map_batches(highway_on_add_way, batch_format="pandas",
+                     batch_size=None)
+        .map_batches(lambda b: multipolygon_finish(b, REMOVABLE),
+                     batch_format="pandas", batch_size=None)
+        .map_batches(link_destination, batch_format="pandas",
+                     batch_size=None)
+        .map_batches(ResidentialTagger,
+                     fn_constructor_kwargs=dict(bounds_ref=bounds_ref),
+                     batch_format="pandas", batch_size=None,
+                     concurrency=pool_concurrency())
+        .to_pandas()
+    )
+    out = out[["way_id", "oneway", "mkgmap:dest_hint_work",
+               "mkgmap:dest_source", "mkgmap:residential"]].rename(
+        columns={"mkgmap:dest_hint_work": "dest_hint",
+                 "mkgmap:dest_source": "dest_source",
+                 "mkgmap:residential": "residential"}
+    )
+    out["way_id"] = out["way_id"].astype("int64")
+    for c in ("oneway", "dest_hint", "dest_source", "residential"):
+        out[c] = out[c].astype(object).where(out[c].notna(), "")
+    return out.sort_values("way_id").reset_index(drop=True)

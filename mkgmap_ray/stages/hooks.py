@@ -1,0 +1,178 @@
+"""Ordered OSM reading-hook chain.
+
+Reference: ``reader/osm/OsmMapDataSource.java:66-78`` — "attention, the
+order of the hooks is important!". The chain (subset implemented here, in
+reference order):
+
+1. per-element callbacks (``OsmReadingHooksChain.onAddWay``), which fire
+   at parse time BEFORE any ``end()`` hook:
+   - ``HighwayHooks.onAddWay`` (HighwayHooks.java:134-176): roundabouts
+     without ``oneway`` get ``oneway=yes``;
+2. ``MultiPolygonFinishHook.end()`` (MultiPolygonFinishHook.java:33-53):
+   delete every tag listed in the ``mkgmap:removetags`` value
+   (';'-separated), then the marker tag itself;
+3. ``LinkDestinationHook.end()`` (LinkDestinationHook.java:90-170):
+   ``*_link`` highways resolve a destination hint through the cascade
+   destination → destination:lanes (if lane-unspecific, i.e. no '|') →
+   destination:lanes:forward/backward (by oneway direction) →
+   destination:forward/backward → destination:street, recording which
+   source produced it;
+4. ``ResidentialHook.end()`` (ResidentialHook.java:51-137): closed
+   landuse=residential ways become boundaries named by NameFinder (or
+   "yes" when unnamed — e.g. when an EARLIER hook removed the name);
+   every other element inside one gains ``mkgmap:residential``.
+
+Each hook is a vectorized whole-batch transform over the wide-column ways
+table; the chain is one fused ``map_batches`` pass per hook (no shuffles —
+residential boundaries are a broadcast small side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+LINK_TYPES = frozenset(
+    {"motorway_link", "trunk_link", "primary_link", "secondary_link",
+     "tertiary_link"}
+)
+
+_ONEWAY_YES = frozenset({"yes", "true", "1"})
+_ONEWAY_REV = frozenset({"-1", "reverse"})
+
+
+def highway_on_add_way(df: pd.DataFrame) -> pd.DataFrame:
+    """``HighwayHooks.onAddWay``: ways with a highway tag (or route=ferry)
+    tagged ``junction=roundabout`` but no ``oneway`` get ``oneway=yes``."""
+    df = df.copy()
+    has_hw = df["highway"].notna()
+    if "route" in df.columns:
+        has_hw |= df["route"] == "ferry"
+    hit = has_hw & (df["junction"] == "roundabout") & df["oneway"].isna()
+    df.loc[hit, "oneway"] = "yes"
+    return df
+
+
+def multipolygon_finish(df: pd.DataFrame, removable: tuple[str, ...]) -> pd.DataFrame:
+    """``MultiPolygonFinishHook.end()``: delete the tags named in
+    ``mkgmap:removetags`` (';'-separated), then the marker itself.
+    ``removable`` enumerates the tag columns that may appear in the list
+    (the wide-column analogue of arbitrary tag names)."""
+    df = df.copy()
+    rt = df["mkgmap:removetags"]
+    has = rt.notna()
+    if has.any():
+        lists = rt[has].str.split(";")
+        for col in removable:
+            kill = lists.map(lambda xs, c=col: c in xs)
+            idx = kill[kill].index
+            if len(idx):
+                df.loc[idx, col] = None
+    df["mkgmap:removetags"] = None
+    return df
+
+
+def link_destination(df: pd.DataFrame) -> pd.DataFrame:
+    """``LinkDestinationHook`` destination cascade for ``*_link`` highways
+    (LinkDestinationHook.java:98-170): adds ``mkgmap:dest_hint_work`` and
+    ``mkgmap:dest_source``. All columns optional (missing = absent tag)."""
+    df = df.copy()
+
+    def col(name: str) -> pd.Series:
+        if name in df.columns:
+            return df[name]
+        return pd.Series([None] * len(df), index=df.index, dtype=object)
+
+    oneway = col("oneway")
+    fwd = oneway.isin(_ONEWAY_YES)
+    bwd = ~fwd & oneway.isin(_ONEWAY_REV)
+
+    dest = col("destination")
+    lanes = col("destination:lanes")
+    lanes_f = col("destination:lanes:forward")
+    lanes_b = col("destination:lanes:backward")
+    dest_f = col("destination:forward")
+    dest_b = col("destination:backward")
+    street = col("destination:street")
+
+    directed_dest = dest_f.where(fwd, dest_b.where(bwd, None))
+    directed_lanes = lanes_f.where(fwd, lanes_b.where(bwd, None))
+    directed_src = np.where(fwd, "forward", np.where(bwd, "backward", ""))
+
+    # cascade (vectorized mirror of the tag-priority ladder)
+    hint = dest.copy()
+    src = pd.Series(np.where(dest.notna(), "destination", None),
+                    index=df.index, dtype=object)
+
+    # destination:lanes (possibly the directed variant), only if no '|'
+    use_lanes = hint.isna()
+    lt = lanes.where(lanes.notna(), directed_lanes)
+    lt_src = np.where(
+        lanes.notna(), "destination:lanes",
+        np.char.add("destination:lanes:", directed_src.astype(str)),
+    )
+    lane_ok = use_lanes & lt.notna() & ~lt.str.contains(r"\|", na=False)
+    hint = hint.where(~lane_ok, lt)
+    src = src.where(~lane_ok, pd.Series(lt_src, index=df.index))
+
+    use_dir = hint.isna() & directed_dest.notna()
+    hint = hint.where(~use_dir, directed_dest)
+    src = src.where(
+        ~use_dir,
+        pd.Series(np.char.add("destination:", directed_src.astype(str)),
+                  index=df.index),
+    )
+
+    use_street = hint.isna() & street.notna()
+    hint = hint.where(~use_street, street)
+    src = src.where(~use_street, "destination:street")
+
+    is_link = df["highway"].isin(LINK_TYPES)
+    df["mkgmap:dest_hint_work"] = hint.where(is_link, None)
+    df["mkgmap:dest_source"] = src.where(is_link & hint.notna(), None)
+    return df
+
+
+class ResidentialTagger:
+    """``ResidentialHook.end()`` as a broadcast-small-side stage: the
+    residential boundary list (id, name-or-"yes", box) is built once and
+    shipped via ``ray.put``; each batch point-in-box tests vectorized.
+    Ties resolve to the smallest boundary id (deterministic)."""
+
+    def __init__(self, bounds_ref):
+        import ray
+
+        bid, name, y0, y1, x0, x1 = ray.get(bounds_ref)
+        order = np.argsort(bid)
+        self.bid = bid[order]
+        self.name = np.asarray(name, object)[order]
+        self.y0, self.y1 = y0[order], y1[order]
+        self.x0, self.x1 = x0[order], x1[order]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if not len(self.bid) or not len(df):
+            df["mkgmap:residential"] = None
+            return df
+        wy = df["wy"].to_numpy(np.int64)
+        wx = df["wx"].to_numpy(np.int64)
+        res = np.full(len(df), None, object)
+        # row slices bound the (rows × boundaries) bool temporaries
+        SLICE = 2048
+        for s in range(0, len(df), SLICE):
+            e = min(s + SLICE, len(df))
+            inside = (
+                (wy[s:e, None] >= self.y0[None, :])
+                & (wy[s:e, None] <= self.y1[None, :])
+                & (wx[s:e, None] >= self.x0[None, :])
+                & (wx[s:e, None] <= self.x1[None, :])
+            )
+            # first matching boundary in ascending id order
+            hit = inside.any(axis=1)
+            first = inside.argmax(axis=1)
+            res[s:e][hit] = self.name[first[hit]]
+        # landuse=residential areas never tag themselves
+        if "landuse" in df.columns:
+            res[(df["landuse"] == "residential").to_numpy()] = None
+        df["mkgmap:residential"] = res
+        return df
