@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_apply": Q.q_relation_apply,
         "house_numbers": Q.q_house_numbers,
         "hook_chain": Q.q_hook_chain,
+        "mdr_index": Q.q_mdr_index,
+        "sea_background": Q.q_sea_background,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -952,5 +954,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lnk l LEFT JOIN
               (SELECT rk, aname FROM res WHERE rn=1) r ON l.k=r.rk
             ORDER BY way_id
+        """,
+        "mdr_index": """
+            WITH n AS (SELECT p_partkey % 32 AS tile,
+                              CASE WHEN p_partkey % 2 = 0
+                                   THEN upper(p_name) ELSE p_name
+                              END AS name2
+                       FROM part),
+            d AS (SELECT DISTINCT tile, name2 FROM n),
+            r AS (SELECT tile, name2, lower(name2) AS low,
+                         row_number() OVER (ORDER BY lower(name2),
+                                            name2 DESC, tile) AS rec
+                  FROM d)
+            SELECT substr(low, 1, 4) AS prefix,
+                   min(rec) AS first_record,
+                   count(*) AS n_records,
+                   first(name2 ORDER BY low, name2 DESC, tile)
+                     AS first_name
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "sea_background": """
+            WITH t AS (SELECT o_orderkey AS k,
+                              (o_orderkey*48271) % 65536 AS ty,
+                              (o_orderkey*16807) % 65536 AS tx,
+                              1 + o_orderkey % 5 AS u
+                       FROM orders),
+            s AS (SELECT k, u,
+                    (((ty // 8192) * 8 + (tx // 8192)) * 7 + 3) % 3 AS bg
+                  FROM t)
+            SELECT k AS o_orderkey, bg,
+              CASE WHEN bg IN (1, 2) THEN 1 ELSE 0 END AS n_land,
+              CASE WHEN bg = 2 THEN 1 ELSE 0 END AS n_islands,
+              CASE WHEN bg = 2 THEN 1 ELSE 0 END AS n_lakes,
+              CASE WHEN bg = 1 THEN 8192*u*u
+                   WHEN bg = 2 THEN 5144*u*u ELSE 0 END AS land_area2,
+              CASE WHEN bg = 0 THEN 8192*u*u
+                   WHEN bg = 2 THEN 3048*u*u ELSE 0 END AS sea_area2
+            FROM s
         """,
     }

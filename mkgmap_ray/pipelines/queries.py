@@ -2502,6 +2502,104 @@ def q_coastline_assembly(sf_dir: str):
     )
 
 
+def q_sea_background(sf_dir: str):
+    """Precomp-sea flood fill wired to coastline assembly
+    (``SeaGenerator.java:571-694`` addPrecompSea + ``:818-1407``): each
+    tile looks up its precomp grid state; a sea-only tile gets a full
+    sea background rectangle, a land-only tile a full land rectangle
+    (no assembly runs), and a MIXED tile runs the real shoreline
+    assembly (border closure, islands, lakes) with sea as the
+    complement of the assembled land. SQL-exact over all three kinds.
+
+    Scale: the precomp grid is a broadcast small side (ray.put);
+    assembly runs only for mixed tiles (the reference's
+    distinctTilesOnly fast path skips it entirely for uniform tiles)."""
+    import ray
+
+    from ..geom.area import Area as _Area
+    from ..stages.coastline import assemble_coastline
+
+    n_cells = SPAN >> SEA_GRID_SHIFT
+    cells = np.arange(n_cells * n_cells, dtype=np.int64)
+    state = (cells * 7 + 3) % 3  # 0=sea, 1=land, 2=mixed
+    ref = ray.put(state)
+
+    class SeaBackground:
+        def __init__(self, state_ref):
+            self.state = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ook = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+            n = len(ook)
+            # tile center picks the precomp cell (deterministic point)
+            ty = (ook * A_LAT) % SPAN
+            tx = (ook * A_LON) % SPAN
+            cell = (ty >> SEA_GRID_SHIFT) * n_cells + (tx >> SEA_GRID_SHIFT)
+            bg = self.state[cell]
+            u = 1 + ook % 5
+            T = 64 * u
+            full2 = 2 * T * T  # doubled rectangle area (shoelace form)
+            cols = {
+                c: np.zeros(n, np.int64)
+                for c in ("n_land", "n_islands", "n_lakes", "land_area2",
+                          "sea_area2")
+            }
+            # uniform tiles: background rectangle only, no assembly
+            sea_only = bg == 0
+            land_only = bg == 1
+            cols["sea_area2"][sea_only] = full2[sea_only]
+            cols["n_land"][land_only] = 1
+            cols["land_area2"][land_only] = full2[land_only]
+            # mixed tiles: run the shoreline assembly
+            for idx in np.flatnonzero(bg == 2):
+                ok = int(ook[idx])
+                Ti = int(T[idx])
+                b = _Area(0, 0, Ti, Ti)
+                mid = (Ti // 2 + Ti // 4) // 2
+                segs = [
+                    (np.asarray([Ti // 2, mid]), np.asarray([0, Ti // 2])),
+                    (np.asarray([mid, Ti // 4]), np.asarray([Ti // 2, Ti])),
+                ]
+                s = Ti // 16
+                cs = [(s, s), (s, 2 * s), (2 * s, 2 * s), (2 * s, s)]
+                isl = [
+                    (np.asarray([cs[e][0], cs[(e + 1) % 4][0]]),
+                     np.asarray([cs[e][1], cs[(e + 1) % 4][1]]))
+                    for e in range(4)
+                ]
+                rot = ok % 4
+                segs += isl[rot:] + isl[:rot]
+                s2 = Ti // 32
+                y0 = 3 * Ti // 4
+                cs2 = [(y0, y0), (y0 + s2, y0), (y0 + s2, y0 + s2),
+                       (y0, y0 + s2)]
+                segs += [
+                    (np.asarray([cs2[e][0], cs2[(e + 1) % 4][0]]),
+                     np.asarray([cs2[e][1], cs2[(e + 1) % 4][1]]))
+                    for e in range(4)
+                ]
+                res = assemble_coastline(segs, b)
+                cols["n_land"][idx] = len(res["land_polys"])
+                cols["n_islands"][idx] = len(res["islands"])
+                cols["n_lakes"][idx] = len(res["lakes"])
+                cols["land_area2"][idx] = res["land_area2"]
+                cols["sea_area2"][idx] = int(full2[idx]) - res["land_area2"]
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(ook, pa.int64()),
+                    "bg": pa.array(bg, pa.int64()),
+                    **{c: pa.array(v, pa.int64()) for c, v in cols.items()},
+                }
+            )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        SeaBackground,
+        fn_constructor_kwargs=dict(state_ref=ref),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
+    )
+
+
 def q_poi_generate(sf_dir: str):
     """POI generation from shapes (``POIGeneratorHook``: synthesize a
     point per polygon): triangle centroid with Java truncating division —
@@ -2937,6 +3035,91 @@ def q_house_numbers(sf_dir: str):
     return out.sort_values(["road", "side"]).reset_index(drop=True).astype(
         "int64"
     )
+
+
+def q_mdr_index(sf_dir: str):
+    """MDR street-section index (``combiners/MdrBuilder.java`` +
+    ``imgfmt/app/mdr/Mdr7.java:317-340`` + ``Mdr8.java``): streets from
+    every tile are collation-sorted globally, consecutive duplicates of
+    the same (tile, name) collapse to one record (Mdr7 dedupe), and the
+    Mdr8 face maps each 4-byte name prefix to the FIRST record number in
+    the section plus the record count and the collation-first name.
+
+    Scale shape: record numbers do NOT need a global sort — records of a
+    prefix are contiguous in collation order (the prefix is a prefix of
+    the primary sort key), so per-prefix counts + a driver-side cumsum
+    over the (tiny, bounded-cardinality) prefix table give exact Mdr8
+    offsets. One shuffle of compact (tile, name) rows, hash-partitioned;
+    dedupe and per-prefix partials vectorized per partition."""
+    import pyarrow.compute as pc
+
+    N_MDR_PARTS = 64
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        pk = batch["p_partkey"].combine_chunks().cast(pa.int64())
+        nm = batch["p_name"].combine_chunks()
+        even = pc.equal(pc.bit_wise_and(pk, 1), 0)
+        name2 = pc.if_else(even, pc.utf8_upper(nm), nm)
+        df = pd.DataFrame(
+            {
+                "tile": np.asarray(pk, np.int64) % 32,
+                "name2": name2.to_pandas(),
+            }
+        )
+        h = pd.util.hash_pandas_object(
+            df["tile"].astype(str) + "\x00" + df["name2"], index=False
+        ).to_numpy(np.uint64)
+        df["part"] = (h & np.uint64(N_MDR_PARTS - 1)).astype(np.int64)
+        return df
+
+    def prefix_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition: global dedupe of (tile, name2) is exact
+        # here (hash-partitioned on that pair), then per-prefix partial
+        # count + collation-first candidate
+        g = g.drop_duplicates(["tile", "name2"])
+        low = g["name2"].str.lower()
+        out = pd.DataFrame(
+            {
+                "prefix": low.str.slice(0, 4),
+                "low": low,
+                "name2": g["name2"],
+                "tile": g["tile"],
+            }
+        )
+        out = out.sort_values(
+            ["low", "name2", "tile"], ascending=[True, False, True]
+        )
+        firsts = out.groupby("prefix", sort=False).first().reset_index()
+        counts = out.groupby("prefix", sort=False).size().rename("n")
+        firsts = firsts.merge(counts, on="prefix")
+        return firsts[["prefix", "low", "name2", "tile", "n"]]
+
+    parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(prefix_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    # driver combine over the tiny prefix table: counts sum; first =
+    # min by (low asc, name2 desc, tile asc); record offsets by cumsum
+    parts = parts.sort_values(
+        ["prefix", "low", "name2", "tile"],
+        ascending=[True, True, False, True],
+    )
+    n = parts.groupby("prefix", sort=True)["n"].sum()
+    first_name = parts.groupby("prefix", sort=True)["name2"].first()
+    out = pd.DataFrame(
+        {"prefix": n.index, "n_records": n.to_numpy(np.int64),
+         "first_name": first_name.to_numpy(object)}
+    ).reset_index(drop=True)
+    out["first_record"] = (
+        1 + np.r_[0, np.cumsum(out["n_records"].to_numpy(np.int64))[:-1]]
+    )
+    # the part alphabet is case-pair only, so (lower asc, name desc)
+    # ordering == the three-strength collation key order (see
+    # q_collate_sort's oracle argument)
+    return out[["prefix", "first_record", "n_records", "first_name"]]
 
 
 def q_hook_chain(sf_dir: str):
