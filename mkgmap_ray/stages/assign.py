@@ -21,6 +21,8 @@ The distributed counterpart of ``build/MapSplitter.java`` +
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -215,18 +217,62 @@ def build_split_tree(
     return tree.canonicalize(n_initial)
 
 
+NARROW_SPILL_BYTES_ENV = "MKGMAP_NARROW_SPILL_BYTES"
+NARROW_SPILL_DIR_ENV = "MKGMAP_SPILL_DIR"
+_NARROW_SPILL_DEFAULT = 2 << 30  # 2 GiB of narrow stats in the store
+
+
+def _spill_narrow(ds, n_blocks: int):
+    """Write the narrow projection to parquet ONCE (a streaming pass —
+    blocks leave the object store as soon as they are written) and hand
+    back a lazy read: every refinement round then re-scans from disk, so
+    the object-store peak during refinement is the in-flight block set,
+    independent of feature count. On a multi-node cluster
+    ``MKGMAP_SPILL_DIR`` must point at shared storage (object store /
+    NFS); the default is a local temp dir (single-node)."""
+    import tempfile
+
+    import ray
+
+    d = tempfile.mkdtemp(
+        prefix="mkgmap_narrow_", dir=os.environ.get(NARROW_SPILL_DIR_ENV)
+    )
+    ds.write_parquet(d)
+    out = ray.data.read_parquet(d, override_num_blocks=n_blocks)
+    out._mkgmap_spill_dir = d
+    return out
+
+
 def prepare_narrow(narrow_ds):
-    """Repartition + materialize the narrow stats projection once so the
-    per-round refinement scans (and the per-level continuation) re-read a
-    compact block set. One block per CPU: per-round partial aggregates
-    duplicate each occupied cell once per block, so fewer/larger blocks
-    keep the driver-side combine linear in cell count, not block count."""
+    """Prepare the narrow stats projection for repeated per-round scans.
+
+    Small inputs (≤ ``MKGMAP_NARROW_SPILL_BYTES``, default 2 GiB)
+    repartition + materialize in the object store — fastest for the
+    per-round re-reads. Larger inputs spill to parquet once and re-scan
+    from disk each round (``_spill_narrow``), bounding the object-store
+    footprint of refinement to the in-flight blocks; set the env var to
+    0 to force the spill path with NO transient materialization at all
+    (the projection is streamed straight to parquet).
+
+    One block per CPU either way: per-round partial aggregates duplicate
+    each occupied cell once per block, so fewer/larger blocks keep the
+    driver-side combine linear in cell count, not block count."""
     import ray
 
     if getattr(narrow_ds, "_mkgmap_prepared", False):
         return narrow_ds
     n_blocks = max(1, int(ray.cluster_resources().get("CPU", 32)))
-    out = narrow_ds.repartition(n_blocks).materialize()
+    spill_bytes = int(
+        os.environ.get(NARROW_SPILL_BYTES_ENV, _NARROW_SPILL_DEFAULT)
+    )
+    if spill_bytes == 0:
+        out = _spill_narrow(narrow_ds, n_blocks)
+    else:
+        mat = narrow_ds.repartition(n_blocks).materialize()
+        if (mat.size_bytes() or 0) > spill_bytes:
+            out = _spill_narrow(mat, n_blocks)
+        else:
+            out = mat
     out._mkgmap_prepared = True
     return out
 

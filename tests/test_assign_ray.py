@@ -130,3 +130,32 @@ def test_level_trees_match_recursive_oracle(ray_session):
     # monotone: finer levels never have fewer tiles
     counts = [len(t.leaves()) for t in trees]
     assert counts == sorted(counts)
+
+
+def test_spill_path_identical_tree(ray_session, monkeypatch):
+    """MKGMAP_NARROW_SPILL_BYTES=0 streams the narrow projection straight
+    to parquet (no materialize) and refines from disk — the resulting
+    tree must be identical to the in-memory path."""
+    import ray.data as rd
+
+    from mkgmap_ray.stages.assign import NARROW_SPILL_BYTES_ENV
+
+    rng = np.random.default_rng(17)
+    bbox = (100, 100, (1 << 16) + 100, (1 << 16) + 100)
+    feats = make_features(rng, 2000, bbox_mu=bbox)
+    table = features_table(feats)
+    bounds = Area(100, 100, (1 << 16) + 100, (1 << 16) + 100)
+
+    mem_tree = build_split_tree(
+        narrow_stats(rd.from_arrow(table).repartition(8)),
+        shift=0, bounds=bounds,
+    )
+    monkeypatch.setenv(NARROW_SPILL_BYTES_ENV, "0")
+    spill_ds = narrow_stats(rd.from_arrow(table).repartition(8))
+    spill_tree = build_split_tree(spill_ds, shift=0, bounds=bounds)
+
+    assert spill_tree.pack()["child_off"].tolist() == \
+        mem_tree.pack()["child_off"].tolist()
+    assert [tuple(vars(b).values()) for b in spill_tree.bounds] == [
+        tuple(vars(b).values()) for b in mem_tree.bounds
+    ]
