@@ -52,6 +52,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_split(sf_dir: str, table: str, columns=None, n: int = 16):
+    """Read + split into >= n blocks. The sf* fixture files are written as
+    ONE row group, so Ray's parquet reader yields one block and any
+    CPU-heavy map stage (minhash/simhash signatures, text stats) runs as a
+    single serial task. A real 100-TB input is thousands of files x row
+    groups and needs no help — this split-only repartition (no shuffle)
+    just restores the parallelism the fixture's layout hides."""
+    return _read(sf_dir, table, columns).repartition(n)
+
+
 def cents(x: np.ndarray) -> np.ndarray:
     v = np.asarray(x, np.float64) * 100.0
     return np.trunc(np.where(v >= 0, v + 0.5, v - 0.5)).astype(np.int64)
@@ -624,7 +634,7 @@ def q_top_users(sf_dir: str):
 
 
 def q_doc_stats(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         TextStats, batch_format="pandas",
         concurrency=pool_concurrency(), batch_size=None
@@ -655,19 +665,19 @@ def q_doc_lang_counts(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()
     return out.astype("int64")
 
 
 def q_dedup_minhash(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_candidates(ds, threshold=0.5).to_pandas()
     return out[["a", "b"]].astype("int64")
 
 
 def q_dedup_simhash(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = simhash_candidates(ds, max_hamming=3).to_pandas()
     return out[["a", "b", "hamming"]].astype("int64")
 
@@ -677,7 +687,7 @@ def q_minhash_sig(sf_dir: str):
     (a*x+b) mod 2^31-1 permutations of base-31 shingle polynomials — the
     DuckDB oracle recomputes the identical integer arithmetic closed form
     (graduates MinHash from a rows-only check)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         MinHashSig(), batch_format="pandas", batch_size=None
     ).to_pandas()
@@ -688,7 +698,7 @@ def q_simhash_sig(sf_dir: str):
     """SQL-checkable SimHash face: per-doc 64-bit SimHash over whitespace
     tokens' FNV-1a hashes (the oracle emulates uint64 wraparound with
     HUGEINT arithmetic)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         SimHashSig(), batch_format="pandas", batch_size=None
     ).to_pandas()
@@ -696,7 +706,7 @@ def q_simhash_sig(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         TextStats, batch_format="pandas",
         concurrency=pool_concurrency(), batch_size=None
@@ -705,7 +715,7 @@ def q_langid(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         TextStats, batch_format="pandas",
         concurrency=pool_concurrency(), batch_size=None
