@@ -1724,9 +1724,12 @@ def _o5m_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
     )
 
 
-def _binary_roundtrip(paths: list[str], read_table):
+def _binary_roundtrip(paths: list[str], parser):
     """Shared per-shard aggregate over all three element tables of a
-    binary OSM source (counts + coordinate/ref sums keyed by id % 8)."""
+    binary OSM source (counts + coordinate/ref sums keyed by id % 8).
+    Each shard is parsed ONCE and all three element partials come out of
+    that single decode — the previous shape built three Datasets over the
+    same files, paying the binary decode three times per shard."""
     from ray.data.aggregate import Sum
 
     def node_partial(batch: pa.Table) -> pd.DataFrame:
@@ -1788,17 +1791,24 @@ def _binary_roundtrip(paths: list[str], read_table):
 
     cols = ["n_nodes", "sum_lat_mu", "sum_lon_mu", "n_ways", "sum_refs",
             "n_rels", "sum_mem"]
-    ds = (
-        read_table(paths, "nodes")
-        .map_batches(node_partial, batch_format="pyarrow", batch_size=None)
-        .union(
-            read_table(paths, "ways").map_batches(
-                way_partial, batch_format="pyarrow", batch_size=None
-            ),
-            read_table(paths, "relations").map_batches(
-                rel_partial, batch_format="pyarrow", batch_size=None
-            ),
-        )
+
+    def parse_partial(batch: pa.Table) -> pd.DataFrame:
+        frames = []
+        for payload in batch["bytes"]:
+            nodes, ways, rels = parser(payload.as_py())
+            frames.append(node_partial(nodes))
+            frames.append(way_partial(ways))
+            frames.append(rel_partial(rels))
+        if not frames:
+            return pd.DataFrame(
+                {"shard": pd.Series([], dtype=np.int64)}
+                | {c: pd.Series([], dtype=np.int64) for c in cols}
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("shard", as_index=False).sum()
+
+    ds = _rd().read_binary_files(paths).map_batches(
+        parse_partial, batch_format="pyarrow", batch_size=None
     )
     out = (
         ds.groupby("shard")
@@ -1814,9 +1824,9 @@ def q_pbf_roundtrip(sf_dir: str):
     decode, delta way refs / relation memids — decoded from scratch, no
     protobuf library): per-shard aggregates over all three element tables
     must match closed forms from events."""
-    from ..sources.pbf import read_pbf_table
+    from ..sources.pbf import parse_pbf_bytes
 
-    return _binary_roundtrip(_pbf_fixture_dir(sf_dir), read_pbf_table)
+    return _binary_roundtrip(_pbf_fixture_dir(sf_dir), parse_pbf_bytes)
 
 
 def q_o5m_roundtrip(sf_dir: str):
@@ -1824,9 +1834,9 @@ def q_o5m_roundtrip(sf_dir: str):
     semantics: low-bit-sign varints, delta ids/coords/refs, 15000-entry
     string-reference ring, relation member type-digit roles): same
     per-shard closed forms as the PBF path."""
-    from ..sources.o5m import read_o5m_table
+    from ..sources.o5m import parse_o5m_bytes
 
-    return _binary_roundtrip(_o5m_fixture_dir(sf_dir), read_o5m_table)
+    return _binary_roundtrip(_o5m_fixture_dir(sf_dir), parse_o5m_bytes)
 
 
 def q_node_degree(sf_dir: str):
