@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hook_chain": Q.q_hook_chain,
         "mdr_index": Q.q_mdr_index,
         "sea_background": Q.q_sea_background,
+        "mp_sections": Q.q_mp_sections,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -991,5 +992,54 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN bg = 0 THEN 8192*u*u
                    WHEN bg = 2 THEN 3048*u*u ELSE 0 END AS sea_area2
             FROM s
+        """,
+        "mp_sections": """
+            WITH road AS (
+              SELECT 1 + o_orderkey % 31 AS type, 1 AS n,
+                     LEAST(o_orderkey % 10, 7) AS sum_speed,
+                     LEAST(o_orderkey % 6, 4) AS sum_class,
+                     o_orderkey % 2 AS n_oneway,
+                     (o_orderkey // 2) % 2 AS n_toll,
+                     1 + 4 * (o_orderkey % 2) AS sum_no_access,
+                     CASE o_orderkey % 3
+                       WHEN 0 THEN (CASE o_orderkey % 2
+                                    WHEN 0 THEN 24 ELSE 22 END)
+                       WHEN 1 THEN 22 ELSE 20 END AS sum_min_res,
+                     CASE o_orderkey % 2
+                       WHEN 0 THEN 24 ELSE 22 END AS sum_max_res,
+                     2 AS sum_nod, o_orderkey % 3 AS sum_numbers,
+                     0 AS sum_feet, 0 AS n_city
+              FROM orders
+            ), contour AS (
+              SELECT 32, 1, 0, 0, 0, 0, 0, 24, 24, 0, 0,
+                     CAST(trunc((o_orderkey % 997) * 3.2808399) AS BIGINT),
+                     0
+              FROM orders WHERE o_orderkey % 5 = 0
+            ), poi AS (
+              SELECT 42, 1, 0, 0, 0, 0, 0, 24, 24, 0, 0, 0, 1
+              FROM orders WHERE o_orderkey % 3 = 0
+            ), poly AS (
+              SELECT 80, 1, 0, 0, 0, 0, 0,
+                     CASE o_orderkey % 2 WHEN 0 THEN 24 ELSE 22 END,
+                     CASE o_orderkey % 2 WHEN 0 THEN 24 ELSE 22 END,
+                     0, 0, 0, 0
+              FROM orders WHERE o_orderkey % 4 = 0
+            ), u AS (
+              SELECT * FROM road UNION ALL SELECT * FROM contour
+              UNION ALL SELECT * FROM poi UNION ALL SELECT * FROM poly
+            )
+            SELECT type, SUM(n)::BIGINT AS n,
+                   SUM(sum_speed)::BIGINT AS sum_speed,
+                   SUM(sum_class)::BIGINT AS sum_class,
+                   SUM(n_oneway)::BIGINT AS n_oneway,
+                   SUM(n_toll)::BIGINT AS n_toll,
+                   SUM(sum_no_access)::BIGINT AS sum_no_access,
+                   SUM(sum_min_res)::BIGINT AS sum_min_res,
+                   SUM(sum_max_res)::BIGINT AS sum_max_res,
+                   SUM(sum_nod)::BIGINT AS sum_nod,
+                   SUM(sum_numbers)::BIGINT AS sum_numbers,
+                   SUM(sum_feet)::BIGINT AS sum_feet,
+                   SUM(n_city)::BIGINT AS n_city
+            FROM u GROUP BY type ORDER BY type
         """,
     }

@@ -2022,6 +2022,129 @@ def _mp_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
     return paths
 
 
+def _mp_full_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
+    """Richer .mp shards exercising the FULL PolishMapDataSource model:
+    header level table + metric elevation, roads with RouteParam /
+    Nod / Numbers / EndLevel, contour lines (metric label -> feet),
+    POIs with address fields, polygons. All values closed-form from
+    o_orderkey so a SQL oracle can reconstruct them."""
+    import os
+    import pyarrow.parquet as pq
+
+    from ..sources.polish import write_mp
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/mkgmap_ray_mpfull_{name}"
+    paths = [f"{out}/shard{s}.mp" for s in range(n_shards)]
+    if os.path.exists(f"{out}/_done"):
+        return paths
+    os.makedirs(out, exist_ok=True)
+    od = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ook = np.asarray(od["o_orderkey"], np.int64)
+    header = {"levels": [24, 22, 20, 18], "elevation": "M"}
+    for s in range(n_shards):
+        els = []
+        for ok in ook[(ook % n_shards) == s]:
+            ok = int(ok)
+            y0 = (ok * A_LAT) % SPAN
+            x0 = (ok * A_LON) % SPAN
+            els.append(
+                {
+                    "kind": 1, "type": 1 + ok % 31, "label": f"R{ok}",
+                    "level": ok % 2, "endlevel": ok % 3, "road_id": ok,
+                    "route_param": (
+                        f"{ok % 10},{ok % 6},{ok % 2},{(ok // 2) % 2},"
+                        f"1,0,{ok % 2}"
+                    ),
+                    "nod": [f"0,{1000 + ok},0", f"2,{2000 + ok},1"],
+                    "numbers": ["0,O,1,9,E,2,8"] * (ok % 3),
+                    "lat_mu": [y0, y0 + 100], "lon_mu": [x0, x0 + 100],
+                }
+            )
+            if ok % 5 == 0:
+                els.append(
+                    {"kind": 1, "type": 0x20, "label": str(ok % 997),
+                     "level": 0, "lat_mu": [y0, y0 + 50],
+                     "lon_mu": [x0, x0 + 50]}
+                )
+            if ok % 3 == 0:
+                els.append(
+                    {"kind": 0, "type": 0x2A, "label": f"P{ok}",
+                     "city": f"C{ok % 10}", "zip": f"{10000 + ok % 90}",
+                     "street": "Main", "house": str(1 + ok % 50),
+                     "level": 0, "lat_mu": [y0], "lon_mu": [x0]}
+                )
+            if ok % 4 == 0:
+                els.append(
+                    {"kind": 2, "type": 0x50, "level": ok % 2,
+                     "lat_mu": [y0, y0 + 80, y0 + 80, y0],
+                     "lon_mu": [x0, x0, x0 + 80, x0 + 80]}
+                )
+        write_mp(paths[s], els, header=header)
+    with open(f"{out}/_done", "w") as f:
+        f.write("ok")
+    return paths
+
+
+def q_mp_sections(sf_dir: str):
+    """Full Polish-format model end-to-end (header level table, EndLevel
+    resolutions, RouteParam clamping + denied-vehicle bits, Nod/Numbers,
+    metric contour labels, POI address fields, polygons —
+    ``PolishMapDataSource.java:356-682`` + ``RoadHelper.java:74-130``):
+    per-type aggregates the oracle reconstructs from orders."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.polish import read_mp
+
+    paths = _mp_full_fixture_dir(sf_dir)
+    ds = read_mp(paths)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(
+            ["kind", "type", "label", "city", "road_id", "speed",
+             "road_class", "oneway", "toll", "no_access", "min_res",
+             "max_res", "n_nod", "n_numbers"]
+        ).to_pandas()
+        road = df["road_id"].to_numpy() > 0
+        contour = df["type"].to_numpy() == 0x20
+        feet = np.where(
+            contour,
+            pd.to_numeric(df["label"], errors="coerce").fillna(0).to_numpy(),
+            0,
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "type": df["type"].astype(np.int64),
+                "n": 1,
+                "sum_speed": np.where(road, df["speed"], 0).astype(np.int64),
+                "sum_class": np.where(road, df["road_class"], 0).astype(
+                    np.int64
+                ),
+                "n_oneway": df["oneway"].astype(np.int64),
+                "n_toll": df["toll"].astype(np.int64),
+                "sum_no_access": df["no_access"].astype(np.int64),
+                "sum_min_res": df["min_res"].astype(np.int64),
+                "sum_max_res": df["max_res"].astype(np.int64),
+                "sum_nod": df["n_nod"].astype(np.int64),
+                "sum_numbers": df["n_numbers"].astype(np.int64),
+                "sum_feet": feet,
+                "n_city": (df["city"].to_numpy() != "").astype(np.int64),
+            }
+        )
+        return out.groupby("type", as_index=False).sum()
+
+    cols = ["n", "sum_speed", "sum_class", "n_oneway", "n_toll",
+            "sum_no_access", "sum_min_res", "sum_max_res", "sum_nod",
+            "sum_numbers", "sum_feet", "n_city"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("type")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    return out.sort_values("type").reset_index(drop=True).astype("int64")
+
+
 def q_mp_roundtrip(sf_dir: str):
     """Polish .mp source end-to-end (``PolishMapDataSource`` semantics):
     orders → .mp shards → parse → per-type aggregates matching closed

@@ -107,6 +107,105 @@ class TestPolish:
         assert t["n_extra"].to_pylist() == [1]
 
 
+class TestPolishFull:
+    """Extended PolishMapDataSource semantics (header levels, EndLevel
+    resolutions, escapes, codepage recode, contour elevation, roads)."""
+
+    def test_unescape_codes(self):
+        from mkgmap_ray.sources.polish import unescape
+
+        # plain escape below 0x2a: literal character
+        assert unescape("a~[0x05]b") == "a\x05b"
+        # 6-bit format: >= 0x2a shifts down by 0x29
+        assert unescape("~[0x2a]") == "\x01"
+        # special-cased 0x1b2c -> 0x1c
+        assert unescape("~[0x1b2c]") == "\x1c"
+        # malformed code vanishes, rest preserved
+        assert unescape("x~[zz]y") == "xy"
+        assert unescape("no codes") == "no codes"
+
+    def test_endlevel_resolutions(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("[IMG ID]\nLevels=4\nLevel0=24\nLevel1=22\nLevel2=20\n"
+               "Level3=18\n[END-IMG ID]\n"
+               "[POLYLINE]\nType=0x5\nEndLevel=2\nData0=(1,1),(2,2)\n[END]\n"
+               "[POLYLINE]\nType=0x5\nData1=(1,1),(2,2)\n[END]\n"
+               "[POLYLINE]\nType=0x5\nEndLevel=9\nData0=(1,1),(2,2)\n[END]\n")
+        t = parse_mp_text(txt)
+        # EndLevel=2 -> min_res = bits(level2) = 20, max_res = bits(0) = 24
+        assert t["min_res"].to_pylist() == [20, 22, 18]
+        assert t["max_res"].to_pylist() == [24, 22, 24]
+
+    def test_contour_elevation_metric(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("[IMG ID]\nElevation=M\n[END-IMG ID]\n"
+               "[POLYLINE]\nType=0x20\nLabel=100\nData0=(1,1),(2,2)\n[END]\n"
+               "[POLYLINE]\nType=0x4\nLabel=100\nData0=(1,1),(2,2)\n[END]\n"
+               "[POLYLINE]\nType=0x21\nLabel=peak\nData0=(1,1)\n[END]\n")
+        t = parse_mp_text(txt)
+        # int(100 * 3.2808399) = 328 (Java int truncation); non-contour
+        # and non-numeric labels untouched
+        assert t["label"].to_pylist() == ["328", "100", "peak"]
+
+    def test_codepage_recode(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        # bytes 0xE4 in cp1250 = "ä"-position differs from latin-1? use a
+        # char that differs: 0xB9 is "¹" in latin-1 but "ą" in cp1250
+        txt = ("[IMG ID]\nCodePage=1250\n[END-IMG ID]\n"
+               "[POI]\nType=0x1\nLabel=\xb9\nData0=(1,1)\n[END]\n")
+        t = parse_mp_text(txt)
+        assert t["label"].to_pylist() == ["ą"]  # ą
+
+    def test_route_param_and_road_fields(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("[POLYLINE]\nType=0x4\nRoadID=77\n"
+               "RouteParam=9,-1,1,0,1,0,1\n"
+               "DirIndicator=1\nNod1=0,101,0\nNod2=2,102,1\n"
+               "Numbers1=0,O,1,9,E,2,8\n"
+               "Data0=(1,1),(2,2),(3,3)\n[END]\n")
+        t = parse_mp_text(txt)
+        assert t["road_id"].to_pylist() == [77]
+        assert t["speed"].to_pylist() == [7]        # clamp 9 -> 7
+        assert t["road_class"].to_pylist() == [0]   # clamp -1 -> 0
+        assert t["oneway"].to_pylist() == [True]
+        assert t["toll"].to_pylist() == [False]
+        # denied: emergency(bit0)=1, delivery(bit1)=0, car(bit2)=1
+        assert t["no_access"].to_pylist() == [0b101]
+        assert t["dir_indicator"].to_pylist() == [True]
+        assert t["n_nod"].to_pylist() == [2]
+        assert t["n_numbers"].to_pylist() == [1]
+
+    def test_address_fields_and_label2(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("[POI]\nType=0x2a\nLabel=Cafe\nLabel2=Second\n"
+               "CityName=Town\nZipCode=12345\nStreetDesc=Main St\n"
+               "HouseNumber=7\nPhone=555\nCountryName=Freedonia\n"
+               "RegionName=West\nis_in=Town, Freedonia\n"
+               "Data0=(1,1)\n[END]\n")
+        t = parse_mp_text(txt)
+        row = {c: t[c].to_pylist()[0] for c in t.column_names}
+        assert row["label"] == "Cafe" and row["label2"] == "Second"
+        assert row["city"] == "Town" and row["zip"] == "12345"
+        assert row["street"] == "Main St" and row["house"] == "7"
+        assert row["phone"] == "555" and row["country"] == "Freedonia"
+        assert row["region"] == "West" and row["is_in"] == "Town, Freedonia"
+
+    def test_subtype_only_for_points(self):
+        from mkgmap_ray.sources.polish import parse_mp_text
+
+        txt = ("[POLYLINE]\nType=0x2\nSubType=0x17\nData0=(1,1),(2,2)\n"
+               "[END]\n")
+        t = parse_mp_text(txt)
+        # SubType is a point-section key; in a polyline it's an extra attr
+        assert t["type"].to_pylist() == [0x2]
+        assert t["n_extra"].to_pylist() == [1]
+
+
 class TestHgt:
     def test_roundtrip_and_orientation(self, tmp_path):
         import numpy as np
