@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdr_index": Q.q_mdr_index,
         "sea_background": Q.q_sea_background,
         "mp_sections": Q.q_mp_sections,
+        "value_filters": Q.q_value_filters,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -1041,5 +1042,43 @@ def oracle_sql() -> dict[str, str]:
                    SUM(sum_feet)::BIGINT AS sum_feet,
                    SUM(n_city)::BIGINT AS n_city
             FROM u GROUP BY type ORDER BY type
+        """,
+        "value_filters": """
+            WITH t AS (
+              SELECT o_orderkey,
+                CASE o_orderkey % 3
+                  WHEN 0 THEN 'A ' || (o_orderkey % 100)
+                  WHEN 1 THEN 'B' || (o_orderkey % 10) || ';C'
+                              || (o_orderkey % 10)
+                  ELSE 'LONGROADNAME99' END AS ref,
+                CASE o_orderkey % 6
+                  WHEN 0 THEN 'Deutschland' WHEN 1 THEN 'UK'
+                  WHEN 2 THEN 'France' WHEN 3 THEN 'Atlantis'
+                  WHEN 4 THEN 'US' ELSE 'Suomi' END AS country,
+                CASE WHEN o_orderkey % 4 = 0 THEN 'x;y' ELSE 'y;z' END
+                  AS exits,
+                'x' AS e
+              FROM orders
+            ), f AS (
+              SELECT *,
+                replace(replace(ref, ' ', ''), ';', '/') AS shield,
+                CASE WHEN o_orderkey % 5 = 0 THEN ref ELSE 'X' END
+                  AS int_ref
+              FROM t
+            )
+            SELECT o_orderkey,
+              (CASE WHEN length(shield) > 6 THEN ref
+                    ELSE chr(5) || shield END)
+              || '/' ||
+              (CASE country WHEN 'Deutschland' THEN 'DEU'
+                    WHEN 'UK' THEN 'GBR' WHEN 'France' THEN 'FRA'
+                    WHEN 'US' THEN 'USA' WHEN 'Suomi' THEN 'FIN'
+                    ELSE country END)
+              || '/' ||
+              (CASE WHEN ref = int_ref THEN '-' ELSE ref END)
+              || '/' ||
+              (CASE WHEN ';' || exits || ';' LIKE '%;' || e || ';%'
+                    THEN '-' ELSE e END) AS name
+            FROM f ORDER BY o_orderkey
         """,
     }

@@ -1111,6 +1111,71 @@ def q_style_apply(sf_dir: str):
     return out
 
 
+VALUE_FILTER_STYLE = (
+    "ref=* {name "
+    "'${ref|highway-symbol:box:6:6|def:-}"
+    "/${country|country-ISO}"
+    "/${ref|not-equal:int_ref|def:-}"
+    "/${e|not-contained:;:exits|def:-}'} [0x1 resolution 24]\n"
+)
+
+_VF_COUNTRIES = ["Deutschland", "UK", "France", "Atlantis", "US", "Suomi"]
+
+
+def q_value_filters(sf_dir: str):
+    """Value-filter parity for the four round-2-missing filters
+    (``osmstyle/actions/HighwaySymbolFilter.java:52-116``,
+    ``CountryISOFilter.java:30-38``, ``NotEqualFilter.java:28-40``,
+    ``NotContainedFilter.java:44-60``): closed-form tags from o_orderkey,
+    one styled label chaining all four filters; oracle is the string-op
+    mirror."""
+    from ..stages.stylestage import apply_style
+
+    def to_tags(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        m3 = ok % 3
+        num = (ok % 100).astype(str)
+        d = (ok % 10).astype(str)
+        ref = np.where(
+            m3 == 0,
+            np.char.add("A ", num),
+            np.where(
+                m3 == 1,
+                np.char.add(np.char.add("B", d), np.char.add(";C", d)),
+                "LONGROADNAME99",
+            ),
+        )
+        country = np.asarray(_VF_COUNTRIES, object)[ok % 6]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "ref": pa.array(ref, pa.string()),
+                "int_ref": pa.array(
+                    np.where(ok % 5 == 0, ref, "X"), pa.string()
+                ),
+                "country": pa.array(country, pa.string()),
+                "exits": pa.array(
+                    np.where(ok % 4 == 0, "x;y", "y;z"), pa.string()
+                ),
+                "e": pa.array(np.full(len(ok), "x"), pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        to_tags, batch_format="pyarrow", batch_size=None
+    )
+    out = apply_style(
+        ds, VALUE_FILTER_STYLE,
+        tag_columns={c: c for c in
+                     ("ref", "int_ref", "country", "exits", "e")},
+        keep=["o_orderkey"],
+    ).to_pandas()
+    out = out[["o_orderkey", "name"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["name"] = out["name"].astype(object)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # --- merge / ring assembly (group-local greedy, LineMergeFilter /
 # --- MultiPolygonRelation.joinWays semantics) -------------------------------
 

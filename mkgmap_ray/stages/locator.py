@@ -44,3 +44,53 @@ class Locator:
         return (
             col.astype("string").str.strip().str.lower().map(self.variants)
         ).astype("string")
+
+
+# Country name/variant -> 3-letter Garmin ISO code
+# (``build/LocatorConfig.java:270-283`` + ``resources/LocatorConfig.xml``
+# ``<country abr=...><variant>`` entries — a representative subset; the
+# full table is configuration data loaded the same way).
+COUNTRY_ISO: dict[str, str] = {}
+
+
+def _add_iso(iso: str, *names: str) -> None:
+    for n in (iso[:2],) + names:
+        COUNTRY_ISO[n] = iso
+        COUNTRY_ISO[n.upper()] = iso
+    COUNTRY_ISO[iso] = iso
+
+
+_add_iso("DEU", "Germany", "Deutschland")
+_add_iso("GBR", "United Kingdom", "UK", "Great Britain")
+_add_iso("FRA", "France")
+_add_iso("USA", "United States", "US", "United States of America")
+_add_iso("ESP", "Spain", "España")
+_add_iso("ITA", "Italy", "Italia")
+_add_iso("NLD", "Netherlands", "Nederland", "NL")
+_add_iso("BEL", "Belgium", "België", "Belgique")
+_add_iso("AUT", "Austria", "Österreich", "AT")
+_add_iso("CHE", "Switzerland", "Schweiz", "Suisse", "CH")
+_add_iso("POL", "Poland", "Polska", "PL")
+_add_iso("CZE", "Czechia", "Česko", "Czech Republic", "CZ")
+_add_iso("DNK", "Denmark", "Danmark", "DK")
+_add_iso("SWE", "Sweden", "Sverige", "SE")
+_add_iso("NOR", "Norway", "Norge", "NO")
+_add_iso("FIN", "Finland", "Suomi", "FI")
+_add_iso("PRT", "Portugal", "PT")
+_add_iso("IRL", "Ireland", "Éire", "IE")
+_add_iso("CAN", "Canada", "CA")
+_add_iso("AUS", "Australia", "AU")
+_add_iso("JPN", "Japan", "日本", "JP")
+_add_iso("AFG", "Afghanistan", "AF")
+_add_iso("ALB", "Albania", "Shqipëria", "AL")
+_add_iso("DZA", "Algeria", "Algérie", "DZ")
+
+
+def country_iso_series(col: pd.Series) -> pd.Series:
+    """``CountryISOFilter`` semantics: exact lookup, then
+    ``upper().trim()`` retry; unknown values pass through unchanged
+    (``osmstyle/actions/CountryISOFilter.java:30-38``)."""
+    col = col.astype("string")
+    hit = col.map(COUNTRY_ISO)
+    retry = col.str.upper().str.strip().map(COUNTRY_ISO)
+    return hit.fillna(retry).fillna(col)

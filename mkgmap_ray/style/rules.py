@@ -71,10 +71,20 @@ class RuleSet:
 
         def action_tags(a: Action) -> set:
             out = {a.key} if a.key else set()
-            # a spec is "tag" or "tag|filter:arg|..." — only the tag
-            out |= {
-                spec.split("|", 1)[0] for spec in _SUB_RE.findall(a.value)
-            }
+            # a spec is "tag" or "tag|filter:arg|..." — the tag itself,
+            # plus any OTHER tag a not-contained/not-equal filter compares
+            # against (those must survive projection pushdown too)
+            for spec in _SUB_RE.findall(a.value):
+                pieces = spec.split("|")
+                out.add(pieces[0])
+                for f in pieces[1:]:
+                    fname, _, farg = f.partition(":")
+                    if fname == "not-equal" and farg:
+                        out.add(farg)
+                    elif fname == "not-contained":
+                        other = farg.partition(":")[2]
+                        if other:
+                            out.add(other)
             for s in a.sub:
                 out |= action_tags(s)
             return {
@@ -268,12 +278,26 @@ class RuleSet:
                 tags[key] = pd.Series([pd.NA] * n, dtype="string")
 
 
-def _apply_value_filters(col: pd.Series, filters: list[str]) -> pd.Series:
+# Garmin magic highway-shield prefix characters
+# (``osmstyle/actions/HighwaySymbolFilter.java:42-49``).
+_HIGHWAY_SYMBOLS = {
+    "interstate": "\x01", "shield": "\x02", "round": "\x03",
+    "hbox": "\x04", "box": "\x05", "oval": "\x06",
+}
+
+
+def _apply_value_filters(
+    col: pd.Series, filters: list[str],
+    tags: dict[str, pd.Series] | None = None,
+) -> pd.Series:
     """``${tag|filter:arg|...}`` value-filter chain
     (``osmstyle/actions/*Filter.java``): ``subst:from=>to`` (replace-all,
     ``from~>to`` regex), ``substring:start[:end]``, ``part:sep[:n]`` (1-based,
     negative counts from the end; missing part → NA), ``def:x`` (default for
-    missing/empty), ``prepend:x``. Unsupported filters raise at compile."""
+    missing/empty), ``prepend:x``, ``highway-symbol:sym[:maxAN[:maxA]]``,
+    ``country-ISO``, ``not-contained:sep:tag``, ``not-equal:tag`` (the last
+    two compare against ANOTHER tag of the same element, hence ``tags``).
+    Unsupported filters raise at compile."""
     for f in filters:
         name, _, arg = f.partition(":")
         if name == "subst":
@@ -314,6 +338,46 @@ def _apply_value_filters(col: pd.Series, filters: list[str]) -> pd.Series:
         elif name == "prepend":
             col = pd.Series([arg] * len(col), dtype="string").str.cat(col)
             col = col.mask(col.isna())
+        elif name == "highway-symbol":
+            # HighwaySymbolFilter.java:52-116: strip spaces, ';'->'/',
+            # prefix the Garmin magic char unless the shield text exceeds
+            # the length cap (alphanumeric vs alpha-only caps differ)
+            bits = arg.split(":")
+            sym = _HIGHWAY_SYMBOLS.get(bits[0], f"[{bits[0]}]")
+            max_an = int(bits[1]) if len(bits) > 1 else 8
+            max_a = int(bits[2]) if len(bits) > 2 else max_an
+            shield = col.str.replace(" ", "", regex=False).str.replace(
+                ";", "/", regex=False
+            )
+            is_an = shield.str.contains(r"\d", regex=True, na=False)
+            ln = shield.str.len()
+            too_long = (is_an & (ln > max_an)) | (~is_an & (ln > max_a))
+            col = col.where(too_long.fillna(False), sym + shield)
+        elif name == "country-ISO":
+            from ..stages.locator import country_iso_series
+
+            col = country_iso_series(col)
+        elif name == "not-contained":
+            # NotContainedFilter.java:44-60: NA unless value is absent
+            # from the OTHER tag's sep-separated list (missing tag ->
+            # value passes). Pairwise containment via np.char elementwise.
+            sep, _, other = arg.partition(":")
+            sep = sep or ";"
+            if not other:
+                raise ValueError(f"not-contained needs sep:tag, got {arg!r}")
+            tagv = (tags or {}).get(other)
+            if tagv is not None:
+                tagv = tagv.astype("string")
+                both = col.notna() & tagv.notna()
+                hay = (sep + tagv.fillna("") + sep).to_numpy(str)
+                needle = (sep + col.fillna("") + sep).to_numpy(str)
+                contained = np.char.find(hay, needle) >= 0
+                col = col.mask(both.to_numpy() & contained)
+        elif name == "not-equal":
+            # NotEqualFilter.java:28-40: NA when equal to the other tag
+            tagv = (tags or {}).get(arg)
+            if tagv is not None:
+                col = col.mask((col == tagv.astype("string")).fillna(False))
         else:
             raise ValueError(f"unsupported value filter: {name!r}")
     return col
@@ -339,7 +403,7 @@ def _substitute(template: str, tags: dict[str, pd.Series], n: int) -> pd.Series:
             col = pd.Series([pd.NA] * n, dtype="string")
         col = col.astype("string")
         if filters:
-            col = _apply_value_filters(col, filters)
+            col = _apply_value_filters(col, filters, tags)
         cols[i] = col
         ok &= col.notna().to_numpy()
     result = pd.Series([parts[0]] * n, dtype="string")

@@ -194,6 +194,52 @@ class TestValueFilters:
         rs = compile_style("a=* {set b='${c|def:x} ${d|part:;:1}'}\n")
         assert rs.used_tags() == {"a", "b", "c", "d"}
 
+    def test_highway_symbol(self):
+        # HighwaySymbolFilter: spaces stripped, ';'->'/', magic prefix
+        assert self.run("${a|highway-symbol:box}", a=["A 67"]) == [
+            "\x05A67"
+        ]
+        assert self.run("${a|highway-symbol:box}", a=["B3;B4"]) == [
+            "\x05B3/B4"
+        ]
+        # unknown symbol name -> bracketed literal prefix
+        assert self.run("${a|highway-symbol:xyz}", a=["A1"]) == ["[xyz]A1"]
+        # alphanumeric over maxAlphaNum cap -> original value untouched
+        assert self.run(
+            "${a|highway-symbol:box:3:5}", a=["A6144", "QEW", "TOOLONG"]
+        ) == ["A6144", "\x05QEW", "TOOLONG"]
+        assert self.run("${a|highway-symbol:box}", a=[None]) == [None]
+
+    def test_country_iso(self):
+        assert self.run(
+            "${a|country-ISO}",
+            a=["Deutschland", "UK", "united kingdom ", "Atlantis", None],
+        ) == ["DEU", "GBR", "GBR", "Atlantis", None]
+
+    def test_not_equal(self):
+        # value suppressed where equal to the OTHER tag
+        assert self.run(
+            "${a|not-equal:b}", a=["x", "y", "z"], b=["x", "q", None]
+        ) == [None, "y", "z"]
+
+    def test_not_contained(self):
+        # value suppressed where contained in the other tag's ;-list
+        assert self.run(
+            "${a|not-contained:;:b}",
+            a=["x", "x", "x", None],
+            b=["x;y", "xx;y", None, "x"],
+        ) == [None, "x", "x", None]
+        # custom separator
+        assert self.run(
+            "${a|not-contained:,:b}", a=["x"], b=["x,y"]
+        ) == [None]
+
+    def test_used_tags_sees_filter_refs(self):
+        rs = compile_style(
+            "a=* {set b='${c|not-equal:d}'; set e='${f|not-contained:;:g}'}\n"
+        )
+        assert rs.used_tags() == {"a", "b", "c", "d", "e", "f", "g"}
+
 
 class TestStyleFunctions:
     def test_length_area_closed_predicates(self, ray_session):
