@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sea_background": Q.q_sea_background,
         "mp_sections": Q.q_mp_sections,
         "value_filters": Q.q_value_filters,
+        "poly_bool": Q.q_poly_bool,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -1080,5 +1081,25 @@ def oracle_sql() -> dict[str, str]:
               (CASE WHEN ';' || exits || ';' LIKE '%;' || e || ';%'
                     THEN '-' ELSE e END) AS name
             FROM f ORDER BY o_orderkey
+        """,
+        "poly_bool": """
+            WITH t AS (
+              SELECT o_orderkey,
+                     4 + o_orderkey % 7 AS w, 4 + o_orderkey % 5 AS h,
+                     o_orderkey % 10 - 2 AS dx, o_orderkey % 8 - 2 AS dy,
+                     3 + o_orderkey % 6 AS u, 3 + o_orderkey % 4 AS v
+              FROM orders WHERE o_orderkey % 3 = 0
+            ), i AS (
+              SELECT *,
+                GREATEST(0, LEAST(w, dx + u) - GREATEST(0, dx))
+                * GREATEST(0, LEAST(h, dy + v) - GREATEST(0, dy)) AS ia
+              FROM t
+            )
+            SELECT o_orderkey,
+                   2 * ia AS inter2,
+                   2 * (w * h + u * v - ia) AS union2,
+                   2 * (w * h - ia) AS diff2,
+                   2 * (w * h + u * v - 2 * ia) AS xor2
+            FROM i ORDER BY o_orderkey
         """,
     }

@@ -1176,6 +1176,55 @@ def q_value_filters(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_poly_bool(sf_dir: str):
+    """General polygon boolean ops (Martinez sweep,
+    ``geom/polybool.py`` — the Java2D ``Area`` add/intersect/subtract/
+    exclusiveOr analogue, ``util/Java2DConverter.java:50-263``):
+    per-order rectangle pairs covering overlap / disjoint / nested /
+    edge-touching cases; doubled result areas for all four ops, which
+    the oracle reproduces with interval algebra."""
+    from ..geom.polybool import (
+        DIFFERENCE, INTERSECTION, UNION, XOR, boolean_op, rings_area2,
+    )
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        ok = ok[ok % 3 == 0]
+        w = 4 + ok % 7
+        h = 4 + ok % 5
+        dx = ok % 10 - 2
+        dy = ok % 8 - 2
+        u = 3 + ok % 6
+        v = 3 + ok % 4
+        cols = {"inter2": [], "union2": [], "diff2": [], "xor2": []}
+        for i in range(len(ok)):
+            a = [[(0, 0), (int(w[i]), 0), (int(w[i]), int(h[i])),
+                  (0, int(h[i]))]]
+            b0x, b0y = int(dx[i]), int(dy[i])
+            b = [[(b0x, b0y), (b0x + int(u[i]), b0y),
+                  (b0x + int(u[i]), b0y + int(v[i])),
+                  (b0x, b0y + int(v[i]))]]
+            for col, op in (
+                ("inter2", INTERSECTION), ("union2", UNION),
+                ("diff2", DIFFERENCE), ("xor2", XOR),
+            ):
+                cols[col].append(
+                    int(round(rings_area2(boolean_op(a, b, op))))
+                )
+        return pa.table(
+            {"o_orderkey": pa.array(ok, pa.int64())}
+            | {k: pa.array(np.asarray(val, np.int64), pa.int64())
+               for k, val in cols.items()}
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # --- merge / ring assembly (group-local greedy, LineMergeFilter /
 # --- MultiPolygonRelation.joinWays semantics) -------------------------------
 
