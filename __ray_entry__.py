@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mp_sections": Q.q_mp_sections,
         "value_filters": Q.q_value_filters,
         "poly_bool": Q.q_poly_bool,
+        "border_nodes": Q.q_border_nodes,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -1101,5 +1102,30 @@ def oracle_sql() -> dict[str, str]:
                    2 * (w * h - ia) AS diff2,
                    2 * (w * h + u * v - 2 * ia) AS xor2
             FROM i ORDER BY o_orderkey
+        """,
+        "border_nodes": """
+            WITH r AS (
+              SELECT o_orderkey AS way_id,
+                     (o_orderkey * 7919) % 100000 AS y,
+                     o_orderkey % 100 AS x0,
+                     o_orderkey % 100 + 30 + o_orderkey % 40 AS x1
+              FROM orders
+            ), c AS (
+              SELECT way_id, x0, x1,
+                CASE WHEN x0 <= 50 AND x1 >= 50 THEN 1 ELSE 0 END AS c1,
+                CASE WHEN x0 <= 75 AND x1 >= 75 AND y <= 50000
+                     THEN 1 ELSE 0 END AS c2
+              FROM r
+            )
+            SELECT way_id,
+              c1 + c2 AS n_cross,
+              c1 * (CASE WHEN x0 = 50 OR x1 = 50 THEN 1 ELSE 0 END)
+              + c2 * (CASE WHEN x0 = 75 OR x1 = 75 THEN 1 ELSE 0 END)
+                AS n_snap,
+              c1 * (CASE WHEN x0 = 50 OR x1 = 50 THEN 0 ELSE 1 END)
+              + c2 * (CASE WHEN x0 = 75 OR x1 = 75 THEN 0 ELSE 1 END)
+                AS n_new,
+              50 * c1 + 75 * c2 AS sum_ix
+            FROM c ORDER BY way_id
         """,
     }

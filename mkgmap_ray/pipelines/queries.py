@@ -1225,6 +1225,54 @@ def q_poly_bool(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q_border_nodes(sf_dir: str):
+    """Country-border routing-node check
+    (``osmstyle/StyledConverter.java:628-726``): horizontal roads derived
+    from o_orderkey against two vertical admin borders (x=50 full-height,
+    x=75 lower-half); per road the crossing / snap-to-node / new-node
+    counts and the summed intersection x — all reconstructable with
+    interval logic in SQL."""
+    import ray as _ray
+
+    from ..stages.borders import BorderNodeCheck
+    from ..util import pool_concurrency
+
+    borders = [
+        (np.array([0, 100000], np.int64), np.array([50, 50], np.int64)),
+        (np.array([0, 50000], np.int64), np.array([75, 75], np.int64)),
+    ]
+    ref = _ray.put(borders)
+
+    def to_roads(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        y = (ok * 7919) % 100000
+        x0 = ok % 100
+        x1 = x0 + 30 + ok % 40
+        return pa.table(
+            {
+                "way_id": pa.array(ok, pa.int64()),
+                "y1": pa.array(y, pa.int64()),
+                "x1": pa.array(x0, pa.int64()),
+                "y2": pa.array(y, pa.int64()),
+                "x2": pa.array(x1, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(to_roads, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            BorderNodeCheck,
+            fn_constructor_kwargs=dict(borders_ref=ref),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=pool_concurrency(),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("way_id").reset_index(drop=True)
+
+
 # --- merge / ring assembly (group-local greedy, LineMergeFilter /
 # --- MultiPolygonRelation.joinWays semantics) -------------------------------
 
