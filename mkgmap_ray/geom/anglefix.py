@@ -1,26 +1,36 @@
-"""Rounding-artifact repair (``osmstyle/WrongAngleFixer.java`` subset).
+"""Rounding-artifact repair (``osmstyle/WrongAngleFixer.java``).
 
 Rounding high-precision coordinates to map units (<2 m grid) can turn an
 almost-straight line into a zigzag when adjacent points round in
 opposite directions; the reference fixes these by MOVING points to a
 better rounded position or REMOVING them, coordinating through shared
 ``Coord`` identity so connected roads stay connected
-(``WrongAngleFixer`` class doc; MAX_BEARING_ERROR = 15°).
+(``WrongAngleFixer`` class doc; MAX_BEARING_ERROR = 15°,
+``optimizeWays`` pass loop at ``WrongAngleFixer.java:265-310``).
 
-Engine subset, group-local per tile:
+Engine form, group-local per tile:
 
 - decisions are made PER COORDINATE (the hp (lat, lon) key is the
   engine's replacement for Coord object identity, SURVEY.md §7.3), so a
   move applies consistently to every line sharing the point;
-- move: each coordinate's rounded position may shift to one of the four
-  neighbor grid positions if that reduces the summed bearing error of
-  all adjacent segments (across all lines through it);
-- remove: an interior, unshared point whose rounded angle error exceeds
-  the tolerance and whose removal keeps the line within tolerance is
-  dropped.
+- MULTI-PASS like the reference (``maxPass = 20``): each pass
+  recomputes bearing errors from the current positions and only
+  re-examines still-bad points; moves are tried first, removals only
+  when no move helps; iteration stops when a pass changes nothing;
+- move: a bad coordinate's rounded position may shift to one of the
+  four neighbor grid positions if that reduces the summed bearing
+  error of all adjacent segments (across all lines through it);
+- remove: an interior, unshared point whose rounded angle error still
+  exceeds tolerance after the move passes and whose removal reduces it
+  is dropped (never on roundabouts — see below);
+- roundabouts (``WrongAngleFixer.java:364-371``): adjacent point pairs
+  on a roundabout where both points are shared with other ways are
+  "bad merge candidates" — they must never collapse to one position
+  (that would merge roundabout exits), and roundabout points are never
+  removed. 2-point ways likewise never merge to a single point.
 
-Deliberately out of scope vs the reference: the iterative multi-pass
-re-check and the special casing for roundabouts / overlap detection.
+Still out of scope vs the reference: the overlap/spike extra pass and
+the restriction-relation bookkeeping.
 """
 
 from __future__ import annotations
@@ -28,6 +38,9 @@ from __future__ import annotations
 import numpy as np
 
 MAX_BEARING_ERROR_DEG = 15.0
+MAX_BEARING_ERROR_HALF = MAX_BEARING_ERROR_DEG / 2
+MAX_PASS = 20
+_COLLAPSE_PENALTY = MAX_BEARING_ERROR_DEG * 4
 
 
 def _bearings(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
@@ -37,121 +50,159 @@ def _bearings(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     )
 
 
-def _angle_err(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    d = np.abs(a - b) % 360.0
+def _angle_err(a, b):
+    d = np.abs(np.asarray(a, float) - np.asarray(b, float)) % 360.0
     return np.minimum(d, 360.0 - d)
 
 
-def fix_wrong_angles(lines_hp, shift_bits: int = 6):
+def _bear(p, q) -> float:
+    return float(np.degrees(np.arctan2(q[1] - p[1], q[0] - p[0])))
+
+
+def fix_wrong_angles(lines_hp, shift_bits: int = 6, roundabout=None,
+                     max_pass: int = MAX_PASS):
     """``lines_hp``: list of (lat_hp, lon_hp) int arrays (hp = map units
-    << shift_bits). Returns list of (lat_mu, lon_mu) ROUNDED map-unit
-    lines with zigzag artifacts repaired. Shared coordinates move
-    consistently across every line through them; only unshared interior
-    points may be removed."""
+    << shift_bits). ``roundabout``: optional per-line bool flags.
+    Returns list of (lat_mu, lon_mu) ROUNDED map-unit lines with zigzag
+    artifacts repaired. Shared coordinates move consistently across
+    every line through them; only unshared interior points may be
+    removed."""
     scale = 1 << shift_bits
+    half = scale // 2
+    if roundabout is None:
+        roundabout = [False] * len(lines_hp)
 
-    def rnd(v):
-        return (np.asarray(v, np.int64) + scale // 2) >> shift_bits
+    def rnd_pt(p):
+        return ((p[0] + half) >> shift_bits, (p[1] + half) >> shift_bits)
 
-    # coordinate usage across all lines
+    # mutable per-line point lists (removals rewrite these)
+    lines = [
+        list(zip(map(int, la), map(int, lo))) for la, lo in lines_hp
+    ]
     use: dict[tuple[int, int], int] = {}
-    for la, lo in lines_hp:
-        for p in zip(map(int, la), map(int, lo)):
+    for pts in lines:
+        for p in pts:
             use[p] = use.get(p, 0) + 1
 
-    # candidate rounded position per unique hp coordinate: default plus
-    # 4 neighbors; choose the one minimizing summed bearing error of all
-    # adjacent hp segments (bearing target = true hp bearing)
-    move: dict[tuple[int, int], tuple[int, int]] = {}
-    adj: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for la, lo in lines_hp:
-        pts = list(zip(map(int, la), map(int, lo)))
-        for i, p in enumerate(pts):
-            for q in ([pts[i - 1]] if i else []) + (
-                [pts[i + 1]] if i + 1 < len(pts) else []
-            ):
-                adj.setdefault(p, []).append(q)
+    pos: dict[tuple[int, int], tuple[int, int]] = {}
+    for pts in lines:
+        for p in pts:
+            if p not in pos:
+                pos[p] = rnd_pt(p)
 
-    for p, neighbors in adj.items():
-        base = (int(rnd(np.asarray([p[0]]))[0]), int(rnd(np.asarray([p[1]]))[0]))
-        best = base
-        best_err = None
-        for dy, dx in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)):
-            cand = (base[0] + dy, base[1] + dx)
-            err = 0.0
-            for q in neighbors:
-                qr = (int(rnd(np.asarray([q[0]]))[0]),
-                      int(rnd(np.asarray([q[1]]))[0]))
-                true_b = np.degrees(
-                    np.arctan2(q[1] - p[1], q[0] - p[0])
+    # pairs that must never merge to one position
+    bad_merge: set[frozenset] = set()
+    for li, pts in enumerate(lines):
+        if len(pts) == 2:
+            bad_merge.add(frozenset(pts))
+        if roundabout[li]:
+            for i in range(len(pts) - 1):
+                if use.get(pts[i], 0) >= 2 and use.get(pts[i + 1], 0) >= 2:
+                    bad_merge.add(frozenset((pts[i], pts[i + 1])))
+    no_remove = {
+        p for li, pts in enumerate(lines) if roundabout[li] for p in pts
+    }
+
+    def adjacency():
+        adj: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for pts in lines:
+            for i, p in enumerate(pts):
+                if i:
+                    adj.setdefault(p, []).append(pts[i - 1])
+                if i + 1 < len(pts):
+                    adj.setdefault(p, []).append(pts[i + 1])
+        return adj
+
+    def point_err(p, cand, adj) -> float:
+        err = 0.0
+        for q in adj.get(p, ()):
+            qp = pos[q]
+            if qp == cand:
+                err += (
+                    np.inf if frozenset((p, q)) in bad_merge
+                    else _COLLAPSE_PENALTY
                 )
-                if (qr[0] - cand[0], qr[1] - cand[1]) == (0, 0):
-                    err += MAX_BEARING_ERROR_DEG * 4  # collapse penalty
+                continue
+            err += float(
+                _angle_err(_bear(p, q), _bear(cand, qp))
+            )
+        return err
+
+    for _pass in range(1, max_pass):
+        adj = adjacency()
+        bad = [
+            p for p in adj
+            if point_err(p, pos[p], adj) > MAX_BEARING_ERROR_HALF * max(
+                1, len(adj[p])
+            )
+        ]
+        if not bad:
+            break
+        changed = False
+        # move attempts, deterministic order
+        for p in sorted(bad):
+            base = rnd_pt(p)
+            cur = pos[p]
+            best, best_err = cur, point_err(p, cur, adj)
+            for dy, dx in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)):
+                cand = (base[0] + dy, base[1] + dx)
+                if cand == cur:
                     continue
-                got_b = np.degrees(
-                    np.arctan2(qr[1] - cand[1], qr[0] - cand[0])
+                err = point_err(p, cand, adj)
+                if err < best_err - 1e-9:
+                    best, best_err = cand, err
+            if best != cur:
+                pos[p] = best
+                changed = True
+        if changed:
+            continue
+        # no move helped: removal pass on still-bad, unshared,
+        # non-roundabout interior points
+        for li, pts in enumerate(lines):
+            i = 1
+            while i < len(pts) - 1:
+                p = pts[i]
+                if (
+                    use.get(p, 0) > 1
+                    or p in no_remove
+                    or point_err(p, pos[p], adj) <= MAX_BEARING_ERROR_HALF
+                    * max(1, len(adj.get(p, ())))
+                ):
+                    i += 1
+                    continue
+                prev_p, next_p = pts[i - 1], pts[i + 1]
+                err_here = max(
+                    float(_angle_err(_bear(prev_p, p),
+                                     _bear(pos[prev_p], pos[p]))),
+                    float(_angle_err(_bear(p, next_p),
+                                     _bear(pos[p], pos[next_p]))),
                 )
-                err += float(_angle_err(np.asarray([true_b]),
-                                        np.asarray([got_b]))[0])
-            if best_err is None or err < best_err - 1e-9:
-                best_err = err
-                best = cand
-        if best != base:
-            move[p] = best
+                if err_here <= MAX_BEARING_ERROR_DEG:
+                    i += 1
+                    continue
+                err_skip = (
+                    float(_angle_err(_bear(prev_p, next_p),
+                                     _bear(pos[prev_p], pos[next_p])))
+                    if pos[prev_p] != pos[next_p] else np.inf
+                )
+                if err_skip < err_here:
+                    del pts[i]
+                    use[p] -= 1
+                    changed = True
+                else:
+                    i += 1
+        if not changed:
+            break
 
     out = []
-    for la, lo in lines_hp:
-        pts = list(zip(map(int, la), map(int, lo)))
+    for pts in lines:
         rla, rlo = [], []
         for p in pts:
-            base = (int(rnd(np.asarray([p[0]]))[0]),
-                    int(rnd(np.asarray([p[1]]))[0]))
-            m = move.get(p, base)
+            m = pos[p]
+            if rla and (rla[-1], rlo[-1]) == m:
+                continue  # consecutive duplicates after rounding/moving
             rla.append(m[0])
             rlo.append(m[1])
-        # drop consecutive duplicates after rounding/moving
-        keep = [0] + [
-            i for i in range(1, len(rla))
-            if (rla[i], rlo[i]) != (rla[i - 1], rlo[i - 1])
-        ]
-        rla = [rla[i] for i in keep]
-        rlo = [rlo[i] for i in keep]
-        kept_pts = [pts[i] for i in keep]
-        # removal pass: unshared interior points whose rounded angle is
-        # still badly wrong and whose removal keeps the line straight
-        i = 1
-        while i < len(rla) - 1:
-            p = kept_pts[i]
-            if use.get(p, 0) > 1:
-                i += 1
-                continue
-            true_b = _bearings(
-                np.asarray([kept_pts[i - 1][0], p[0], kept_pts[i + 1][0]]),
-                np.asarray([kept_pts[i - 1][1], p[1], kept_pts[i + 1][1]]),
-            )
-            got_b = _bearings(
-                np.asarray(rla[i - 1 : i + 2]),
-                np.asarray(rlo[i - 1 : i + 2]),
-            )
-            err_here = float(_angle_err(true_b, got_b).max())
-            if err_here <= MAX_BEARING_ERROR_DEG:
-                i += 1
-                continue
-            # error without the point
-            true_skip = np.degrees(np.arctan2(
-                kept_pts[i + 1][1] - kept_pts[i - 1][1],
-                kept_pts[i + 1][0] - kept_pts[i - 1][0],
-            ))
-            got_skip = np.degrees(np.arctan2(
-                rlo[i + 1] - rlo[i - 1], rla[i + 1] - rla[i - 1]
-            ))
-            err_skip = float(_angle_err(
-                np.asarray([true_skip]), np.asarray([got_skip])
-            )[0])
-            if err_skip < err_here:
-                del rla[i], rlo[i], kept_pts[i]
-            else:
-                i += 1
         out.append(
             (np.asarray(rla, np.int64), np.asarray(rlo, np.int64))
         )

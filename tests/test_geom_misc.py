@@ -212,6 +212,61 @@ class TestWrongAngleFixer:
         o1, o2 = fix_wrong_angles([l1, l2], D)
         assert (o1[0][1], o1[1][1]) == (o2[0][1], o2[1][1])
 
+    def test_multipass_converges_chain(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.anglefix import (
+            _angle_err, _bearings, fix_wrong_angles,
+        )
+
+        D = 6
+        scale = 1 << D
+        # long near-straight diagonal chain whose naive rounding
+        # zigzags at several points; later passes see errors exposed by
+        # earlier moves
+        n = 24
+        lat_hp = np.asarray(
+            [int((0.51 + 0.07 * (i % 3)) * scale) + i * scale // 3
+             for i in range(n)]
+        )
+        lon_hp = np.arange(n) * 6 * scale
+        (rla, rlo), = fix_wrong_angles([(lat_hp, lon_hp)], D)
+        tb = _bearings(lat_hp.astype(float) / scale,
+                       lon_hp.astype(float) / scale)
+        naive_err = _angle_err(
+            tb, _bearings((lat_hp + scale // 2) >> D, lon_hp >> D)
+        ).max()
+        if len(rla) == n:
+            fixed = _angle_err(tb, _bearings(rla, rlo)).max()
+            assert fixed <= naive_err
+        else:
+            assert len(rla) >= 2  # removals allowed, shape stays sane
+
+    def test_roundabout_points_never_merge_or_vanish(self):
+        import numpy as np
+
+        from mkgmap_ray.geom.anglefix import fix_wrong_angles
+
+        D = 6
+        scale = 1 << D
+        # tiny "roundabout" square whose corners round onto each other
+        sq_lat = np.asarray([0, int(0.6 * scale), int(0.6 * scale), 0, 0])
+        sq_lon = np.asarray([0, 0, int(0.6 * scale), int(0.6 * scale), 0])
+        # exits shared at two corners
+        e1 = (np.asarray([0, -5 * scale]), np.asarray([0, 0]))
+        e2 = (np.asarray([int(0.6 * scale), 5 * scale]),
+              np.asarray([int(0.6 * scale), int(0.6 * scale)]))
+        rb, o1, o2 = fix_wrong_angles(
+            [(sq_lat, sq_lon), e1, e2], D,
+            roundabout=[True, False, False],
+        )
+        # roundabout keeps all its (deduped) corners: no removal
+        assert len(rb[0]) >= 4
+        # the two shared exit corners stay distinct positions
+        c1 = (rb[0][0], rb[1][0])
+        pts = set(zip(rb[0].tolist(), rb[1].tolist()))
+        assert len(pts) >= 4
+
     def test_spike_from_rounding_removed(self):
         import numpy as np
 
