@@ -87,6 +87,40 @@ def _zigzag_scalar(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+def _bulk_varints(slices: list[bytes]):
+    """Decode MANY packed-varint payloads in ONE vectorized pass (the
+    per-element ``decode_varints`` calls were the round-2 way/relation
+    decode bottleneck). Returns (values uint64 in slice order, count of
+    varints per slice int64)."""
+    if not slices:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    concat = b"".join(slices)
+    vals = decode_varints(concat)
+    a = np.frombuffer(concat, np.uint8)
+    lens = np.fromiter((len(s) for s in slices), np.int64, len(slices))
+    ends = np.cumsum(lens)
+    term = np.concatenate(
+        ([0], np.cumsum((a < 0x80).astype(np.int64)))
+    )
+    counts = term[ends] - term[ends - lens]
+    return vals, counts
+
+
+def _segmented_cumsum(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum (delta -> absolute ids) without a
+    Python loop: global cumsum minus each segment's starting offset."""
+    if len(vals) == 0:
+        return vals.astype(np.int64)
+    cs = np.cumsum(vals.astype(np.int64))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nz = counts > 0
+    offs = np.zeros(len(counts), np.int64)
+    s_nz = starts[nz]
+    offs_nz = np.where(s_nz > 0, cs[s_nz - 1], 0)
+    offs[nz] = offs_nz
+    return cs - np.repeat(offs, counts)
+
+
 # --- protobuf wire walker ----------------------------------------------------
 
 
@@ -350,12 +384,26 @@ def parse_pbf_bytes(data: bytes):
     """One .osm.pbf payload → (nodes, ways, relations) Arrow tables with
     the same schema as ``parse_osm_bytes`` (shared downstream plumbing)."""
     nid_all, nlat_all, nlon_all, ntags_all = [], [], [], []
-    wid, wrefs, wtags = [], [], []
-    rid, rmem, rtags = [], [], []
+    wid_np, wref_vals, wref_counts = [], [], []
+    wtag_keys, wtag_vals, wtag_counts = [], [], []
+    rid_np, rmem_refs, rmem_types, rmem_roles, rmem_counts = (
+        [], [], [], [], []
+    )
+    rtag_keys, rtag_vals, rtag_counts = [], [], []
 
     for kind, payload in _iter_blobs(data):
         if kind != "OSMData":
             continue
+        b_wid: list[int] = []
+        b_wkeys: list[bytes] = []
+        b_wvals: list[bytes] = []
+        b_wrefs: list[bytes] = []
+        b_rid: list[int] = []
+        b_rkeys: list[bytes] = []
+        b_rvals: list[bytes] = []
+        b_rroles: list[bytes] = []
+        b_rmem: list[bytes] = []
+        b_rtypes: list[bytes] = []
         strings: list[str] = []
         granularity = DEFAULT_GRANULARITY
         lat_off = lon_off = 0
@@ -432,53 +480,73 @@ def parse_pbf_bytes(data: bytes):
                         [(strings[int(k)], strings[int(x)])
                          for k, x in zip(keys, vals)]
                     )
-                elif f == 3:  # Way
-                    keys = vals = np.empty(0, np.uint64)
-                    refs = np.empty(0, np.int64)
+                elif f == 3:  # Way — defer packed payloads (bulk below)
                     w_id = 0
+                    kb = vb = rb = b""
                     for wf, _, wv in iter_fields(v):
                         if wf == 1:
                             w_id = wv
                         elif wf == 2:
-                            keys = decode_varints(wv)
+                            kb = wv
                         elif wf == 3:
-                            vals = decode_varints(wv)
+                            vb = wv
                         elif wf == 8:
-                            refs = np.cumsum(
-                                zigzag_decode(decode_varints(wv)))
-                    wid.append(w_id)
-                    wrefs.append(refs.tolist())
-                    wtags.append(
-                        [(strings[int(k)], strings[int(x)])
-                         for k, x in zip(keys, vals)]
-                    )
-                elif f == 4:  # Relation
-                    keys = vals = roles = types = np.empty(0, np.uint64)
-                    memids = np.empty(0, np.int64)
+                            rb = wv
+                    b_wid.append(w_id)
+                    b_wkeys.append(kb)
+                    b_wvals.append(vb)
+                    b_wrefs.append(rb)
+                elif f == 4:  # Relation — defer packed payloads
                     r_id = 0
+                    kb = vb = rob = mb = tb = b""
                     for rf, _, rv in iter_fields(v):
                         if rf == 1:
                             r_id = rv
                         elif rf == 2:
-                            keys = decode_varints(rv)
+                            kb = rv
                         elif rf == 3:
-                            vals = decode_varints(rv)
+                            vb = rv
                         elif rf == 8:
-                            roles = decode_varints(rv)
+                            rob = rv
                         elif rf == 9:
-                            memids = np.cumsum(
-                                zigzag_decode(decode_varints(rv)))
+                            mb = rv
                         elif rf == 10:
-                            types = decode_varints(rv)
-                    rid.append(r_id)
-                    rmem.append(
-                        [(int(t), int(m), strings[int(r)])
-                         for t, m, r in zip(types, memids, roles)]
-                    )
-                    rtags.append(
-                        [(strings[int(k)], strings[int(x)])
-                         for k, x in zip(keys, vals)]
-                    )
+                            tb = rv
+                    b_rid.append(r_id)
+                    b_rkeys.append(kb)
+                    b_rvals.append(vb)
+                    b_rroles.append(rob)
+                    b_rmem.append(mb)
+                    b_rtypes.append(tb)
+        # bulk-decode this blob's deferred way/relation payloads: ONE
+        # vectorized varint pass per field for the whole blob instead of
+        # one numpy call per element (round-2 planet-ingest wart), with
+        # string-table indices resolved by fancy indexing
+        sarr = np.asarray(strings, object)
+        if b_wid:
+            rv_, rc_ = _bulk_varints(b_wrefs)
+            kv_, kc_ = _bulk_varints(b_wkeys)
+            vv_, _ = _bulk_varints(b_wvals)
+            wid_np.append(np.asarray(b_wid, np.int64))
+            wref_vals.append(_segmented_cumsum(zigzag_decode(rv_), rc_))
+            wref_counts.append(rc_)
+            wtag_keys.append(sarr[kv_.astype(np.int64)])
+            wtag_vals.append(sarr[vv_.astype(np.int64)])
+            wtag_counts.append(kc_)
+        if b_rid:
+            mv_, mc_ = _bulk_varints(b_rmem)
+            tv_, _ = _bulk_varints(b_rtypes)
+            ro_, _ = _bulk_varints(b_rroles)
+            kv_, kc_ = _bulk_varints(b_rkeys)
+            vv_, _ = _bulk_varints(b_rvals)
+            rid_np.append(np.asarray(b_rid, np.int64))
+            rmem_refs.append(_segmented_cumsum(zigzag_decode(mv_), mc_))
+            rmem_types.append(tv_.astype(np.int8))
+            rmem_roles.append(sarr[ro_.astype(np.int64)])
+            rmem_counts.append(mc_)
+            rtag_keys.append(sarr[kv_.astype(np.int64)])
+            rtag_vals.append(sarr[vv_.astype(np.int64)])
+            rtag_counts.append(kc_)
 
     ids = np.concatenate(nid_all) if nid_all else np.empty(0, np.int64)
     lat = np.concatenate(nlat_all) if nlat_all else np.empty(0, np.int64)
@@ -494,34 +562,65 @@ def parse_pbf_bytes(data: bytes):
             "tag_vals": nv,
         }
     )
-    wk, wv = _tag_list_arrays(wtags)
+    # offsets-based list assembly: no Python list-of-lists materializes
+    wrc = _cat(wref_counts)
+    wtc = _cat(wtag_counts)
     ways = pa.table(
         {
-            "id": pa.array(wid, pa.int64()),
-            "n_refs": pa.array([len(r) for r in wrefs], pa.int64()),
-            "refs": pa.array(wrefs, pa.list_(pa.int64())),
-            "tag_keys": wk,
-            "tag_vals": wv,
+            "id": pa.array(_cat(wid_np), pa.int64()),
+            "n_refs": pa.array(wrc, pa.int64()),
+            "refs": _offsets_list(
+                wrc, pa.array(_cat(wref_vals), pa.int64())
+            ),
+            "tag_keys": _offsets_list(
+                wtc, pa.array(_cat_obj(wtag_keys), pa.string())
+            ),
+            "tag_vals": _offsets_list(
+                wtc, pa.array(_cat_obj(wtag_vals), pa.string())
+            ),
         }
     )
-    rk, rv = _tag_list_arrays(rtags)
+    rmc = _cat(rmem_counts)
+    rtc = _cat(rtag_counts)
     relations = pa.table(
         {
-            "id": pa.array(rid, pa.int64()),
-            "member_types": pa.array(
-                [[m[0] for m in ms] for ms in rmem], pa.list_(pa.int8())
+            "id": pa.array(_cat(rid_np), pa.int64()),
+            "member_types": _offsets_list(
+                rmc, pa.array(_cat(rmem_types, np.int8), pa.int8())
             ),
-            "member_refs": pa.array(
-                [[m[1] for m in ms] for ms in rmem], pa.list_(pa.int64())
+            "member_refs": _offsets_list(
+                rmc, pa.array(_cat(rmem_refs), pa.int64())
             ),
-            "member_roles": pa.array(
-                [[m[2] for m in ms] for ms in rmem], pa.list_(pa.string())
+            "member_roles": _offsets_list(
+                rmc, pa.array(_cat_obj(rmem_roles), pa.string())
             ),
-            "tag_keys": rk,
-            "tag_vals": rv,
+            "tag_keys": _offsets_list(
+                rtc, pa.array(_cat_obj(rtag_keys), pa.string())
+            ),
+            "tag_vals": _offsets_list(
+                rtc, pa.array(_cat_obj(rtag_vals), pa.string())
+            ),
         }
     )
     return nodes, ways, relations
+
+
+def _cat(arrs, dtype=np.int64):
+    return (
+        np.concatenate(arrs).astype(dtype) if arrs
+        else np.empty(0, dtype)
+    )
+
+
+def _cat_obj(arrs):
+    return np.concatenate(arrs) if arrs else np.empty(0, object)
+
+
+def _offsets_list(counts: np.ndarray, values: pa.Array) -> pa.ListArray:
+    offsets = np.concatenate(
+        ([0], np.cumsum(counts))
+    ).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
 def read_pbf_table(paths: list[str], table: str = "nodes"):
