@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_filters": Q.q_value_filters,
         "poly_bool": Q.q_poly_bool,
         "border_nodes": Q.q_border_nodes,
+        "rgn_bitstream": Q.q_rgn_bitstream,
+        "subdiv_tre": Q.q_subdiv_tre,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -242,6 +244,115 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "ann_ivf": _ann_exact_topk_sql(),
+        "rgn_bitstream": """
+            WITH pts AS (
+              SELECT o.o_orderkey AS k, t.j,
+                     o.o_orderkey % 4 AS s,
+                     CASE WHEN o.o_orderkey % 3 = 0 THEN 0
+                          WHEN o.o_orderkey % 3 = 1 THEN 200 ELSE 100 END AS off
+              FROM orders o,
+                   LATERAL unnest(range(0, 2 + o.o_orderkey % 12)) AS t(j)
+            ), coords AS (
+              SELECT k, j, s,
+                524288 + SUM(CASE WHEN j = 0 THEN 0
+                             ELSE (k*31 + j*17) % 201 - off END)
+                    OVER (PARTITION BY k ORDER BY j) AS x,
+                524288 + SUM(CASE WHEN j = 0 THEN 0
+                             ELSE (k*57 + j*23) % 201 - off END)
+                    OVER (PARTITION BY k ORDER BY j) AS y
+              FROM pts
+            ), loc AS (
+              SELECT k, j,
+                     (x + (CAST(1 AS BIGINT) << s) // 2) >> s AS lx,
+                     (y + (CAST(1 AS BIGINT) << s) // 2) >> s AS ly
+              FROM coords
+            ), d AS (
+              SELECT k,
+                     lx - lag(lx) OVER (PARTITION BY k ORDER BY j) AS dx,
+                     ly - lag(ly) OVER (PARTITION BY k ORDER BY j) AS dy
+              FROM loc
+              QUALIFY j > 0
+            ), agg AS (
+              SELECT k, min(dx) AS mindx, max(dx) AS maxdx,
+                        min(dy) AS mindy, max(dy) AS maxdy,
+                        count(*) AS n_deltas
+              FROM d GROUP BY k
+            ), bits AS (
+              SELECT k, n_deltas, mindx, maxdx, mindy, maxdy,
+                GREATEST(
+                  CASE WHEN mindx = 0 THEN 0
+                       ELSE CAST(floor(log2(abs(mindx))) AS BIGINT)+1 END,
+                  CASE WHEN maxdx = 0 THEN 0
+                       ELSE CAST(floor(log2(abs(maxdx))) AS BIGINT)+1 END) AS xb_raw,
+                GREATEST(
+                  CASE WHEN mindy = 0 THEN 0
+                       ELSE CAST(floor(log2(abs(mindy))) AS BIGINT)+1 END,
+                  CASE WHEN maxdy = 0 THEN 0
+                       ELSE CAST(floor(log2(abs(maxdy))) AS BIGINT)+1 END) AS yb_raw
+              FROM agg
+            ), based AS (
+              SELECT k, n_deltas, mindx, maxdx, mindy, maxdy,
+                CASE WHEN GREATEST(0, xb_raw-2) > 10
+                     THEN 9 + ((CASE WHEN GREATEST(0, xb_raw-2) % 2 = 0
+                                     THEN GREATEST(0, xb_raw-2)+1
+                                     ELSE GREATEST(0, xb_raw-2) END) - 9) // 2
+                     ELSE GREATEST(0, xb_raw-2) END AS xbase,
+                CASE WHEN GREATEST(0, yb_raw-2) > 10
+                     THEN 9 + ((CASE WHEN GREATEST(0, yb_raw-2) % 2 = 0
+                                     THEN GREATEST(0, yb_raw-2)+1
+                                     ELSE GREATEST(0, yb_raw-2) END) - 9) // 2
+                     ELSE GREATEST(0, yb_raw-2) END AS ybase
+              FROM bits
+            ), flags AS (
+              SELECT k, n_deltas, xbase, ybase,
+                CASE WHEN mindx < 0 AND maxdx > 0 THEN 0 ELSE 1 END AS x_same,
+                CASE WHEN NOT (mindx < 0 AND maxdx > 0) AND mindx < 0
+                     THEN 1 ELSE 0 END AS x_neg,
+                CASE WHEN mindy < 0 AND maxdy > 0 THEN 0 ELSE 1 END AS y_same,
+                CASE WHEN NOT (mindy < 0 AND maxdy > 0) AND mindy < 0
+                     THEN 1 ELSE 0 END AS y_neg
+              FROM based
+            )
+            SELECT k AS o_orderkey, xbase, ybase, x_same, x_neg, y_same,
+                   y_neg, n_deltas,
+              10 + x_same + y_same
+                + n_deltas * ((CASE WHEN xbase < 10 THEN 2 + xbase
+                                    ELSE 2*xbase - 7 END) + 1 - x_same
+                            + (CASE WHEN ybase < 10 THEN 2 + ybase
+                                    ELSE 2*ybase - 7 END) + 1 - y_same)
+                AS bit_len,
+              (10 + x_same + y_same
+                + n_deltas * ((CASE WHEN xbase < 10 THEN 2 + xbase
+                                    ELSE 2*xbase - 7 END) + 1 - x_same
+                            + (CASE WHEN ybase < 10 THEN 2 + ybase
+                                    ELSE 2*ybase - 7 END) + 1 - y_same)
+               + 7) // 8 AS byte_len
+            FROM flags
+        """,
+        "subdiv_tre": """
+            WITH f AS (
+              SELECT o_orderkey AS k,
+                     (o_orderkey * 53) % 4194304 AS min_lat,
+                     (o_orderkey * 97) % 4194304 AS min_lon,
+                     1 + (o_orderkey * 7) % 60000 AS h,
+                     1 + (o_orderkey * 11) % 60000 AS w,
+                     12 - o_orderkey % 13 AS shift
+              FROM orders
+            ), c AS (
+              SELECT k, min_lat, min_lon, shift,
+                     (CAST(1 AS BIGINT) << shift) - 1 AS mask,
+                     (((2*min_lat + h) // 2
+                       + (CAST(1 AS BIGINT) << shift) - 1) >> shift) << shift AS clat,
+                     (((2*min_lon + w) // 2
+                       + (CAST(1 AS BIGINT) << shift) - 1) >> shift) << shift AS clon
+              FROM f
+            )
+            SELECT k AS o_orderkey, clat AS center_lat, clon AS center_lon,
+                   ((2*(clon - min_lon) + 1) // 2 + mask) >> shift AS width,
+                   ((2*(clat - min_lat) + 1) // 2 + mask) >> shift AS height,
+                   shift
+            FROM c
+        """,
         "cell_assign_grid": """
             SELECT ((event_id * 48271) % 65536) // 4096 * 16
                  + ((event_id * 16807) % 65536) // 4096 AS cell,

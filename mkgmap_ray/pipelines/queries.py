@@ -3544,3 +3544,102 @@ def q_hook_chain(sf_dir: str):
     for c in ("oneway", "dest_hint", "dest_source", "residential"):
         out[c] = out[c].astype(object).where(out[c].notna(), "")
     return out.sort_values("way_id").reset_index(drop=True)
+
+
+def _seg_cumsum(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum: global cumsum minus the running total
+    at each segment's start."""
+    cs = np.cumsum(vals.astype(np.int64))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offs = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+    return cs - np.repeat(offs, counts)
+
+
+def q_rgn_bitstream(sf_dir: str):
+    """Garmin RGN delta bitstream face (``imgfmt/app/trergn/
+    LinePreparer.java:147-225`` + ``BitWriter.java``): per order a
+    deterministic polyline (monotonic / reversed / mixed-sign by
+    ``k % 3``) is shift-rounded and bit-packed by the vectorized batch
+    encoder; the query reports the wire-level header fields and stream
+    length, all of which the SQL oracle recomputes in closed form
+    (log2-based ``bitsNeeded``, ``bits2Base``/``base2Bits`` CASE math).
+    The bytes themselves are covered by the scalar-vs-vectorized and
+    decode-roundtrip tests in tests/test_bitstream.py."""
+    from ..stages.bitstream import encode_lines_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = 2 + k % 12
+        s = k % 4
+        off = np.select([k % 3 == 0, k % 3 == 1], [0, 200], 100)
+        total = int(n.sum())
+        line_of = np.repeat(np.arange(len(k), dtype=np.int64), n)
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n
+        )
+        kr = k[line_of]
+        offr = off[line_of]
+        ddx = np.where(j == 0, 0, (kr * 31 + j * 17) % 201 - offr)
+        ddy = np.where(j == 0, 0, (kr * 57 + j * 23) % 201 - offr)
+        x = 524288 + _seg_cumsum(ddx, n)
+        y = 524288 + _seg_cumsum(ddy, n)
+        offsets = np.concatenate(([0], np.cumsum(n))).astype(np.int32)
+        xs = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(x, pa.int64())
+        )
+        ys = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(y, pa.int64())
+        )
+        enc = encode_lines_batch(xs, ys, shift=s)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "xbase": pa.array(enc["xbase"], pa.int64()),
+                "ybase": pa.array(enc["ybase"], pa.int64()),
+                "x_same": pa.array(enc["x_same"].astype(np.int64)),
+                "x_neg": pa.array(enc["x_neg"].astype(np.int64)),
+                "y_same": pa.array(enc["y_same"].astype(np.int64)),
+                "y_neg": pa.array(enc["y_neg"].astype(np.int64)),
+                "n_deltas": pa.array(enc["n_deltas"], pa.int64()),
+                "bit_len": pa.array(enc["bit_len"], pa.int64()),
+                "byte_len": pa.array(enc["byte_len"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_subdiv_tre(sf_dir: str):
+    """TRE subdivision record encoding (``imgfmt/app/trergn/
+    Subdivision.java:104-137`` + ``Utils.roundUp``): per order a synthetic
+    area + resolution; the query emits the encoded center (rounded up to
+    a 2^shift multiple) and shifted half-extent width/height, mirrored
+    exactly by integer SQL."""
+    from ..stages.bitstream import subdivision_records
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        min_lat = (k * 53) % (1 << 22)
+        min_lon = (k * 97) % (1 << 22)
+        h = 1 + (k * 7) % 60000
+        w = 1 + (k * 11) % 60000
+        res = 12 + k % 13
+        rec = subdivision_records(
+            min_lat, min_lat + h, min_lon, min_lon + w, res
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "center_lat": pa.array(rec["center_lat"], pa.int64()),
+                "center_lon": pa.array(rec["center_lon"], pa.int64()),
+                "width": pa.array(rec["width"], pa.int64()),
+                "height": pa.array(rec["height"], pa.int64()),
+                "shift": pa.array(rec["shift"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )

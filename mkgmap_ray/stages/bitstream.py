@@ -1,0 +1,507 @@
+"""Garmin RGN line/shape delta bitstream (``imgfmt/app/trergn/
+LinePreparer.java`` + ``imgfmt/app/BitWriter.java``) re-expressed for
+Ray Data: a *vectorized* batch encoder packs every polyline of an Arrow
+batch in a handful of numpy passes (no per-line Python in the hot path),
+while a scalar encoder/decoder pair mirrors the Java field-for-field and
+serves as the test oracle.
+
+Semantics reproduced from the reference (cited by line):
+
+- local shifted coords: ``roundLatToLocalShifted`` /
+  ``roundLonToLocalShifted`` (``Subdivision.java:651-666``) —
+  ``(abs - center + (1<<shift)/2) >> shift`` (arithmetic shift).
+- per-line delta stats and base derivation ``calcDeltas``
+  (``LinePreparer.java:244-370``): ``bitsNeeded`` (bit length of |v|),
+  ``bits2Base`` / ``base2Bits`` (``LinePreparer.java:392-411``).
+- header layout + delta packing ``makeBitStream``
+  (``LinePreparer.java:147-225``): 4-bit x/y base, same-sign flags with
+  optional sign bit, optional ext-type and extra-node bits, then
+  ``putn(|d|)`` for same-sign streams and ``sputn`` two's-complement-
+  with-escape for mixed-sign streams (``BitWriter.java:108-131``).
+- polygons drop an equal closing point (``LinePreparer.java:252-256``);
+  with the extra node bit enabled, interior (0,0) deltas that are not
+  nodes are skipped (``LinePreparer.java:193-197``).
+
+The reference additionally shrinks the stream by retrying smaller bases
+(``makeShortestBitStream``, ``LinePreparer.java:77-141``) — a pure size
+optimization the decoder does not require; the vectorized path emits the
+canonical ``bsSimple`` stream (which the reference itself prefers on
+ties) and the scalar encoder exposes the escape coding so the decoder's
+extended-range branch is testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# --- base/bits helpers (LinePreparer.java:378-411) ---------------------------
+
+
+def bits_needed(v: np.ndarray) -> np.ndarray:
+    """Bit length of |v| (0 for 0). Exact for |v| < 2**52."""
+    av = np.abs(v.astype(np.int64)).astype(np.float64)
+    out = np.zeros(len(av), np.int64)
+    nz = av > 0
+    out[nz] = np.floor(np.log2(av[nz])).astype(np.int64) + 1
+    return out
+
+
+def bits2base(bits: np.ndarray) -> np.ndarray:
+    base = np.maximum(0, bits - 2)
+    big = base > 10
+    base = np.where(big & (base % 2 == 0), base + 1, base)
+    return np.where(big, 9 + (base - 9) // 2, base)
+
+
+def base2bits(base: np.ndarray) -> np.ndarray:
+    return np.where(base < 10, 2 + base, 2 * base - 7)
+
+
+def _bits2base_scalar(bits: int) -> int:
+    base = max(0, bits - 2)
+    if base > 10:
+        if base % 2 == 0:
+            base += 1
+        base = 9 + (base - 9) // 2
+    return base
+
+
+def _base2bits_scalar(base: int) -> int:
+    return 2 + base if base < 10 else 2 * base - 7
+
+
+# --- scalar encoder/decoder (test oracle) ------------------------------------
+
+
+class _BitWriter:
+    """Faithful ``BitWriter.java`` (LSB-first within each byte)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put1(self, b: int) -> None:
+        self.bits.append(b & 1)
+
+    def putn(self, val: int, nb: int) -> None:
+        val &= (1 << nb) - 1
+        for i in range(nb):
+            self.bits.append((val >> i) & 1)
+
+    def sputn(self, bval: int, nb: int) -> None:
+        top = 1 << (nb - 1)
+        mask = top - 1
+        val = abs(bval)
+        while val > mask:  # escape: repeat `top` for out-of-range values
+            self.putn(top, nb)
+            val -= mask
+        if bval < 0:
+            self.putn((top - val) | top, nb)
+        else:
+            self.putn(val, nb)
+
+    def tobytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def local_shifted(vals: np.ndarray, center: int, shift: int) -> np.ndarray:
+    return (vals.astype(np.int64) - center + (1 << shift) // 2) >> shift
+
+
+def encode_line_scalar(
+    xs,
+    ys,
+    cx: int = 0,
+    cy: int = 0,
+    shift: int = 0,
+    is_polygon: bool = False,
+    extra_bit: bool = False,
+    nodes=None,
+    ext_type: bool = False,
+    xbase: int | None = None,
+    ybase: int | None = None,
+):
+    """Java-faithful single-line encode; returns (bytes, header dict) or
+    (None, header) when fewer than 2 distinct stream points survive.
+    Explicit ``xbase``/``ybase`` override the derived bases (the
+    ``makeShortestBitStream`` trial path) and may trigger sputn escapes.
+    """
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    n = len(xs)
+    if is_polygon and n > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        n -= 1
+    lx = local_shifted(xs[:n], cx, shift)
+    ly = local_shifted(ys[:n], cy, shift)
+    dx = np.diff(lx)
+    dy = np.diff(ly)
+    if len(dx) == 0:
+        return None, {}
+    min_dx, max_dx = int(dx.min()), int(dx.max())
+    min_dy, max_dy = int(dy.min()), int(dy.max())
+    x_bits = int(max(bits_needed(np.array([min_dx, max_dx]))))
+    y_bits = int(max(bits_needed(np.array([min_dy, max_dy]))))
+    xb = _bits2base_scalar(x_bits) if xbase is None else xbase
+    yb = _bits2base_scalar(y_bits) if ybase is None else ybase
+    x_same = not (min_dx < 0 and max_dx > 0)
+    y_same = not (min_dy < 0 and max_dy > 0)
+    if xbase is not None:
+        x_same = False  # trial path always writes the sign bit
+    if ybase is not None:
+        y_same = False
+    x_neg = x_same and min_dx < 0
+    y_neg = y_same and min_dy < 0
+    xbits = _base2bits_scalar(xb) + (0 if x_same else 1)
+    ybits = _base2bits_scalar(yb) + (0 if y_same else 1)
+
+    bw = _BitWriter()
+    bw.putn(xb, 4)
+    bw.putn(yb, 4)
+    bw.put1(1 if x_same else 0)
+    if x_same:
+        bw.put1(1 if x_neg else 0)
+    bw.put1(1 if y_same else 0)
+    if y_same:
+        bw.put1(1 if y_neg else 0)
+    if ext_type:
+        bw.put1(0)
+    if extra_bit:
+        bw.put1(0)
+    node_flags = (
+        np.asarray(nodes, bool)[:n]
+        if nodes is not None
+        else np.zeros(n, bool)
+    )
+    for i in range(len(dx)):
+        if dx[i] == 0 and dy[i] == 0:
+            if extra_bit and not node_flags[i + 1] and i + 1 != len(dx):
+                continue
+        if x_same:
+            bw.putn(abs(int(dx[i])), xbits)
+        else:
+            bw.sputn(int(dx[i]), xbits)
+        if y_same:
+            bw.putn(abs(int(dy[i])), ybits)
+        else:
+            bw.sputn(int(dy[i]), ybits)
+        if extra_bit:
+            bw.put1(1 if node_flags[i + 1] else 0)
+    header = {
+        "xbase": xb,
+        "ybase": yb,
+        "x_same": x_same,
+        "x_neg": x_neg,
+        "y_same": y_same,
+        "y_neg": y_neg,
+        "n_deltas": len(dx),
+        "bit_len": len(bw.bits),
+    }
+    return bw.tobytes(), header
+
+
+class _BitReader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def remaining(self) -> int:
+        return len(self.buf) * 8 - self.pos
+
+    def get1(self) -> int:
+        b = (self.buf[self.pos >> 3] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+    def getn(self, nb: int) -> int:
+        v = 0
+        for i in range(nb):
+            v |= self.get1() << i
+        return v
+
+    def sgetn(self, nb: int) -> int:
+        """Inverse of sputn: accumulate escape repeats, then the signed
+        two's-complement tail."""
+        top = 1 << (nb - 1)
+        mask = top - 1
+        base = 0
+        while True:
+            v = self.getn(nb)
+            if v == top:  # escape marker: add full mask and continue
+                base += mask
+                continue
+            if v & top:  # negative: v = 2^nb - |tail|
+                return -(base + ((1 << nb) - v))
+            return base + v
+
+
+def decode_line(
+    buf: bytes, ext_type: bool = False, extra_bit: bool = False
+):
+    """Decode one bitstream → (dxs, dys, nodes, header). Reads deltas
+    until fewer bits remain than one (dx, dy[, node]) field group (the
+    byte-length-bounded read the on-device format uses)."""
+    br = _BitReader(buf)
+    xb = br.getn(4)
+    yb = br.getn(4)
+    x_same = bool(br.get1())
+    x_neg = bool(br.get1()) if x_same else False
+    y_same = bool(br.get1())
+    y_neg = bool(br.get1()) if y_same else False
+    if ext_type:
+        br.get1()
+    if extra_bit:
+        br.get1()
+    xbits = _base2bits_scalar(xb) + (0 if x_same else 1)
+    ybits = _base2bits_scalar(yb) + (0 if y_same else 1)
+    group = xbits + ybits + (1 if extra_bit else 0)
+    dxs, dys, nds = [], [], []
+    while br.remaining() >= group:
+        if x_same:
+            v = br.getn(xbits)
+            dxs.append(-v if x_neg else v)
+        else:
+            dxs.append(br.sgetn(xbits))
+        if y_same:
+            v = br.getn(ybits)
+            dys.append(-v if y_neg else v)
+        else:
+            dys.append(br.sgetn(ybits))
+        nds.append(br.get1() if extra_bit else 0)
+    header = {
+        "xbase": xb,
+        "ybase": yb,
+        "x_same": x_same,
+        "x_neg": x_neg,
+        "y_same": y_same,
+        "y_neg": y_neg,
+    }
+    return dxs, dys, nds, header
+
+
+# --- vectorized batch encoder ------------------------------------------------
+
+
+def encode_lines_batch(
+    xs: pa.ListArray | pa.ChunkedArray,
+    ys: pa.ListArray | pa.ChunkedArray,
+    cx: np.ndarray | int = 0,
+    cy: np.ndarray | int = 0,
+    shift: np.ndarray | int = 0,
+    is_polygon: np.ndarray | None = None,
+) -> dict:
+    """Encode EVERY line of a batch into Garmin delta bitstreams with
+    numpy passes only — per-field scatter into one shared byte buffer,
+    no per-line Python. Mixed-sign streams use the two's-complement
+    field form, which for the derived (non-trial) bases never needs the
+    sputn escape (``|d| < 2^bits <= 2^(nb-1)``), asserted below.
+
+    Returns dict of per-line arrays (``xbase ybase x_same x_neg y_same
+    y_neg n_deltas bit_len byte_len``), ``valid`` (>=1 delta after
+    closing-point drop), and ``streams`` (pa.BinaryArray; empty for
+    invalid lines).
+    """
+    if isinstance(xs, pa.ChunkedArray):
+        xs = xs.combine_chunks()
+    if isinstance(ys, pa.ChunkedArray):
+        ys = ys.combine_chunks()
+    n_lines = len(xs)
+    offs = np.asarray(xs.offsets, np.int64)
+    counts = np.diff(offs)
+    fx = np.asarray(xs.values, np.int64)[offs[0]: offs[-1]]
+    fy = np.asarray(ys.values, np.int64)[offs[0]: offs[-1]]
+    offs = offs - offs[0]
+    cx = np.broadcast_to(np.asarray(cx, np.int64), (n_lines,))
+    cy = np.broadcast_to(np.asarray(cy, np.int64), (n_lines,))
+    shift = np.broadcast_to(np.asarray(shift, np.int64), (n_lines,))
+    if is_polygon is None:
+        is_polygon = np.zeros(n_lines, bool)
+
+    # polygon closing-point drop (LinePreparer.java:252-256): compare the
+    # ORIGINAL coords of first vs last point per line
+    last = np.maximum(offs[1:] - 1, offs[:-1])
+    closed = (
+        is_polygon
+        & (counts > 1)
+        & (fx[offs[:-1]] == fx[last])
+        & (fy[offs[:-1]] == fy[last])
+    )
+    use = counts - closed.astype(np.int64)
+
+    # local shifted coords for the used prefix of every line
+    rep_cx = np.repeat(cx, counts)
+    rep_cy = np.repeat(cy, counts)
+    rep_sh = np.repeat(shift, counts)
+    lx = (fx - rep_cx + (np.int64(1) << rep_sh) // 2) >> rep_sh
+    ly = (fy - rep_cy + (np.int64(1) << rep_sh) // 2) >> rep_sh
+
+    # deltas within each line's used range: positions offs[i]+1 .. offs[i]+use[i]-1
+    pos = np.arange(len(fx), dtype=np.int64)
+    line_of = np.repeat(np.arange(n_lines, dtype=np.int64), counts)
+    in_use = pos < np.repeat(offs[:-1] + use, counts)
+    is_delta = in_use & (pos > np.repeat(offs[:-1], counts))
+    dx_all = np.zeros(len(fx), np.int64)
+    dx_all[1:] = lx[1:] - lx[:-1]
+    dy_all = np.zeros(len(fy), np.int64)
+    dy_all[1:] = ly[1:] - ly[:-1]
+    dx = dx_all[is_delta]
+    dy = dy_all[is_delta]
+    dline = line_of[is_delta]
+    n_deltas = np.maximum(use - 1, 0)
+    valid = n_deltas > 0
+
+    # per-line delta extrema via reduceat over non-empty lines
+    dstart = np.concatenate(([0], np.cumsum(n_deltas)[:-1]))
+    min_dx = np.zeros(n_lines, np.int64)
+    max_dx = np.zeros(n_lines, np.int64)
+    min_dy = np.zeros(n_lines, np.int64)
+    max_dy = np.zeros(n_lines, np.int64)
+    if valid.any():
+        s = dstart[valid]
+        min_dx[valid] = np.minimum.reduceat(dx, s)
+        max_dx[valid] = np.maximum.reduceat(dx, s)
+        min_dy[valid] = np.minimum.reduceat(dy, s)
+        max_dy[valid] = np.maximum.reduceat(dy, s)
+
+    x_bits = np.maximum(bits_needed(min_dx), bits_needed(max_dx))
+    y_bits = np.maximum(bits_needed(min_dy), bits_needed(max_dy))
+    xbase = bits2base(x_bits)
+    ybase = bits2base(y_bits)
+    x_same = ~((min_dx < 0) & (max_dx > 0))
+    y_same = ~((min_dy < 0) & (max_dy > 0))
+    x_neg = x_same & (min_dx < 0)
+    y_neg = y_same & (min_dy < 0)
+    xbits = base2bits(xbase) + np.where(x_same, 0, 1)
+    ybits = base2bits(ybase) + np.where(y_same, 0, 1)
+    # derived bases never overflow the signed field (see docstring)
+    assert (x_bits <= xbits - np.where(x_same, 0, 1)).all()
+
+    # --- field table: per line [xb,4][yb,4][xs,1][xneg,0/1][ys,1][yneg,0/1]
+    # then per delta [dx, xbits][dy, ybits]
+    head_n = 6
+    fields_per = head_n + 2 * n_deltas
+    fstart = np.concatenate(([0], np.cumsum(fields_per)[:-1]))
+    total_fields = int(fstart[-1] + fields_per[-1]) if n_lines else 0
+    fvals = np.zeros(total_fields, np.uint64)
+    fbits = np.zeros(total_fields, np.int64)
+    hidx = fstart[:, None] + np.arange(head_n)[None, :]
+    fvals[hidx[:, 0]] = xbase.astype(np.uint64)
+    fbits[hidx[:, 0]] = 4
+    fvals[hidx[:, 1]] = ybase.astype(np.uint64)
+    fbits[hidx[:, 1]] = 4
+    fvals[hidx[:, 2]] = x_same.astype(np.uint64)
+    fbits[hidx[:, 2]] = 1
+    fvals[hidx[:, 3]] = x_neg.astype(np.uint64)
+    fbits[hidx[:, 3]] = x_same.astype(np.int64)  # sign bit only if same
+    fvals[hidx[:, 4]] = y_same.astype(np.uint64)
+    fbits[hidx[:, 4]] = 1
+    fvals[hidx[:, 5]] = y_neg.astype(np.uint64)
+    fbits[hidx[:, 5]] = y_same.astype(np.int64)
+    # zero out header fields of invalid lines (no stream written)
+    fbits[hidx[~valid]] = 0
+
+    # delta fields: index = fstart[line] + head_n + 2*(delta_rank) (+1 for dy)
+    drank = np.arange(len(dx), dtype=np.int64) - np.repeat(dstart, n_deltas)
+    didx = fstart[dline] + head_n + 2 * drank
+    xs_l = x_same[dline]
+    xb_l = xbits[dline]
+    enc_dx = np.where(
+        xs_l,
+        np.abs(dx),
+        dx & ((np.int64(1) << xb_l) - 1),  # two's complement in xbits
+    ).astype(np.uint64)
+    ys_l = y_same[dline]
+    yb_l = ybits[dline]
+    enc_dy = np.where(
+        ys_l, np.abs(dy), dy & ((np.int64(1) << yb_l) - 1)
+    ).astype(np.uint64)
+    fvals[didx] = enc_dx
+    fbits[didx] = xb_l
+    fvals[didx + 1] = enc_dy
+    fbits[didx + 1] = yb_l
+
+    # --- bit offsets: segmented cumsum of fbits, then byte-aligned packing
+    bit_len = (
+        np.add.reduceat(fbits, fstart) if n_lines else np.empty(0, np.int64)
+    )
+    if n_lines:
+        empty_seg = fields_per == 0
+        bit_len[empty_seg] = 0
+    byte_len = (bit_len + 7) // 8
+    cum_bits = np.concatenate(([0], np.cumsum(fbits)[:-1]))
+    line_bit0 = cum_bits[fstart]
+    local_bit = cum_bits - np.repeat(line_bit0, fields_per)
+    line_byte0 = np.concatenate(([0], np.cumsum(byte_len)[:-1]))
+    abs_bit = local_bit + 8 * np.repeat(line_byte0, fields_per)
+
+    total_bytes = int(line_byte0[-1] + byte_len[-1]) if n_lines else 0
+    # +8 slack: the fixed 5-byte scatter window of the last field may
+    # index past the stream end (it only ORs zero bits there)
+    buf = np.zeros(total_bytes + 8, np.uint8)
+    nonz = fbits > 0
+    word = fvals[nonz] << (abs_bit[nonz] & 7).astype(np.uint64)
+    bpos = abs_bit[nonz] >> 3
+    for b in range(5):  # fields are <=24 bits + <=7 shift => 4 bytes + carry
+        np.bitwise_or.at(
+            buf, bpos + b, ((word >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+        )
+
+    out_offs = np.concatenate(([0], np.cumsum(byte_len))).astype(np.int32)
+    streams = pa.BinaryArray.from_buffers(
+        pa.binary(),
+        n_lines,
+        [
+            None,
+            pa.py_buffer(out_offs.tobytes()),
+            pa.py_buffer(buf[:total_bytes].tobytes()),
+        ],
+    )
+    return {
+        "xbase": xbase,
+        "ybase": ybase,
+        "x_same": x_same,
+        "x_neg": x_neg,
+        "y_same": y_same,
+        "y_neg": y_neg,
+        "n_deltas": n_deltas,
+        "bit_len": np.where(valid, bit_len, 0),
+        "byte_len": np.where(valid, byte_len, 0),
+        "valid": valid,
+        "streams": streams,
+    }
+
+
+# --- TRE subdivision records (Subdivision.java:104-137) ----------------------
+
+
+def subdivision_records(
+    min_lat: np.ndarray,
+    max_lat: np.ndarray,
+    min_lon: np.ndarray,
+    max_lon: np.ndarray,
+    resolution: np.ndarray,
+) -> dict:
+    """Encode TRE subdivision center/size exactly as the reference: the
+    center is rounded UP to a multiple of 2^shift (``Utils.roundUp``,
+    ``Utils.java:232-234``), width/height are half-extents rounded up in
+    shifted units (``Subdivision.java:112-124``)."""
+    shift = 24 - np.asarray(resolution, np.int64)
+    mask = (np.int64(1) << shift) - 1
+    c_lat = (np.asarray(min_lat, np.int64) + np.asarray(max_lat, np.int64)) // 2
+    c_lon = (np.asarray(min_lon, np.int64) + np.asarray(max_lon, np.int64)) // 2
+    c_lat = ((c_lat + mask) >> shift) << shift
+    c_lon = ((c_lon + mask) >> shift) << shift
+    w = 2 * (c_lon - np.asarray(min_lon, np.int64))
+    h = 2 * (c_lat - np.asarray(min_lat, np.int64))
+    w = ((w + 1) // 2 + mask) >> shift
+    h = ((h + 1) // 2 + mask) >> shift
+    return {
+        "center_lat": c_lat,
+        "center_lon": c_lon,
+        "width": w,
+        "height": h,
+        "shift": shift,
+    }

@@ -1,0 +1,180 @@
+"""RGN delta bitstream: vectorized batch encoder vs the Java-faithful
+scalar encoder, and decode-roundtrip invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mkgmap_ray.stages.bitstream import (
+    _base2bits_scalar,
+    _bits2base_scalar,
+    base2bits,
+    bits2base,
+    bits_needed,
+    decode_line,
+    encode_line_scalar,
+    encode_lines_batch,
+    local_shifted,
+    subdivision_records,
+)
+
+
+def _java_bits_needed(val: int) -> int:
+    n = abs(val)
+    count = 0
+    while n != 0:
+        n >>= 1
+        count += 1
+    return count
+
+
+def test_bits_helpers_match_java():
+    vals = np.array([0, 1, -1, 2, 3, -7, 8, 255, -256, 65535, 1 << 20])
+    assert list(bits_needed(vals)) == [_java_bits_needed(int(v)) for v in vals]
+    for bits in range(0, 26):
+        b = _bits2base_scalar(bits)
+        assert bits2base(np.array([bits]))[0] == b
+        assert base2bits(np.array([b]))[0] == _base2bits_scalar(b)
+        # decodable invariant: the derived base's field width covers bits
+        assert _base2bits_scalar(b) >= max(2, bits)
+
+
+def _rand_lines(rng, n_lines, max_pts=14, spread=500):
+    lines = []
+    for _ in range(n_lines):
+        n = rng.integers(2, max_pts + 1)
+        mode = rng.integers(0, 4)
+        if mode == 0:  # monotonic increasing (same-sign positive)
+            dx = rng.integers(0, spread, n - 1)
+            dy = rng.integers(0, spread, n - 1)
+        elif mode == 1:  # monotonic decreasing (same-sign negative)
+            dx = -rng.integers(0, spread, n - 1)
+            dy = -rng.integers(0, spread, n - 1)
+        elif mode == 2:  # mixed sign
+            dx = rng.integers(-spread, spread, n - 1)
+            dy = rng.integers(-spread, spread, n - 1)
+        else:  # tiny deltas incl. zeros
+            dx = rng.integers(-1, 2, n - 1)
+            dy = rng.integers(-1, 2, n - 1)
+        x0 = rng.integers(1 << 19, (1 << 19) + 1000)
+        y0 = rng.integers(1 << 19, (1 << 19) + 1000)
+        xs = np.concatenate(([x0], x0 + np.cumsum(dx)))
+        ys = np.concatenate(([y0], y0 + np.cumsum(dy)))
+        lines.append((xs, ys))
+    return lines
+
+
+def test_vectorized_matches_scalar():
+    rng = np.random.default_rng(7)
+    lines = _rand_lines(rng, 200)
+    shifts = rng.integers(0, 5, len(lines))
+    xs_arr = pa.array([l[0].tolist() for l in lines], pa.list_(pa.int64()))
+    ys_arr = pa.array([l[1].tolist() for l in lines], pa.list_(pa.int64()))
+    out = encode_lines_batch(xs_arr, ys_arr, shift=shifts)
+    for i, (xs, ys) in enumerate(lines):
+        got = out["streams"][i].as_py()
+        buf, hdr = encode_line_scalar(xs, ys, shift=int(shifts[i]))
+        if buf is None:
+            assert not out["valid"][i]
+            continue
+        assert got == buf, f"line {i}"
+        assert out["xbase"][i] == hdr["xbase"]
+        assert out["ybase"][i] == hdr["ybase"]
+        assert bool(out["x_same"][i]) == hdr["x_same"]
+        assert bool(out["y_neg"][i]) == hdr["y_neg"]
+        assert out["n_deltas"][i] == hdr["n_deltas"]
+        assert out["bit_len"][i] == hdr["bit_len"]
+
+
+def test_roundtrip_decode():
+    rng = np.random.default_rng(11)
+    lines = _rand_lines(rng, 100)
+    for shift in (0, 2, 4):
+        for xs, ys in lines:
+            buf, hdr = encode_line_scalar(xs, ys, shift=shift)
+            dxs, dys, _, dh = decode_line(buf)
+            lx = local_shifted(xs, 0, shift)
+            ly = local_shifted(ys, 0, shift)
+            want_dx = np.diff(lx)
+            want_dy = np.diff(ly)
+            # trailing padding may decode into spurious all-zero deltas;
+            # the true deltas must be a prefix
+            assert list(dxs[: len(want_dx)]) == list(want_dx)
+            assert list(dys[: len(want_dy)]) == list(want_dy)
+            assert all(d == 0 for d in dxs[len(want_dx):])
+            assert dh["xbase"] == hdr["xbase"]
+            assert dh["y_same"] == hdr["y_same"]
+
+
+def test_sputn_escape_roundtrip():
+    # force a tiny base so |delta| overflows the field => escape coding
+    xs = np.array([1000, 2000, 900, 2500])
+    ys = np.array([1000, 980, 1040, 990])
+    buf, hdr = encode_line_scalar(xs, ys, xbase=2, ybase=2)
+    dxs, dys, _, _ = decode_line(buf)
+    assert list(dxs[:3]) == [1000, -1100, 1600]
+    assert list(dys[:3]) == [-20, 60, -50]
+
+
+def test_polygon_drops_closing_point():
+    xs = np.array([10, 20, 30, 10])
+    ys = np.array([5, 15, 5, 5])
+    buf_poly, hp = encode_line_scalar(xs, ys, is_polygon=True)
+    buf_line, hl = encode_line_scalar(xs, ys, is_polygon=False)
+    assert hp["n_deltas"] == 2 and hl["n_deltas"] == 3
+    xs_arr = pa.array([xs.tolist()], pa.list_(pa.int64()))
+    ys_arr = pa.array([ys.tolist()], pa.list_(pa.int64()))
+    out = encode_lines_batch(
+        xs_arr, ys_arr, is_polygon=np.array([True])
+    )
+    assert out["streams"][0].as_py() == buf_poly
+
+
+def test_extra_bit_nodes_and_zero_skip():
+    # interior zero-delta non-node point is skipped; node bits ride along
+    xs = np.array([100, 110, 110, 120, 130])
+    ys = np.array([50, 60, 60, 70, 80])
+    nodes = np.array([False, False, False, True, False])
+    buf, hdr = encode_line_scalar(xs, ys, extra_bit=True, nodes=nodes)
+    dxs, dys, nds, _ = decode_line(buf, extra_bit=True)
+    # the (0,0) delta at index 1 was skipped => 3 deltas on the wire
+    assert list(dxs[:3]) == [10, 10, 10]
+    assert list(nds[:3]) == [0, 1, 0]
+
+
+def test_two_point_and_degenerate_lines():
+    xs_arr = pa.array([[5, 6], [7], [8, 8]], pa.list_(pa.int64()))
+    ys_arr = pa.array([[1, 2], [3], [9, 9]], pa.list_(pa.int64()))
+    out = encode_lines_batch(xs_arr, ys_arr)
+    assert list(out["valid"]) == [True, False, True]
+    assert len(out["streams"][1].as_py()) == 0
+    # (0,0) single delta still encodes (and decodes) fine
+    buf = out["streams"][2].as_py()
+    dxs, dys, _, _ = decode_line(buf)
+    assert all(d == 0 for d in dxs) and all(d == 0 for d in dys)
+
+
+def test_subdivision_records_match_java_formula():
+    rng = np.random.default_rng(3)
+    n = 500
+    min_lat = rng.integers(0, 1 << 22, n)
+    min_lon = rng.integers(0, 1 << 22, n)
+    h = rng.integers(1, 1 << 16, n)
+    w = rng.integers(1, 1 << 16, n)
+    res = rng.integers(12, 25, n)
+    out = subdivision_records(min_lat, min_lat + h, min_lon, min_lon + w, res)
+
+    def round_up(val, shift):
+        return ((val + (1 << shift) - 1) >> shift) << shift
+
+    for i in range(n):
+        shift = 24 - int(res[i])
+        mask = (1 << shift) - 1
+        clat = round_up((int(min_lat[i]) * 2 + int(h[i])) // 2, shift)
+        clon = round_up((int(min_lon[i]) * 2 + int(w[i])) // 2, shift)
+        ww = 2 * (clon - int(min_lon[i]))
+        hh = 2 * (clat - int(min_lat[i]))
+        assert out["center_lat"][i] == clat
+        assert out["center_lon"][i] == clon
+        assert out["width"][i] == ((ww + 1) // 2 + mask) >> shift
+        assert out["height"][i] == ((hh + 1) // 2 + mask) >> shift
