@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "border_nodes": Q.q_border_nodes,
         "rgn_bitstream": Q.q_rgn_bitstream,
         "subdiv_tre": Q.q_subdiv_tre,
+        "dem_layout": Q.q_dem_layout,
+        "dem_tiles": Q.q_dem_tiles,
+        "dem_section": Q.q_dem_section,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -328,6 +331,204 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 2*ybase - 7 END) + 1 - y_same)
                + 7) // 8 AS byte_len
             FROM flags
+        """,
+        "dem_layout": """
+            WITH par AS (
+              SELECT o_orderkey AS k,
+                     20000 + o_orderkey % 1000 AS top,
+                     30000 + o_orderkey % 777 AS lft,
+                     10 + o_orderkey % 300 AS ah,
+                     10 + (o_orderkey*3) % 300 AS aw,
+                     2 + o_orderkey % 3 AS d
+              FROM orders WHERE o_orderkey % 7 = 0
+            ), ti AS (
+              SELECT k, top, lft, d,
+                (ah + d) // (64*d) AS nfull_lat, (ah + d) % (64*d) AS rest_lat,
+                (aw + d) // (64*d) AS nfull_lon, (aw + d) % (64*d) AS rest_lon
+              FROM par
+            ), ti2 AS (
+              SELECT k, top, lft, d, nfull_lat, nfull_lon,
+                rest_lat // d + CASE WHEN rest_lat % d <> 0 THEN 1 ELSE 0 END AS ns_lat0,
+                rest_lon // d + CASE WHEN rest_lon % d <> 0 THEN 1 ELSE 0 END AS ns_lon0
+              FROM ti
+            ), dims AS (
+              SELECT k, top, lft, d,
+                GREATEST(CASE WHEN ns_lat0 >= 32 THEN nfull_lat + 1 ELSE nfull_lat END, 1) AS tiles_lat,
+                CASE WHEN ns_lat0 < 32 AND nfull_lat > 0 THEN ns_lat0 + 64 ELSE ns_lat0 END AS nonstd_h,
+                GREATEST(CASE WHEN ns_lon0 >= 32 THEN nfull_lon + 1 ELSE nfull_lon END, 1) AS tiles_lon,
+                CASE WHEN ns_lon0 < 32 AND nfull_lon > 0 THEN ns_lon0 + 64 ELSE ns_lon0 END AS nonstd_w
+              FROM ti2
+            ), tiles AS (
+              SELECT k, d, tiles_lat, tiles_lon, nonstd_h, nonstd_w,
+                     t.t // tiles_lon AS m, t.t % tiles_lon AS n,
+                     top - (t.t // tiles_lon) * 64 * d AS lat_off,
+                     lft + (t.t % tiles_lon) * 64 * d AS lon_off,
+                     CASE WHEN t.t % tiles_lon + 1 = tiles_lon THEN nonstd_w ELSE 64 END AS w,
+                     CASE WHEN t.t // tiles_lon + 1 = tiles_lat THEN nonstd_h ELSE 64 END AS h
+              FROM dims, LATERAL unnest(range(0, tiles_lat * tiles_lon)) AS t(t)
+            )
+            SELECT k AS o_orderkey, m AS trow, n AS tcol, w AS twidth,
+                   h AS theight, lat_off, lon_off
+            FROM tiles
+        """,
+        "dem_tiles": """
+            WITH par AS (
+              SELECT o_orderkey AS k,
+                     20000 + o_orderkey % 1000 AS top,
+                     30000 + o_orderkey % 777 AS lft,
+                     10 + o_orderkey % 300 AS ah,
+                     10 + (o_orderkey*3) % 300 AS aw,
+                     2 + o_orderkey % 3 AS d
+              FROM orders WHERE o_orderkey % 397 = 0
+            ), ti AS (
+              SELECT k, top, lft, d,
+                (ah + d) // (64*d) AS nfull_lat, (ah + d) % (64*d) AS rest_lat,
+                (aw + d) // (64*d) AS nfull_lon, (aw + d) % (64*d) AS rest_lon
+              FROM par
+            ), ti2 AS (
+              SELECT k, top, lft, d, nfull_lat, nfull_lon,
+                rest_lat // d + CASE WHEN rest_lat % d <> 0 THEN 1 ELSE 0 END AS ns_lat0,
+                rest_lon // d + CASE WHEN rest_lon % d <> 0 THEN 1 ELSE 0 END AS ns_lon0
+              FROM ti
+            ), dims AS (
+              SELECT k, top, lft, d,
+                GREATEST(CASE WHEN ns_lat0 >= 32 THEN nfull_lat + 1 ELSE nfull_lat END, 1) AS tiles_lat,
+                CASE WHEN ns_lat0 < 32 AND nfull_lat > 0 THEN ns_lat0 + 64 ELSE ns_lat0 END AS nonstd_h,
+                GREATEST(CASE WHEN ns_lon0 >= 32 THEN nfull_lon + 1 ELSE nfull_lon END, 1) AS tiles_lon,
+                CASE WHEN ns_lon0 < 32 AND nfull_lon > 0 THEN ns_lon0 + 64 ELSE ns_lon0 END AS nonstd_w
+              FROM ti2
+            ), tiles AS (
+              SELECT k, d, tiles_lat, tiles_lon, nonstd_h, nonstd_w,
+                     t.t // tiles_lon AS m, t.t % tiles_lon AS n,
+                     top - (t.t // tiles_lon) * 64 * d AS lat_off,
+                     lft + (t.t % tiles_lon) * 64 * d AS lon_off,
+                     CASE WHEN t.t % tiles_lon + 1 = tiles_lon THEN nonstd_w ELSE 64 END AS w,
+                     CASE WHEN t.t // tiles_lon + 1 = tiles_lat THEN nonstd_h ELSE 64 END AS h
+              FROM dims, LATERAL unnest(range(0, tiles_lat * tiles_lon)) AS t(t)
+            )
+            , pts AS (
+              SELECT k, m, n, w, h, tiles_lat, tiles_lon, nonstd_h, nonstd_w,
+                     (lat_off - i.i*d) AS lat, (lon_off + j.j*d) AS lon
+              FROM tiles, LATERAL unnest(range(0, h)) AS i(i),
+                          LATERAL unnest(range(0, w)) AS j(j)
+            ), hv AS (
+              SELECT k, m, n, w*h AS n_points, tiles_lat, tiles_lon,
+                     nonstd_h, nonstd_w,
+                (lat*7 + lon*13) % 509 - 250 AS hgt,
+                CASE WHEN (lat*11 + lon*17) % 127 = 0 THEN 1 ELSE 0 END AS void
+              FROM pts
+            ), tstat AS (
+              SELECT k, m, n, any_value(n_points) AS n_points,
+                any_value(tiles_lat) AS tiles_lat, any_value(tiles_lon) AS tiles_lon,
+                any_value(nonstd_h) AS nonstd_h, any_value(nonstd_w) AS nonstd_w,
+                CAST(sum(void) AS BIGINT) AS n_void,
+                min(CASE WHEN void = 0 THEN hgt END) AS vmin,
+                max(CASE WHEN void = 0 THEN hgt END) AS vmax
+              FROM hv GROUP BY k, m, n
+            ), tfin AS (
+              SELECT k, m, n, n_points, n_void, tiles_lat, tiles_lon,
+                     nonstd_h, nonstd_w,
+                COALESCE(vmin, 0) AS base_height,
+                CASE WHEN vmin IS NULL THEN 0
+                     WHEN n_void > 0 THEN vmax + 1 - vmin
+                     ELSE vmax - vmin END AS max_delta,
+                CASE WHEN vmin IS NULL OR n_void > 0 THEN 2 ELSE 0 END AS enc_type,
+                CASE WHEN vmin IS NULL THEN 0 ELSE 1 END AS has_data
+              FROM tstat
+            )
+            SELECT k AS o_orderkey, m AS trow, n AS tcol, base_height,
+                   max_delta, enc_type, n_void, n_points
+            FROM tfin
+        """,
+        "dem_section": """
+            WITH par AS (
+              SELECT o_orderkey AS k,
+                     20000 + o_orderkey % 1000 AS top,
+                     30000 + o_orderkey % 777 AS lft,
+                     10 + o_orderkey % 300 AS ah,
+                     10 + (o_orderkey*3) % 300 AS aw,
+                     2 + o_orderkey % 3 AS d
+              FROM orders WHERE o_orderkey % 397 = 0
+            ), ti AS (
+              SELECT k, top, lft, d,
+                (ah + d) // (64*d) AS nfull_lat, (ah + d) % (64*d) AS rest_lat,
+                (aw + d) // (64*d) AS nfull_lon, (aw + d) % (64*d) AS rest_lon
+              FROM par
+            ), ti2 AS (
+              SELECT k, top, lft, d, nfull_lat, nfull_lon,
+                rest_lat // d + CASE WHEN rest_lat % d <> 0 THEN 1 ELSE 0 END AS ns_lat0,
+                rest_lon // d + CASE WHEN rest_lon % d <> 0 THEN 1 ELSE 0 END AS ns_lon0
+              FROM ti
+            ), dims AS (
+              SELECT k, top, lft, d,
+                GREATEST(CASE WHEN ns_lat0 >= 32 THEN nfull_lat + 1 ELSE nfull_lat END, 1) AS tiles_lat,
+                CASE WHEN ns_lat0 < 32 AND nfull_lat > 0 THEN ns_lat0 + 64 ELSE ns_lat0 END AS nonstd_h,
+                GREATEST(CASE WHEN ns_lon0 >= 32 THEN nfull_lon + 1 ELSE nfull_lon END, 1) AS tiles_lon,
+                CASE WHEN ns_lon0 < 32 AND nfull_lon > 0 THEN ns_lon0 + 64 ELSE ns_lon0 END AS nonstd_w
+              FROM ti2
+            ), tiles AS (
+              SELECT k, d, tiles_lat, tiles_lon, nonstd_h, nonstd_w,
+                     t.t // tiles_lon AS m, t.t % tiles_lon AS n,
+                     top - (t.t // tiles_lon) * 64 * d AS lat_off,
+                     lft + (t.t % tiles_lon) * 64 * d AS lon_off,
+                     CASE WHEN t.t % tiles_lon + 1 = tiles_lon THEN nonstd_w ELSE 64 END AS w,
+                     CASE WHEN t.t // tiles_lon + 1 = tiles_lat THEN nonstd_h ELSE 64 END AS h
+              FROM dims, LATERAL unnest(range(0, tiles_lat * tiles_lon)) AS t(t)
+            )
+            , pts AS (
+              SELECT k, m, n, w, h, tiles_lat, tiles_lon, nonstd_h, nonstd_w,
+                     (lat_off - i.i*d) AS lat, (lon_off + j.j*d) AS lon
+              FROM tiles, LATERAL unnest(range(0, h)) AS i(i),
+                          LATERAL unnest(range(0, w)) AS j(j)
+            ), hv AS (
+              SELECT k, m, n, w*h AS n_points, tiles_lat, tiles_lon,
+                     nonstd_h, nonstd_w,
+                (lat*7 + lon*13) % 509 - 250 AS hgt,
+                CASE WHEN (lat*11 + lon*17) % 127 = 0 THEN 1 ELSE 0 END AS void
+              FROM pts
+            ), tstat AS (
+              SELECT k, m, n, any_value(n_points) AS n_points,
+                any_value(tiles_lat) AS tiles_lat, any_value(tiles_lon) AS tiles_lon,
+                any_value(nonstd_h) AS nonstd_h, any_value(nonstd_w) AS nonstd_w,
+                CAST(sum(void) AS BIGINT) AS n_void,
+                min(CASE WHEN void = 0 THEN hgt END) AS vmin,
+                max(CASE WHEN void = 0 THEN hgt END) AS vmax
+              FROM hv GROUP BY k, m, n
+            ), tfin AS (
+              SELECT k, m, n, n_points, n_void, tiles_lat, tiles_lon,
+                     nonstd_h, nonstd_w,
+                COALESCE(vmin, 0) AS base_height,
+                CASE WHEN vmin IS NULL THEN 0
+                     WHEN n_void > 0 THEN vmax + 1 - vmin
+                     ELSE vmax - vmin END AS max_delta,
+                CASE WHEN vmin IS NULL OR n_void > 0 THEN 2 ELSE 0 END AS enc_type,
+                CASE WHEN vmin IS NULL THEN 0 ELSE 1 END AS has_data
+              FROM tstat
+            )
+            SELECT k AS o_orderkey,
+              any_value(tiles_lat) AS tiles_lat,
+              any_value(tiles_lon) AS tiles_lon,
+              any_value(nonstd_h) AS nonstd_height,
+              any_value(nonstd_w) AS nonstd_width,
+              CASE WHEN COALESCE(max(CASE WHEN has_data = 1 AND max_delta > 0
+                                          THEN 1 ELSE 0 END), 0) = 1
+                   THEN min(base_height) FILTER (WHERE has_data = 1)
+                   ELSE 0 END AS min_height,
+              CASE WHEN COALESCE(max(CASE WHEN has_data = 1 AND max_delta > 0
+                                          THEN 1 ELSE 0 END), 0) = 1
+                   THEN max(base_height + max_delta
+                            - CASE WHEN enc_type = 0 THEN 0 ELSE 1 END)
+                        FILTER (WHERE has_data = 1)
+                   ELSE 0 END AS max_height,
+              CASE WHEN max(has_data) = 1
+                    AND max(max_delta) FILTER (WHERE has_data = 1) > 255
+                   THEN 2 ELSE 1 END AS delta_size,
+              CASE WHEN max(has_data) = 1
+                    AND NOT (min(base_height) FILTER (WHERE has_data = 1) > -128
+                         AND max(base_height) FILTER (WHERE has_data = 1) < 128)
+                   THEN 2 ELSE 1 END AS base_size,
+              max(CASE WHEN enc_type <> 0 THEN 1 ELSE 0 END) AS has_extra
+            FROM tfin GROUP BY k
         """,
         "subdiv_tre": """
             WITH f AS (

@@ -3643,3 +3643,117 @@ def q_subdiv_tre(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def _dem_params(k: np.ndarray):
+    """Shared synthetic DEM-section parameters (mirrored in the SQL
+    oracles): top/left corner, area size in DEM units, sample distance."""
+    return {
+        "top": 20000 + k % 1000,
+        "left": 30000 + k % 777,
+        "ah": 10 + k % 300,
+        "aw": 10 + (k * 3) % 300,
+        "dist": 2 + k % 3,
+    }
+
+
+def _dem_height_fn(lat: np.ndarray, lon: np.ndarray):
+    """Closed-form height field with ~1/127 void points (the gate stand-
+    in for RasterSampler over real HGT grids)."""
+    h = (lat * 7 + lon * 13) % 509 - 250
+    void = (lat * 11 + lon * 17) % 127 == 0
+    return h, void
+
+
+def q_dem_layout(sf_dir: str):
+    """DEM section tile-grid layout (``imgfmt/app/dem/DEMSection.java:
+    89-139`` ``getTileInfo`` + ``calcTiles`` offsets): per synthetic
+    section the full tile grid with per-tile size and top-left corner;
+    the SQL oracle mirrors the overlap/round-up/renormalise math."""
+    from ..stages.dem import dem_layout
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        k = k[k % 7 == 0]
+        p = _dem_params(k)
+        lay = dem_layout(p["top"], p["left"], p["ah"], p["aw"], p["dist"])
+        sec = lay["section_of"]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[sec], pa.int64()),
+                "trow": pa.array(lay["row"], pa.int64()),
+                "tcol": pa.array(lay["col"], pa.int64()),
+                "twidth": pa.array(lay["width"], pa.int64()),
+                "theight": pa.array(lay["height"], pa.int64()),
+                "lat_off": pa.array(lay["lat_off"], pa.int64()),
+                "lon_off": pa.array(lay["lon_off"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_dem_tiles(sf_dir: str):
+    """Per-tile DEM statistics (``imgfmt/app/dem/DEMTile.java:76-130``):
+    base height, max delta, encoding type and void count from sampling
+    the closed-form height field at every grid point of every tile."""
+    from ..stages.dem import dem_layout, dem_tile_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        k = k[k % 397 == 0]
+        p = _dem_params(k)
+        lay = dem_layout(p["top"], p["left"], p["ah"], p["aw"], p["dist"])
+        st = dem_tile_stats(lay, p["dist"], _dem_height_fn)
+        sec = lay["section_of"]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[sec], pa.int64()),
+                "trow": pa.array(lay["row"], pa.int64()),
+                "tcol": pa.array(lay["col"], pa.int64()),
+                "base_height": pa.array(st["base_height"], pa.int64()),
+                "max_delta": pa.array(st["max_delta"], pa.int64()),
+                "enc_type": pa.array(st["enc_type"], pa.int64()),
+                "n_void": pa.array(st["n_void"], pa.int64()),
+                "n_points": pa.array(st["n_points"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_dem_section(sf_dir: str):
+    """DEM section header records (``imgfmt/app/dem/DEMSection.java:
+    120-183``): min/max height, descriptor byte sizes and the extra-type
+    flag folded over the per-tile stats."""
+    from ..stages.dem import dem_layout, dem_section_records, dem_tile_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        k = k[k % 397 == 0]
+        p = _dem_params(k)
+        lay = dem_layout(p["top"], p["left"], p["ah"], p["aw"], p["dist"])
+        st = dem_tile_stats(lay, p["dist"], _dem_height_fn)
+        rec = dem_section_records(lay, st, len(k))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "tiles_lat": pa.array(rec["tiles_lat"], pa.int64()),
+                "tiles_lon": pa.array(rec["tiles_lon"], pa.int64()),
+                "nonstd_height": pa.array(rec["nonstd_height"], pa.int64()),
+                "nonstd_width": pa.array(rec["nonstd_width"], pa.int64()),
+                "min_height": pa.array(rec["min_height"], pa.int64()),
+                "max_height": pa.array(rec["max_height"], pa.int64()),
+                "delta_size": pa.array(rec["delta_size"], pa.int64()),
+                "base_size": pa.array(rec["base_size"], pa.int64()),
+                "has_extra": pa.array(rec["has_extra"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )

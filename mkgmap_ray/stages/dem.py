@@ -1,0 +1,202 @@
+"""DEM section/tile layer (``imgfmt/app/dem/DEMSection.java`` +
+``DEMTile.java``) re-expressed for Ray Data: the tile-grid layout math,
+per-tile height statistics (base height, max delta, encoding type, void
+handling) and the section record descriptors are reproduced exactly and
+fully vectorized — one numpy pass over every sample point of every tile
+of a batch of sections.
+
+Reproduced semantics (cited by line):
+
+- ``getTileInfo`` (``DEMSection.java:89-114``): number of 64-point tiles
+  per axis plus the normalised non-standard last-row/column size
+  (overlap by one ``demDist``, remainder rounded up, re-based into
+  1..95 "because Garmin does it also").
+- tile grid offsets (``DEMSection.java:118-139``): row m starts at
+  ``top - m*64*dist`` (lat decreasing), column n at
+  ``left + n*64*dist``; the last row/column uses the non-std size.
+- per-tile stats (``DEMTile.java:76-117``): min/max over valid
+  heights; all-void => encodingType 2 with base=0/delta=0 and no data;
+  some voids => encodingType 2 and ``max+1``; ``maxHeight`` readback
+  subtracts 1 for type != 0 (``DEMTile.java:130``).
+- section descriptors (``DEMSection.java:163-183``): ``deltaSize`` (1
+  byte iff maxDelta <= 255), ``baseSize`` (1 byte iff all bases in
+  (-128, 128)), ``hasExtra`` (any non-zero encoding type), and the
+  ``minHeight``/``maxHeight`` header fields zeroed when no tile
+  produced stream data.
+
+The per-tile plateau/delta bit stream itself (``DEMTile.java:
+createBitStream``, a sequential predictive coder) is NOT reproduced —
+it affects only the byte-level payload, not the section structure; the
+deliberate parquet-analogue stores the sampled heights column instead
+(same trade as the RGN parquet tile sink).
+
+The height source is injectable: the engine wires ``RasterSampler``
+(stages/raster.py) over real HGT grids; the gate queries use a
+closed-form integer height so DuckDB can mirror every statistic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+STD_DIM = 64
+UNDEF = -32768  # HGTReader.UNDEF
+
+
+def dem_tile_info(dem_points: np.ndarray, dem_dist: np.ndarray):
+    """``DEMSection.getTileInfo`` vectorized: (num tiles, non-std size)."""
+    dem_points = np.asarray(dem_points, np.int64)
+    dem_dist = np.asarray(dem_dist, np.int64)
+    resolution = STD_DIM * dem_dist
+    p = dem_points + dem_dist  # Garmin prefers large overlaps
+    n_full = p // resolution
+    rest = p - n_full * resolution
+    nonstd = rest // dem_dist + (rest % dem_dist != 0)
+    num = np.where(nonstd >= STD_DIM // 2, n_full + 1, n_full)
+    nonstd = np.where(
+        (nonstd < STD_DIM // 2) & (n_full > 0), nonstd + STD_DIM, nonstd
+    )
+    num = np.maximum(num, 1)
+    return num, nonstd
+
+
+def dem_layout(
+    top: np.ndarray,
+    left: np.ndarray,
+    area_height: np.ndarray,
+    area_width: np.ndarray,
+    dist: np.ndarray,
+):
+    """Expand sections into their tile grid. Returns dict of flat
+    per-tile arrays plus ``section_of`` (index into the input arrays)."""
+    top = np.asarray(top, np.int64)
+    left = np.asarray(left, np.int64)
+    dist = np.asarray(dist, np.int64)
+    tiles_lat, nonstd_h = dem_tile_info(area_height, dist)
+    tiles_lon, nonstd_w = dem_tile_info(area_width, dist)
+    n_tiles = tiles_lat * tiles_lon
+    sec = np.repeat(np.arange(len(top), dtype=np.int64), n_tiles)
+    t0 = np.concatenate(([0], np.cumsum(n_tiles)[:-1]))
+    tidx = np.arange(int(n_tiles.sum()), dtype=np.int64) - np.repeat(t0, n_tiles)
+    m = tidx // tiles_lon[sec]
+    n = tidx % tiles_lon[sec]
+    res = STD_DIM * dist
+    h = np.where(m + 1 == tiles_lat[sec], nonstd_h[sec], STD_DIM)
+    w = np.where(n + 1 == tiles_lon[sec], nonstd_w[sec], STD_DIM)
+    return {
+        "section_of": sec,
+        "row": m,
+        "col": n,
+        "width": w,
+        "height": h,
+        "lat_off": top[sec] - m * res[sec],
+        "lon_off": left[sec] + n * res[sec],
+        "tiles_lat": tiles_lat,
+        "tiles_lon": tiles_lon,
+        "nonstd_height": nonstd_h,
+        "nonstd_width": nonstd_w,
+    }
+
+
+def dem_tile_stats(
+    layout: dict, dist: np.ndarray, height_fn
+) -> dict:
+    """Sample every point of every tile (lat = lat_off - i*dist, lon =
+    lon_off + j*dist) through ``height_fn(lat, lon) -> (heights, void)``
+    and fold the per-tile DEMTile statistics with reduceat passes."""
+    w = layout["width"]
+    h = layout["height"]
+    sec = layout["section_of"]
+    dist = np.asarray(dist, np.int64)
+    npts = w * h
+    p0 = np.concatenate(([0], np.cumsum(npts)[:-1]))
+    tile_of = np.repeat(np.arange(len(w), dtype=np.int64), npts)
+    pidx = np.arange(int(npts.sum()), dtype=np.int64) - np.repeat(p0, npts)
+    i = pidx // w[tile_of]
+    j = pidx % w[tile_of]
+    d = dist[sec][tile_of]
+    lat = layout["lat_off"][tile_of] - i * d
+    lon = layout["lon_off"][tile_of] + j * d
+    heights, void = height_fn(lat, lon)
+    heights = np.asarray(heights, np.int64)
+    void = np.asarray(void, bool)
+
+    big = np.int64(1) << 40
+    hv_min = np.where(void, big, heights)
+    hv_max = np.where(void, -big, heights)
+    t_min = np.minimum.reduceat(hv_min, p0)
+    t_max = np.maximum.reduceat(hv_max, p0)
+    n_void = np.add.reduceat(void.astype(np.int64), p0)
+    all_void = n_void == npts
+    some_void = (n_void > 0) & ~all_void
+
+    has_data = ~all_void
+    enc_type = np.where(all_void | some_void, 2, 0)
+    t_min = np.where(all_void, 0, t_min)
+    t_max = np.where(all_void, 0, np.where(some_void, t_max + 1, t_max))
+    base = t_min
+    max_delta = t_max - t_min
+    # DEMTile.getMaxHeight: subtract 1 when the top value is a sentinel
+    max_height = base + max_delta - np.where(enc_type == 0, 0, 1)
+    return {
+        "base_height": base,
+        "max_delta": max_delta,
+        "enc_type": enc_type,
+        "has_data": has_data,
+        "n_void": n_void,
+        "max_height": max_height,
+        "n_points": npts,
+    }
+
+
+def dem_section_records(layout: dict, stats: dict, n_sections: int) -> dict:
+    """Fold per-tile stats into the DEMSection header fields
+    (``DEMSection.java:120-183``)."""
+    sec = layout["section_of"]
+    valid = stats["has_data"]
+    big = np.int64(1) << 40
+
+    def sec_min(vals, mask):
+        v = np.where(mask, vals, big)
+        out = np.full(n_sections, big, np.int64)
+        np.minimum.at(out, sec, v)
+        return out
+
+    def sec_max(vals, mask):
+        v = np.where(mask, vals, -big)
+        out = np.full(n_sections, -big, np.int64)
+        np.maximum.at(out, sec, v)
+        return out
+
+    min_base = sec_min(stats["base_height"], valid)
+    max_base = sec_max(stats["base_height"], valid)
+    max_h = sec_max(stats["max_height"], valid)
+    max_delta = sec_max(stats["max_delta"], valid)
+    # stream data exists iff some valid tile is not flat
+    has_stream = np.zeros(n_sections, bool)
+    np.logical_or.at(has_stream, sec, valid & (stats["max_delta"] > 0))
+    has_extra = np.zeros(n_sections, bool)
+    np.logical_or.at(has_extra, sec, stats["enc_type"] != 0)
+
+    min_height = np.where(has_stream, min_base, 0)
+    max_height = np.where(has_stream, max_h, 0)
+    # descriptor sizes use the stats of VALID tiles even when every such
+    # tile is flat (dataLen == 0); with no valid tiles at all the Java
+    # sentinels (MAX_VALUE/MIN_VALUE) pass both 1-byte tests
+    any_valid = np.zeros(n_sections, bool)
+    np.logical_or.at(any_valid, sec, valid)
+    delta_size = np.where(any_valid & (max_delta > 255), 2, 1)
+    base_size = np.where(
+        any_valid & ~((min_base > -128) & (max_base < 128)), 2, 1
+    )
+    return {
+        "min_height": min_height,
+        "max_height": max_height,
+        "delta_size": delta_size,
+        "base_size": base_size,
+        "has_extra": has_extra.astype(np.int64),
+        "tiles_lat": layout["tiles_lat"],
+        "tiles_lon": layout["tiles_lon"],
+        "nonstd_height": layout["nonstd_height"],
+        "nonstd_width": layout["nonstd_width"],
+    }
