@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_layout": Q.q_dem_layout,
         "dem_tiles": Q.q_dem_tiles,
         "dem_section": Q.q_dem_section,
+        "typ_compile": Q.q_typ_compile,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -529,6 +530,46 @@ def oracle_sql() -> dict[str, str]:
                    THEN 2 ELSE 1 END AS base_size,
               max(CASE WHEN enc_type <> 0 THEN 1 ELSE 0 END) AS has_extra
             FROM tfin GROUP BY k
+        """,
+        "typ_compile": """
+            WITH f AS (
+              SELECT p_partkey AS k,
+                     32 + (p_partkey*13) % 768 AS tv
+              FROM part
+            ), elem AS (
+              SELECT k AS sid,
+                CASE WHEN k % 3 = 0 THEN 'point'
+                     WHEN k % 3 = 1 THEN 'line' ELSE 'polygon' END AS kind,
+                CASE WHEN tv >= 256 THEN tv >> 8 ELSE tv % 256 END AS typ,
+                CASE WHEN tv >= 256 THEN tv % 256 ELSE 0 END AS subtyp,
+                k % 5 AS fontstyle,
+                4 AS label_lang,
+                'N' || CAST(k % 1000 AS VARCHAR) AS label,
+                (k * 2654435761) % 16777215 AS day_rgb,
+                -1 AS night_rgb,
+                CASE WHEN k % 3 = 2 THEN 0 ELSE -1 END AS xpm_w,
+                CASE WHEN k % 3 = 2 THEN 0 ELSE -1 END AS xpm_h,
+                CASE WHEN k % 3 = 2 THEN 2 ELSE -1 END AS xpm_ncolors,
+                CASE WHEN k % 3 = 2 THEN 0 ELSE -1 END AS xpm_cpp,
+                CASE WHEN k % 3 = 2 AND k % 4 = 0 THEN 1 ELSE 0 END
+                  AS xpm_transparent,
+                CASE WHEN k % 3 = 2 THEN (k * 40503) % 16777215
+                     ELSE -1 END AS xpm_color0,
+                -1 AS order_level
+              FROM f
+            ), draw AS (
+              SELECT k AS sid, 'draworder' AS kind,
+                CASE WHEN tv >= 256 THEN (tv >> 8) % 16384
+                     ELSE tv % 256 END AS typ,
+                CASE WHEN tv >= 256 THEN tv % 256 ELSE 0 END AS subtyp,
+                -1 AS fontstyle, -1 AS label_lang, '' AS label,
+                -1 AS day_rgb, -1 AS night_rgb, -1 AS xpm_w, -1 AS xpm_h,
+                -1 AS xpm_ncolors, -1 AS xpm_cpp, -1 AS xpm_transparent,
+                -1 AS xpm_color0,
+                1 + k % 8 AS order_level
+              FROM f WHERE k % 11 = 0
+            )
+            SELECT * FROM elem UNION ALL SELECT * FROM draw
         """,
         "subdiv_tre": """
             WITH f AS (

@@ -3757,3 +3757,63 @@ def q_dem_section(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_typ_compile(sf_dir: str):
+    """TYP text compiler (``mkgmap/typ/TypTextReader.java`` + section
+    processors): per part row a generated TYP source (point/line/polygon
+    section with labels, font styles, custom colours, an XPM colour
+    table for polygons, and a draw-order section for every 11th key) is
+    compiled back into the typed element table; the SQL oracle derives
+    every parsed field directly from the key."""
+    from ..stages.typcompile import compile_typ_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["p_partkey"].combine_chunks(), np.int64)
+        kinds = np.select(
+            [k % 3 == 0, k % 3 == 1], ["_point", "_line"], "_polygon"
+        )
+        tv = 32 + (k * 13) % 768
+        fonts = np.select(
+            [k % 5 == 0, k % 5 == 1, k % 5 == 2, k % 5 == 3],
+            ["Default", "NoLabel", "SmallFont", "Normal"],
+            "Large",
+        )
+        s = pd.Series(tv)
+        tv_txt = np.where(
+            k % 2 == 0, s.map("{:#x}".format), s.map("{}".format)
+        )
+        day = pd.Series((k * 2654435761) % 0xFFFFFF).map("{:06X}".format)
+        c0 = pd.Series((k * 40503) % 0xFFFFFF).map("{:06X}".format)
+        c1 = pd.Series((k * 69069) % 0xFFFFFF).map("{:06X}".format)
+        label = pd.Series(k % 1000).map("N{}".format)
+        head = (
+            "[" + pd.Series(kinds) + "]\nType=" + tv_txt
+            + "\nString=0x4," + label
+            + "\nFontStyle=" + fonts
+            + "\nDaycustomColor=#" + day
+        )
+        xpm = pd.Series(
+            np.where(
+                k % 3 == 2,
+                '\nXpm="0 0 2 0"\n"* c #' + c0 + '"\n'
+                + np.where(
+                    k % 4 == 0, '"! c None"', '"! c #' + c1 + '"'
+                ),
+                "",
+            )
+        )
+        draw = pd.Series(
+            np.where(
+                k % 11 == 0,
+                "\n[_draworder]\nType=" + tv_txt + ","
+                + pd.Series(1 + k % 8).map("{}".format) + "\n[end]",
+                "",
+            )
+        )
+        texts = head + xpm + "\n[end]" + draw
+        return compile_typ_batch(k, texts.tolist())
+
+    return _read_split(sf_dir, "part", ["p_partkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
