@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_tiles": Q.q_dem_tiles,
         "dem_section": Q.q_dem_section,
         "typ_compile": Q.q_typ_compile,
+        "gmapsupp_fat": Q.q_gmapsupp_fat,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -531,6 +532,90 @@ def oracle_sql() -> dict[str, str]:
               max(CASE WHEN enc_type <> 0 THEN 1 ELSE 0 END) AS has_extra
             FROM tfin GROUP BY k
         """,
+        "gmapsupp_fat": """
+            WITH files AS (
+              SELECT o.o_orderkey AS k, t.f,
+                     (1000 + (o.o_orderkey*31 + t.f*977) % 100000)
+                       * (1 + (o.o_orderkey % 7) * 500) AS fsize
+              FROM orders o, LATERAL unnest(range(0, 1 + o.o_orderkey % 5)) AS t(f)
+            ), cand AS (
+              SELECT k, b.i AS ord, (512::BIGINT << b.i) AS bs
+              FROM (SELECT DISTINCT k FROM files), LATERAL unnest(range(0, 15)) AS b(i)
+            ), per_cand AS (
+              SELECT c.k, c.ord, c.bs,
+                SUM((f.fsize + c.bs - 1) // c.bs) AS file_blocks,
+                1 + SUM(((f.fsize + c.bs - 1) // c.bs + 239) // 240) AS header_slots
+              FROM cand c JOIN files f ON f.k = c.k
+              GROUP BY c.k, c.ord, c.bs
+            ), sized AS (
+              SELECT k, ord, bs, file_blocks,
+                ((2 + header_slots) * 512 + bs - 1) // bs AS header_blocks
+              FROM per_cand
+            ), valid AS (
+              SELECT k, ord, bs, header_blocks,
+                     header_blocks + file_blocks AS total,
+                     (header_blocks + file_blocks) * bs AS size_
+              FROM sized
+              WHERE header_blocks <= 240 AND header_blocks + file_blocks <= 65534
+            ), seq AS (
+              SELECT *, row_number() OVER (PARTITION BY k ORDER BY ord) AS rn,
+                     lag(size_) OVER (PARTITION BY k ORDER BY ord) AS prev
+              FROM valid
+            ), brk AS (
+              SELECT k, min(rn) AS brn FROM seq
+              WHERE prev IS NOT NULL AND size_ > prev GROUP BY k
+            ), lim AS (
+              SELECT s.k, COALESCE(b.brn - 1, max(s.rn)) AS pick_rn
+              FROM seq s LEFT JOIN brk b ON b.k = s.k
+              GROUP BY s.k, b.brn
+            ), chosen AS (
+              SELECT s.k, s.bs, s.header_blocks AS reserved, s.total
+              FROM seq s JOIN lim l ON l.k = s.k AND s.rn = l.pick_rn
+            ), geo AS (
+              SELECT k, bs, reserved, total,
+                ((total + 1) * bs + 511) // 512 AS end_sector
+              FROM chosen
+            ), ch AS (
+              SELECT h.i AS hi, s.i AS si, c.i AS ci,
+                     ([16,32,64,128,256])[h.i] AS h,
+                     ([4,8,16,32])[s.i] AS s,
+                     ([32,64,128,256,512,1023])[c.i] AS c
+              FROM unnest(range(1, 6)) h(i), unnest(range(1, 5)) s(i),
+                   unnest(range(1, 7)) c(i)
+            ), pick_geo AS (
+              SELECT g.k,
+                COALESCE(arg_min(ch.h, (ch.hi-1)*24 + (ch.si-1)*6 + ch.ci)
+                         FILTER (WHERE ch.s * ch.h * ch.c > g.end_sector), 128) AS heads,
+                COALESCE(arg_min(ch.s, (ch.hi-1)*24 + (ch.si-1)*6 + ch.ci)
+                         FILTER (WHERE ch.s * ch.h * ch.c > g.end_sector), 32) AS sectors,
+                COALESCE(arg_min(ch.c, (ch.hi-1)*24 + (ch.si-1)*6 + ch.ci)
+                         FILTER (WHERE ch.s * ch.h * ch.c > g.end_sector), 1024) AS cylinders
+              FROM geo g, ch GROUP BY g.k
+            ), alloc AS (
+              SELECT f.k, f.f, f.fsize,
+                (f.fsize + g.bs - 1) // g.bs AS nblocks,
+                ((f.fsize + g.bs - 1) // g.bs + 239) // 240 AS dir_slots,
+                g.reserved AS reserved,
+                g.reserved
+                  + COALESCE(SUM((f.fsize + g.bs - 1) // g.bs)
+                      OVER (PARTITION BY f.k ORDER BY f.f
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start_block,
+                g.bs, g.total, g.end_sector
+              FROM files f JOIN geo g ON g.k = f.k
+            )
+            SELECT a.k AS o_orderkey,
+              substr(CAST(a.f AS VARCHAR) || CAST(a.k AS VARCHAR), 1, 8) || '.IMG' AS fname,
+              a.fsize, a.nblocks, a.dir_slots,
+              CAST(a.start_block AS BIGINT) AS start_block,
+              a.bs AS block_size, CAST(a.reserved AS BIGINT) AS reserved,
+              CAST(a.total AS BIGINT) AS total_blocks,
+              CAST(a.end_sector AS BIGINT) AS end_sector,
+              CAST(p.heads AS BIGINT) AS heads,
+              CAST(p.sectors AS BIGINT) AS sectors,
+              CAST(p.cylinders AS BIGINT) AS cylinders
+            FROM alloc a JOIN pick_geo p ON p.k = a.k
+""",
         "typ_compile": """
             WITH f AS (
               SELECT p_partkey AS k,

@@ -3817,3 +3817,59 @@ def q_typ_compile(sf_dir: str):
     return _read_split(sf_dir, "part", ["p_partkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_gmapsupp_fat(sf_dir: str):
+    """Gmapsupp combiner filesystem math (``combiners/GmapsuppBuilder
+    .java`` + ``imgfmt/sys/ImgFS.java:270-316`` + ``ImgHeader.java:
+    189-256``): per order a mapset of 1-5 sub-files; the query runs the
+    best-block-size scan, FAT slot/contiguous-block allocation and the
+    partition CHS geometry, all vectorized across every mapset of the
+    batch; the SQL oracle replays the scan over the 15 doubling
+    candidates with window functions."""
+    from ..stages.gmapsupp import (
+        allocate_blocks,
+        best_block_size,
+        img_filename,
+        partition_geometry,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = 1 + k % 5
+        gof = np.repeat(np.arange(len(k), dtype=np.int64), n)
+        f = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n
+        )
+        kr = k[gof]
+        sizes = (1000 + (kr * 31 + f * 977) % 100000) * (
+            1 + (kr % 7) * 500
+        )
+        paths = pd.Series(f).map("{}".format) + pd.Series(kr).map(
+            "{}.img".format
+        )
+        names = img_filename(paths)
+        bs, res, tot = best_block_size(sizes, gof, len(k))
+        start, nb, slots = allocate_blocks(sizes, gof, bs, res)
+        es, heads, sectors, cyls = partition_geometry(tot, bs)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kr, pa.int64()),
+                "fname": pa.array(names, pa.string()),
+                "fsize": pa.array(sizes, pa.int64()),
+                "nblocks": pa.array(nb, pa.int64()),
+                "dir_slots": pa.array(slots, pa.int64()),
+                "start_block": pa.array(start, pa.int64()),
+                "block_size": pa.array(bs[gof], pa.int64()),
+                "reserved": pa.array(res[gof], pa.int64()),
+                "total_blocks": pa.array(tot[gof], pa.int64()),
+                "end_sector": pa.array(es[gof], pa.int64()),
+                "heads": pa.array(heads[gof], pa.int64()),
+                "sectors": pa.array(sectors[gof], pa.int64()),
+                "cylinders": pa.array(cyls[gof], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )

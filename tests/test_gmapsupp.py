@@ -1,0 +1,95 @@
+"""Gmapsupp filesystem math vs scalar transcriptions of ImgFS/ImgHeader."""
+
+import numpy as np
+import pandas as pd
+
+from mkgmap_ray.stages.gmapsupp import (
+    allocate_blocks,
+    best_block_size,
+    img_filename,
+    partition_geometry,
+)
+
+
+def _java_best_block_size(sizes):
+    best_size = 1 << 62
+    best = (0, 0, 0)
+    bs = 512
+    while bs < (1 << 24):
+        header_slots = 1
+        file_blocks = 0
+        for ln in sizes:
+            nb = (ln + bs - 1) // bs
+            file_blocks += nb
+            header_slots += (nb + 240 - 1) // 240
+        required = 2 + header_slots
+        header_blocks = (required * 512 + bs - 1) // bs
+        total = header_blocks + file_blocks
+        size = total * bs
+        if header_blocks > 240 or total > 0xFFFE:
+            bs <<= 1
+            continue
+        if size > best_size:
+            break
+        best = (bs, header_blocks, total)
+        best_size = size
+        bs <<= 1
+    return best
+
+
+def _java_geometry(total, bs):
+    end_sector = ((total + 1) * bs + 511) // 512
+    for h in (16, 32, 64, 128, 256):
+        for s in (4, 8, 16, 32):
+            for c in (0x20, 0x40, 0x80, 0x100, 0x200, 0x3FF):
+                if s * h * c > end_sector:
+                    return end_sector, h, s, c
+    return end_sector, 128, 32, 0x400
+
+
+def test_img_filename():
+    s = pd.Series(
+        ["/home/u/foo.typ", "c:/maps/averylongname.typfile", "out/1234.img"]
+    )
+    assert list(img_filename(s)) == ["FOO.TYP", "AVERYLON.TYP", "1234.IMG"]
+
+
+def test_best_block_size_matches_java():
+    rng = np.random.default_rng(17)
+    groups = []
+    for mag in (3, 5, 7, 8, 9):  # bytes magnitude: tiny .. hundreds of MB
+        for n in (1, 3, 5):
+            groups.append(rng.integers(1, 10**mag, n))
+    sizes = np.concatenate(groups)
+    group_of = np.repeat(np.arange(len(groups)), [len(g) for g in groups])
+    bs, res, tot = best_block_size(sizes, group_of, len(groups))
+    for gi, g in enumerate(groups):
+        want = _java_best_block_size(list(g))
+        assert (bs[gi], res[gi], tot[gi]) == want, (gi, list(g))
+
+
+def test_allocation_contiguous():
+    sizes = np.array([100, 1000, 5000, 700, 100])
+    group_of = np.array([0, 0, 0, 1, 1])
+    bs, res, tot = best_block_size(sizes, group_of, 2)
+    start, nb, slots = allocate_blocks(sizes, group_of, bs, res)
+    # group 0: contiguous from reserved
+    assert start[0] == res[0]
+    assert start[1] == start[0] + nb[0]
+    assert start[2] == start[1] + nb[1]
+    # group 1 restarts at its own reserved base
+    assert start[3] == res[1]
+    assert start[4] == start[3] + nb[3]
+    assert (slots == (nb + 239) // 240).all()
+    # totals consistent
+    assert res[0] + nb[:3].sum() == tot[0]
+
+
+def test_geometry_matches_java():
+    rng = np.random.default_rng(23)
+    total = rng.integers(3, 0xFFFE, 200)
+    bs = 512 << rng.integers(0, 10, 200)
+    es, h, s, c = partition_geometry(total, bs)
+    for i in range(200):
+        wes, wh, ws, wc = _java_geometry(int(total[i]), int(bs[i]))
+        assert (es[i], h[i], s[i], c[i]) == (wes, wh, ws, wc)
