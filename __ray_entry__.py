@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_section": Q.q_dem_section,
         "typ_compile": Q.q_typ_compile,
         "gmapsupp_fat": Q.q_gmapsupp_fat,
+        "bnd_roundtrip": Q.q_bnd_roundtrip,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -734,6 +735,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM c WHERE NOT (x0c = x1c AND y0c = y1c)
         """,
         "pip_regions": f"""
+            WITH p AS (SELECT event_id,
+                              (event_id*16807) % 65536 AS x,
+                              (event_id*48271) % 65536 AS y
+                       FROM events)
+            {pip_parts}
+        """,
+        "bnd_roundtrip": f"""
             WITH p AS (SELECT event_id,
                               (event_id*16807) % 65536 AS x,
                               (event_id*48271) % 65536 AS y

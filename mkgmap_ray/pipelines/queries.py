@@ -3873,3 +3873,48 @@ def q_gmapsupp_fat(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_bnd_roundtrip(sf_dir: str):
+    """``BoundarySaver``/``BoundaryUtil`` artifact path (``reader/osm/
+    boundary/BoundarySaver.java`` + ``BoundaryUtil.java``): the boundary
+    set is SAVED keyed by RASTER cell, then the PIP join runs through
+    ``LazyPIPJoin`` actors that read only the cells their probe batches
+    touch — the lazy-load layout the reference's LocationHook uses at
+    scale. Same oracle as pip_regions: the roundtrip must be lossless."""
+    import hashlib
+    import os
+
+    from ..stages.pipjoin import LazyPIPJoin, save_boundary_artifact
+
+    polys = [
+        (rid, [(np.asarray([y for x, y in pts]), np.asarray([x for x, y in pts]))])
+        for rid, pts in PIP_REGIONS
+    ]
+    digest = hashlib.sha1(repr(PIP_REGIONS).encode()).hexdigest()[:12]
+    art = f"/tmp/mkgmap_ray_bnd_{digest}"
+    if not os.path.exists(f"{art}/cells.parquet"):
+        save_boundary_artifact(polys, art, raster_shift=14)
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        lat, lon = event_points_np(eid)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "lat_hp": pa.array(lat, pa.int64()),
+                "lon_hp": pa.array(lon, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        add_coords, batch_format="pyarrow", batch_size=None
+    )
+    joined = ds.map_batches(
+        LazyPIPJoin,
+        fn_constructor_kwargs=dict(artifact_dir=art, raster_shift=14),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=pool_concurrency(),
+    )
+    out = joined.to_pandas()[["event_id", "boundary_id"]]
+    return out.rename(columns={"boundary_id": "region_id"}).astype("int64")
