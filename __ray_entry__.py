@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typ_compile": Q.q_typ_compile,
         "gmapsupp_fat": Q.q_gmapsupp_fat,
         "bnd_roundtrip": Q.q_bnd_roundtrip,
+        "mdr5_cities": Q.q_mdr5_cities,
+        "mdr10_pois": Q.q_mdr10_pois,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -617,6 +619,81 @@ def oracle_sql() -> dict[str, str]:
               CAST(p.cylinders AS BIGINT) AS cylinders
             FROM alloc a JOIN pick_geo p ON p.k = a.k
 """,
+        "mdr5_cities": """
+            WITH c AS (
+              SELECT printf('C%03d', (o_orderkey*7) % 500) AS name,
+                     'R' || CAST(o_orderkey % 7 AS VARCHAR) AS region,
+                     'X' || CAST(o_orderkey % 3 AS VARCHAR) AS country,
+                     o_orderkey % 32 AS map_index
+              FROM orders
+            ), d AS (
+              SELECT name, region, country, map_index, count(*) AS n_dups
+              FROM c GROUP BY ALL
+            ), s AS (
+              SELECT *,
+                lag(name) OVER w AS pn, lag(map_index) OVER w AS pm
+              FROM d WINDOW w AS (ORDER BY name, region, country, map_index)
+            ), marked AS (
+              SELECT *, CASE WHEN pn IS NOT NULL AND pn = name
+                              AND pm = map_index
+                             THEN 0 ELSE 1 END AS new_city
+              FROM s
+            ), runs AS (
+              SELECT *, SUM(new_city)
+                  OVER (ORDER BY name, region, country, map_index
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM marked
+            ), folded AS (
+              SELECT run_id, SUM(n_dups) AS n_dups FROM runs GROUP BY run_id
+            )
+            SELECT CAST(r.run_id AS BIGINT) AS global_idx, r.name, r.region,
+                   r.country, r.map_index,
+                   CAST(dense_rank() OVER (ORDER BY r.name) AS BIGINT)
+                     AS mdr20_idx,
+                   CAST(f.n_dups AS BIGINT) AS n_dups
+            FROM runs r JOIN folded f ON f.run_id = r.run_id
+            WHERE r.new_city = 1
+        """,
+        "mdr10_pois": """
+            WITH p AS (
+              SELECT o_orderkey AS k,
+                printf('P%03d', (o_orderkey*11) % 300) AS name,
+                o_orderkey % 32 AS map_index,
+                CASE o_orderkey % 6
+                  WHEN 0 THEN 4
+                  WHEN 1 THEN 10752 + o_orderkey % 3
+                  WHEN 2 THEN 11520
+                  WHEN 3 THEN 10240
+                  WHEN 4 THEN 25600
+                  ELSE 11008 END AS full_type
+              FROM orders
+            ), t AS (
+              SELECT *,
+                CASE WHEN (full_type & 1044224) > 0
+                     THEN (full_type >> 8) & 4095
+                     ELSE full_type & 255 END AS typ
+              FROM p
+            ), g AS (
+              SELECT k, name, map_index, full_type,
+                CASE WHEN full_type <= 15 THEN 1
+                     WHEN typ >= 42 AND typ <= 48 THEN typ - 40
+                     WHEN typ = 40 THEN 9
+                     WHEN typ >= 100 AND typ <= 102 THEN typ - 89
+                     ELSE 0 END AS grp
+              FROM t
+            ), r AS (
+              SELECT *, CAST(row_number()
+                  OVER (ORDER BY name, map_index, k) AS BIGINT) AS record_no
+              FROM g
+            ), face AS (
+              SELECT grp, min(record_no) AS first_record,
+                     CAST(count(*) AS BIGINT) AS n_pois
+              FROM r GROUP BY grp
+            )
+            SELECT r.k AS o_orderkey, r.name, r.map_index, r.full_type,
+                   r.grp, r.record_no, face.first_record, face.n_pois
+            FROM r JOIN face ON face.grp = r.grp
+        """,
         "typ_compile": """
             WITH f AS (
               SELECT p_partkey AS k,

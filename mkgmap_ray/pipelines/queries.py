@@ -3918,3 +3918,129 @@ def q_bnd_roundtrip(sf_dir: str):
     )
     out = joined.to_pandas()[["event_id", "boundary_id"]]
     return out.rename(columns={"boundary_id": "region_id"}).astype("int64")
+
+
+def q_mdr5_cities(sf_dir: str):
+    """Mdr5 global city list (``imgfmt/app/mdr/Mdr5.java:52-105``):
+    cities sorted by (name, region, country, map); consecutive records
+    equal by (map, name) collapse into one global city record, while the
+    mdr20 index rises once per distinct NAME run. Collapse is exact
+    under a hash partition on the full sort tuple (equal tuples
+    co-locate); the driver ranks only the collapsed set."""
+    N_PARTS = 64
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        df = pd.DataFrame(
+            {
+                "name": pd.Series((k * 7) % 500).map("C{:03d}".format),
+                "region": pd.Series(k % 7).map("R{}".format),
+                "country": pd.Series(k % 3).map("X{}".format),
+                "map_index": k % 32,
+            }
+        )
+        h = pd.util.hash_pandas_object(
+            df["name"] + df["region"] + df["country"]
+            + df["map_index"].astype(str),
+            index=False,
+        ).to_numpy(np.uint64)
+        df["part"] = (h & np.uint64(N_PARTS - 1)).astype(np.int64)
+        return df
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["name", "region", "country", "map_index"], sort=False)
+            .size()
+            .rename("n_dups")
+            .reset_index()
+        )
+        return out
+
+    rows = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = rows.sort_values(
+        ["name", "region", "country", "map_index"]
+    ).reset_index(drop=True)
+    # consecutive-equal (map, name) collapse over the full sort order
+    prev_name = rows["name"].shift()
+    prev_map = rows["map_index"].shift()
+    new_city = ~((rows["name"] == prev_name) & (rows["map_index"] == prev_map))
+    dup_run = (~new_city).to_numpy()
+    # fold collapsed runs' duplicate counts into the surviving record
+    run_id = np.cumsum(new_city.to_numpy())
+    n_dups = rows.groupby(run_id)["n_dups"].sum()
+    keep = rows[new_city.to_numpy()].reset_index(drop=True)
+    keep["n_dups"] = n_dups.to_numpy(np.int64)
+    keep["global_idx"] = np.arange(1, len(keep) + 1, dtype=np.int64)
+    keep["mdr20_idx"] = (
+        (keep["name"] != keep["name"].shift()).cumsum().astype(np.int64)
+    )
+    keep["map_index"] = keep["map_index"].astype("int64")
+    return keep[
+        ["global_idx", "name", "region", "country", "map_index",
+         "mdr20_idx", "n_dups"]
+    ]
+
+
+def q_mdr10_pois(sf_dir: str):
+    """Mdr10/11 POI master list + type groups (``imgfmt/app/mdr/
+    Mdr11.java:57-75`` name+map sort; ``MdrUtils.getGroupForPoi``,
+    ``MdrUtils.java:41-66``): each POI gets its 1-based record number in
+    (name, map, key) order plus its type group; per-group first-record
+    and counts are the Mdr10 face."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = k % 6
+        full = np.select(
+            [sel == 0, sel == 1, sel == 2, sel == 3, sel == 4],
+            [0x04, 0x2A00 + (k % 3), 0x2D00, 0x2800, 0x6400],
+            0x2B00,
+        )
+        typ = np.where((full & 0xFFF00) > 0, (full >> 8) & 0xFFF, full & 0xFF)
+        grp = np.select(
+            [
+                full <= 0xF,
+                (typ >= 0x2A) & (typ <= 0x30),
+                typ == 0x28,
+                (typ >= 0x64) & (typ <= 0x66),
+            ],
+            [1, typ - 0x28, 9, typ - 0x59],
+            0,
+        )
+        return pd.DataFrame(
+            {
+                "k": k,
+                "name": pd.Series((k * 11) % 300).map("P{:03d}".format),
+                "map_index": k % 32,
+                "full_type": full,
+                "grp": grp,
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    rows = rows.sort_values(["name", "map_index", "k"]).reset_index(drop=True)
+    rows["record_no"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    rows["map_index"] = rows["map_index"].astype("int64")
+    rows["grp"] = rows["grp"].astype("int64")
+    g = rows.groupby("grp")
+    face = pd.DataFrame(
+        {
+            "first_record": g["record_no"].min(),
+            "n_pois": g.size(),
+        }
+    ).reset_index()
+    out = rows.merge(face, on="grp")
+    return out[
+        ["k", "name", "map_index", "full_type", "grp", "record_no",
+         "first_record", "n_pois"]
+    ].rename(columns={"k": "o_orderkey"})
