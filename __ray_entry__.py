@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bnd_roundtrip": Q.q_bnd_roundtrip,
         "mdr5_cities": Q.q_mdr5_cities,
         "mdr10_pois": Q.q_mdr10_pois,
+        "installer_ids": Q.q_installer_ids,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -693,6 +694,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.k AS o_orderkey, r.name, r.map_index, r.full_type,
                    r.grp, r.record_no, face.first_record, face.n_pois
             FROM r JOIN face ON face.grp = r.grp
+        """,
+        "installer_ids": """
+            SELECT o_orderkey, 1 + o_orderkey % 65535 AS family_id,
+                   printf('%02x%02x',
+                          (1 + o_orderkey % 65535) & 255,
+                          ((1 + o_orderkey % 65535) >> 8) & 255) AS reg_id
+            FROM orders
         """,
         "typ_compile": """
             WITH f AS (

@@ -4044,3 +4044,25 @@ def q_mdr10_pois(sf_dir: str):
         ["k", "name", "map_index", "full_type", "grp", "record_no",
          "first_record", "n_pois"]
     ].rename(columns={"k": "o_orderkey"})
+
+
+def q_installer_ids(sf_dir: str):
+    """NSIS registry family ids (``combiners/NsisBuilder.java:55-57``):
+    hex of 0x10000|familyId with the low two bytes swapped; the SQL
+    oracle mirrors with printf."""
+    from ..stages.installer import nsis_reg_id
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        fid = 1 + k % 65535
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "family_id": pa.array(fid, pa.int64()),
+                "reg_id": pa.array(nsis_reg_id(fid), pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )

@@ -93,3 +93,27 @@ def test_geometry_matches_java():
     for i in range(200):
         wes, wh, ws, wc = _java_geometry(int(total[i]), int(bs[i]))
         assert (es[i], h[i], s[i], c[i]) == (wes, wh, ws, wc)
+
+
+def test_installer_artifacts():
+    from mkgmap_ray.stages.installer import (
+        gmapi_info_xml,
+        nsis_reg_id,
+        nsis_script,
+    )
+
+    # Java: hex(0x10000 | 2001) = "107d1" -> id = "d107"
+    assert list(nsis_reg_id(np.array([2001, 1, 0xABCD]))) == [
+        "d107", "0100", "cdab",
+    ]
+    nsi = nsis_script(
+        "OSM map", "osmmap", 1, 2001, ["63240001", "63240002"],
+        has_index=True, typ_name="my.typ",
+    )
+    assert '!define MAPNAME "osmmap"' in nsi
+    assert '"ID" d107' in nsi
+    assert '  File "63240002.img"' in nsi
+    assert '  Delete "$INSTDIR\\63240001.img"' in nsi
+    assert "!define INDEX" in nsi and '!define TYPNAME "my.typ"' in nsi
+    xml = gmapi_info_xml("OSM map", 1, 2001, ["Product1.tdb"])
+    assert "<ID>2001</ID>" in xml and "<Directory>Product1.tdb</Directory>" in xml
