@@ -22,6 +22,7 @@ coastline segment set is bounded by the subdivision limits.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 from ..geom.area import Area
 from ..geom.polyfilters import signed_area2
@@ -152,3 +153,91 @@ def assemble_coastline(segments, bounds: Area):
         "n_incomplete": n_incomplete,
         "land_area2": int(area2),
     }
+
+
+# --- precomp-sea artifacts (PrecompSeaSaver / SeaGenerator.addPrecompSea) ----
+
+
+def save_precomp_sea(states, mixed_polys, out_dir: str) -> None:
+    """``PrecompSeaSaver`` analogue (``sea/optional/PrecompSeaSaver
+    .java:48-180``): persist the precompiled sea index — per tile key
+    either a uniform verdict ("sea"/"land") or a pointer to that tile's
+    sea polygons — so map runs load only the tiles they touch
+    (``SeaGenerator.addPrecompSea``, ``SeaGenerator.java:571-694``).
+
+    ``states``: dict cell_key -> 0 sea / 1 land / 2 mixed.
+    ``mixed_polys``: dict cell_key -> list of (lat array, lon array)
+    sea rings for mixed tiles. Parquet replaces the index.txt.gz +
+    per-tile .osm.gz files; the key->verdict/pointer structure is the
+    same.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    keys = sorted(states)
+    verdict = [int(states[k]) for k in keys]
+    idx = pa.table(
+        {
+            "cell": pa.array(keys, pa.int64()),
+            "state": pa.array(verdict, pa.int8()),
+        }
+    )
+    pq.write_table(idx, f"{out_dir}/index.parquet")
+    cell_col, ring_col, lat_col, lon_col = [], [], [], []
+    for k in keys:
+        for ri, (la, lo) in enumerate(mixed_polys.get(k, ())):
+            cell_col.append(k)
+            ring_col.append(ri)
+            lat_col.append(np.asarray(la, np.int64).tolist())
+            lon_col.append(np.asarray(lo, np.int64).tolist())
+    polys = pa.table(
+        {
+            "cell": pa.array(cell_col, pa.int64()),
+            "ring": pa.array(ring_col, pa.int64()),
+            "lat": pa.array(lat_col, pa.list_(pa.int64())),
+            "lon": pa.array(lon_col, pa.list_(pa.int64())),
+        }
+    )
+    pq.write_table(polys, f"{out_dir}/polys.parquet", row_group_size=1024)
+
+
+class PrecompSeaIndex:
+    """Lazy reader: the (tiny) index loads once per actor; mixed-tile
+    polygons load per touched cell with a cache — the access pattern of
+    ``SeaGenerator.addPrecompSea`` reading one sea_<key> file per
+    intersecting tile."""
+
+    def __init__(self, art_dir: str):
+        import pyarrow.parquet as pq
+
+        self.dir = art_dir
+        idx = pq.read_table(f"{art_dir}/index.parquet")
+        self.states = dict(
+            zip(
+                np.asarray(idx["cell"], np.int64).tolist(),
+                np.asarray(idx["state"], np.int8).tolist(),
+            )
+        )
+        self.cache: dict[int, list] = {}
+
+    def state(self, cell: int) -> int:
+        return self.states.get(int(cell), -1)
+
+    def sea_rings(self, cell: int):
+        import pyarrow.parquet as pq
+
+        cell = int(cell)
+        if cell not in self.cache:
+            t = pq.read_table(
+                f"{self.dir}/polys.parquet", filters=[("cell", "=", cell)]
+            )
+            self.cache[cell] = [
+                (
+                    np.asarray(t["lat"][i].as_py(), np.int64),
+                    np.asarray(t["lon"][i].as_py(), np.int64),
+                )
+                for i in range(t.num_rows)
+            ]
+        return self.cache[cell]
