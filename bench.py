@@ -93,6 +93,26 @@ QUERY_NAMES = [
     "restriction_merge",
     "ann_ivf",
     "house_intervals",
+    "relation_apply",
+    "house_numbers",
+    "hook_chain",
+    "mdr_index",
+    "sea_background",
+    "mp_sections",
+    "value_filters",
+    "poly_bool",
+    "border_nodes",
+    "rgn_bitstream",
+    "subdiv_tre",
+    "dem_layout",
+    "dem_tiles",
+    "dem_section",
+    "typ_compile",
+    "gmapsupp_fat",
+    "bnd_roundtrip",
+    "mdr5_cities",
+    "mdr10_pois",
+    "installer_ids",
 ]
 
 

@@ -3514,13 +3514,16 @@ def q_hook_chain(sf_dir: str):
     aname = np.where(pd.isna(aname), "yes", aname).astype(object)
     ay = (ka * A_LAT) % SPAN
     ax = (ka * A_LON) % SPAN
-    bounds_ref = ray.put(
+    # instance (task) mode: the bucketed index builds ONCE on the driver
+    # and ships by closure — 13k boxes is dimension-sized, and actor-pool
+    # spin-up dominated this stage at bench scale (round-2 lesson)
+    tagger = ResidentialTagger(
         (ka, aname, ay - RES_HALF, ay + RES_HALF, ax - RES_HALF,
          ax + RES_HALF)
     )
 
     out = (
-        _read(sf_dir, "orders", ["o_orderkey"])
+        _read_split(sf_dir, "orders", ["o_orderkey"])
         .map_batches(derive, batch_format="pyarrow", batch_size=None)
         .map_batches(highway_on_add_way, batch_format="pandas",
                      batch_size=None)
@@ -3528,10 +3531,7 @@ def q_hook_chain(sf_dir: str):
                      batch_format="pandas", batch_size=None)
         .map_batches(link_destination, batch_format="pandas",
                      batch_size=None)
-        .map_batches(ResidentialTagger,
-                     fn_constructor_kwargs=dict(bounds_ref=bounds_ref),
-                     batch_format="pandas", batch_size=None,
-                     concurrency=pool_concurrency())
+        .map_batches(tagger, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     out = out[["way_id", "oneway", "mkgmap:dest_hint_work",

@@ -139,15 +139,29 @@ class ResidentialTagger:
     shipped via ``ray.put``; each batch point-in-box tests vectorized.
     Ties resolve to the smallest boundary id (deterministic)."""
 
+    GRID_SHIFT = 12  # 4096-unit cells: boxes overlap only a few cells
+
     def __init__(self, bounds_ref):
         import ray
 
-        bid, name, y0, y1, x0, x1 = ray.get(bounds_ref)
+        if isinstance(bounds_ref, ray.ObjectRef):
+            bounds_ref = ray.get(bounds_ref)
+        bid, name, y0, y1, x0, x1 = bounds_ref
         order = np.argsort(bid)
         self.bid = bid[order]
         self.name = np.asarray(name, object)[order]
         self.y0, self.y1 = y0[order], y1[order]
         self.x0, self.x1 = x0[order], x1[order]
+        # bucket boundary boxes by covered grid cell (once per actor);
+        # bucket lists stay in ascending-id order so argmax = min id
+        sh = self.GRID_SHIFT
+        self.buckets: dict[int, np.ndarray] = {}
+        tmp: dict[int, list[int]] = {}
+        for i in range(len(self.bid)):
+            for cy in range(int(self.y0[i]) >> sh, (int(self.y1[i]) >> sh) + 1):
+                for cx in range(int(self.x0[i]) >> sh, (int(self.x1[i]) >> sh) + 1):
+                    tmp.setdefault((cy << 20) | cx, []).append(i)
+        self.buckets = {c: np.asarray(v, np.int64) for c, v in tmp.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -157,20 +171,29 @@ class ResidentialTagger:
         wy = df["wy"].to_numpy(np.int64)
         wx = df["wx"].to_numpy(np.int64)
         res = np.full(len(df), None, object)
-        # row slices bound the (rows × boundaries) bool temporaries
-        SLICE = 2048
-        for s in range(0, len(df), SLICE):
-            e = min(s + SLICE, len(df))
+        sh = self.GRID_SHIFT
+        cell = ((wy >> sh) << 20) | (wx >> sh)
+        order = np.argsort(cell, kind="stable")
+        i, n = 0, len(order)
+        while i < n:
+            j = i
+            key = int(cell[order[i]])
+            while j < n and cell[order[j]] == key:
+                j += 1
+            rows = order[i:j]
+            i = j
+            cand = self.buckets.get(key)
+            if cand is None:
+                continue
             inside = (
-                (wy[s:e, None] >= self.y0[None, :])
-                & (wy[s:e, None] <= self.y1[None, :])
-                & (wx[s:e, None] >= self.x0[None, :])
-                & (wx[s:e, None] <= self.x1[None, :])
+                (wy[rows, None] >= self.y0[None, cand])
+                & (wy[rows, None] <= self.y1[None, cand])
+                & (wx[rows, None] >= self.x0[None, cand])
+                & (wx[rows, None] <= self.x1[None, cand])
             )
-            # first matching boundary in ascending id order
             hit = inside.any(axis=1)
             first = inside.argmax(axis=1)
-            res[s:e][hit] = self.name[first[hit]]
+            res[rows[hit]] = self.name[cand[first[hit]]]
         # landuse=residential areas never tag themselves
         if "landuse" in df.columns:
             res[(df["landuse"] == "residential").to_numpy()] = None
