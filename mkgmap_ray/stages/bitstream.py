@@ -23,11 +23,12 @@ Semantics reproduced from the reference (cited by line):
   nodes are skipped (``LinePreparer.java:193-197``).
 
 The reference additionally shrinks the stream by retrying smaller bases
-(``makeShortestBitStream``, ``LinePreparer.java:77-141``) — a pure size
-optimization the decoder does not require; the vectorized path emits the
-canonical ``bsSimple`` stream (which the reference itself prefers on
-ties) and the scalar encoder exposes the escape coding so the decoder's
-extended-range branch is testable.
+(``makeShortestBitStream``, ``LinePreparer.java:77-141``) — reproduced
+here as ``make_shortest_bitstream`` (scalar, with the give-up-after-two
+and prefer-simple-on-byte-ties rules). It is a pure size optimization
+the decoder does not require, so the vectorized batch path emits the
+canonical ``bsSimple`` stream; callers needing minimum bytes run the
+optimizer per line.
 """
 
 from __future__ import annotations
@@ -201,6 +202,69 @@ def encode_line_scalar(
         "bit_len": len(bw.bits),
     }
     return bw.tobytes(), header
+
+
+def make_shortest_bitstream(
+    xs,
+    ys,
+    cx: int = 0,
+    cy: int = 0,
+    shift: int = 0,
+    is_polygon: bool = False,
+    extra_bit: bool = False,
+    nodes=None,
+    ext_type: bool = False,
+    min_points_required: int = 2,
+):
+    """``LinePreparer.makeShortestBitStream`` (``LinePreparer.java:
+    77-141``): start from the derived bases, then try smaller x and y
+    bases (sign bit forced on during trials, escape coding for
+    overflowing deltas), giving up after two consecutive non-improving
+    trials per axis; the simple stream wins BYTE-length ties."""
+    simple, hdr = encode_line_scalar(
+        xs, ys, cx, cy, shift, is_polygon, extra_bit, nodes, ext_type
+    )
+    if simple is None or hdr["n_deltas"] + 1 < min_points_required:
+        return None, {}
+    best, best_hdr = simple, hdr
+    x_improved = False
+    x_best = hdr["xbase"]
+
+    def trial(xb, yb):
+        # xb/yb None = derived base with its natural same-sign flag; a
+        # trial base forces the sign bit on that axis only (the Java
+        # xSameSign=false save/restore dance)
+        return encode_line_scalar(
+            xs, ys, cx, cy, shift, is_polygon, extra_bit, nodes,
+            ext_type, xbase=xb, ybase=yb,
+        )
+
+    if hdr["xbase"] > 0:
+        not_better = 0
+        for xb in range(hdr["xbase"] - 1, -1, -1):
+            buf, h = trial(xb, None)
+            if h["bit_len"] >= best_hdr["bit_len"]:
+                not_better += 1
+                if not_better >= 2:
+                    break
+            else:
+                x_best = xb
+                x_improved = True
+                best, best_hdr = buf, h
+    if hdr["ybase"] > 0:
+        not_better = 0
+        for yb in range(hdr["ybase"] - 1, -1, -1):
+            buf, h = trial(x_best if x_improved else None, yb)
+            if h["bit_len"] >= best_hdr["bit_len"]:
+                not_better += 1
+                if not_better >= 2:
+                    break
+            else:
+                best, best_hdr = buf, h
+    # byte-length tie: prefer the simple stream (no escape decoding)
+    if len(simple) == len(best):
+        return simple, hdr
+    return best, best_hdr
 
 
 class _BitReader:

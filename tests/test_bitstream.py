@@ -178,3 +178,45 @@ def test_subdivision_records_match_java_formula():
         assert out["center_lon"][i] == clon
         assert out["width"][i] == ((ww + 1) // 2 + mask) >> shift
         assert out["height"][i] == ((hh + 1) // 2 + mask) >> shift
+
+
+def test_make_shortest_bitstream():
+    from mkgmap_ray.stages.bitstream import make_shortest_bitstream
+
+    rng = np.random.default_rng(41)
+    # mixed-sign lines with ONE outlier delta: the sign bit is already
+    # paid, so a smaller base + escape coding for the outlier usually
+    # beats the simple stream (the case the Java optimizer targets)
+    improved = 0
+    for _ in range(100):
+        n = int(rng.integers(12, 24))
+        dx = rng.integers(-2, 3, n - 1)
+        dy = rng.integers(-2, 3, n - 1)
+        dx[rng.integers(0, n - 1)] = 700  # outlier forces a big base
+        dy[0] = -3  # keep y mixed-sign too
+        xs = np.concatenate(([10000], 10000 + np.cumsum(dx)))
+        ys = np.concatenate(([10000], 10000 + np.cumsum(dy)))
+        simple, sh = encode_line_scalar(xs, ys)
+        best, bh = make_shortest_bitstream(xs, ys)
+        assert len(best) <= len(simple)
+        if len(best) < len(simple):
+            improved += 1
+        # whatever stream wins must decode to the same deltas
+        dxs, dys, _, _ = decode_line(best)
+        assert list(dxs[: n - 1]) == list(np.diff(xs))
+        assert list(dys[: n - 1]) == list(np.diff(ys))
+    assert improved > 30  # the optimizer actually optimizes
+
+    # byte-length tie prefers the simple (escape-free) stream
+    xs = np.array([0, 5, 10, 15])
+    ys = np.array([0, 5, 10, 15])
+    best, bh = make_shortest_bitstream(xs, ys)
+    simple, sh = encode_line_scalar(xs, ys)
+    if len(best) == len(simple):
+        assert best == simple
+
+    # min-points gate
+    assert make_shortest_bitstream([1], [1])[0] is None
+    assert make_shortest_bitstream(
+        [1, 2], [1, 2], min_points_required=3
+    )[0] is None
