@@ -1,0 +1,522 @@
+"""DEM tile bit-stream coder — a faithful transcription of
+``imgfmt/app/dem/DEMTile.java`` (the understood subset of Garmin's DEM
+compression, per that file's class comment, based on Frank Stinner's
+documentation): plateau run-length coding with the shared unit table,
+the standard/plateau-follower value predicters with hybrid /
+length-only / big-bin encodings, wrap thresholds and the 64-element
+statistics decay.
+
+This is the per-tile PAYLOAD complement of the structural layer in
+``stages/dem.py`` (grid layout, stats, section records). Encoding one
+tile is inherently sequential (every bit depends on predicter state),
+so the scale shape is tile-parallel: `encode_dem_tiles` runs as a
+map_batches stage with one independent coder per tile row. Verified
+bit-exact against the byte vectors in the reference's own
+``DemTileTest.java``.
+
+Line citations: bit order ``DEMTile.java:152-165``; main loop
+``:169-232``; plateau tables ``:73-74`` and ``writePlateauLen``
+``:238-280``; hybrid/len/big-bin writers ``:282-352``; ValPredicter
+``:464-726``; threshold tables ``:728-800``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UNDEF = -32768  # HGTReader.UNDEF
+
+PLATEAU_UNIT = (
+    1, 1, 1, 1, 2, 2, 2, 2, 4, 4, 4, 4, 8, 8, 8, 8, 16, 16, 32, 32,
+    64, 64, 128,
+)
+PLATEAU_BIN_BITS = (
+    0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 5, 5, 6, 6, 7, 8,
+)
+
+CALC_P_LEN, CALC_STD, CALC_PLATEAU_ZERO, CALC_PLATEAU_NON_ZERO = range(4)
+HYBRID, LEN = 0, 1
+WRAP_0, WRAP_1, WRAP_2 = 0, 1, 2
+
+
+def get_max_length_zero_bits(max_height: int) -> int:
+    for limit, bits in (
+        (2, 15), (4, 16), (8, 17), (16, 18), (32, 19), (64, 20),
+        (128, 21), (256, 22), (512, 25), (1024, 28), (2048, 31),
+        (4096, 34), (8192, 37), (16384, 40),
+    ):
+        if max_height < limit:
+            return bits
+    return 43
+
+
+def get_start_hunit(max_height: int) -> int:
+    for limit, hu in (
+        (0x9F, 1), (0x11F, 2), (0x21F, 4), (0x41F, 8), (0x81F, 16),
+        (0x101F, 32), (0x201F, 64), (0x401F, 128),
+    ):
+        if max_height < limit:
+            return hu
+    return 256
+
+
+def get_big_bin_bits(max_height: int) -> int:
+    if max_height < 16384:
+        return max_height.bit_length()  # highestOneBit + trailing zeros + 1
+    return 15
+
+
+def _jdiv(a: int, b: int) -> int:
+    """Java integer division: truncation toward zero (Python // floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _normalize_hunit(hu: int) -> int:
+    if hu > 0:
+        return 1 << (hu.bit_length() - 1)
+    return 0
+
+
+def _evaluate_data(oldsum: int, elemcount: int, newdata: int, region: int) -> int:
+    if region == 0:
+        return -1 - oldsum - elemcount
+    if region == 1:
+        return 2 * (newdata + elemcount) + 3
+    if region == 2:
+        return 2 * newdata - 1
+    if region == 3:
+        return 2 * (newdata - elemcount) - 5
+    return 1 - oldsum + elemcount
+
+
+def _evaluate_data_region(oldsum: int, elemcount: int, newdata: int) -> int:
+    # Java >> on negatives is arithmetic; Python >> matches
+    if newdata < -2 - ((oldsum + 3 * elemcount) >> 1):
+        return 0
+    if elemcount < 63:
+        if newdata < -((oldsum + elemcount) >> 1):
+            return 1
+    else:
+        if newdata < -((oldsum + elemcount) >> 1) - 1:
+            return 1
+    if newdata < 2 - ((oldsum - elemcount) >> 1):
+        return 2
+    if newdata < 4 - ((oldsum - 3 * elemcount) >> 1):
+        return 3
+    return 4
+
+
+class DemTileCoder:
+    """One tile's coder; create fresh per tile (all state is per-tile)."""
+
+    def __init__(self, width: int, height: int, real_heights):
+        self.width = width
+        self.height = height
+        rh = np.asarray(real_heights, np.int64).reshape(-1)
+        valid = rh != UNDEF
+        n_invalid = int((~valid).sum())
+        if not valid.any():
+            self.has_data = False
+            self.encoding_type = 2
+            mn = mx = 0
+        else:
+            mn = int(rh[valid].min())
+            mx = int(rh[valid].max())
+            self.has_data = True
+            if n_invalid > 0:
+                self.encoding_type = 2
+                mx += 1
+            else:
+                self.encoding_type = 0
+        self.base_height = mn
+        self.max_delta = mx - mn
+        self.bits: list[int] = []
+        self.plateau_table_pos = 0
+        self.curr_calc_type = None
+        if self.max_delta > 0:
+            self.heights = np.where(
+                rh == UNDEF, self.max_delta, rh - self.base_height
+            ).astype(np.int64)
+            self._encode()
+        else:
+            self.heights = None
+
+    # --- bit primitives (MSB-first within each byte) -------------------------
+
+    def _add_bit(self, b: bool) -> None:
+        self.bits.append(1 if b else 0)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (7 - (i & 7))
+        return bytes(out)
+
+    def _write_bin(self, val: int, num_bits: int) -> None:
+        if num_bits == 0 and val == 0:
+            return
+        t = 1 << (num_bits - 1)
+        if val >= t << 1:
+            raise ValueError(f"too big for {num_bits} bits: {val}")
+        while t > 0:
+            self._add_bit((val & t) != 0)
+            t >>= 1
+
+    def _write_zero_bits(self, val: int) -> None:
+        for _ in range(val):
+            self._add_bit(False)
+        self._add_bit(True)
+
+    def _write_hybrid(self, val: int, hunit: int, max_zero: int) -> bool:
+        num_bits = (hunit - 1).bit_length() if hunit > 1 else 0
+        if val > 0:
+            bin_part = (val - 1) % hunit
+            len_part = (val - 1 - bin_part) // hunit
+        else:
+            bin_part = -val % hunit
+            len_part = (-val - bin_part) // hunit
+        if len_part <= max_zero:
+            self._write_zero_bits(len_part)
+            self._write_bin(bin_part, num_bits)
+            self._add_bit(val > 0)  # 1 = positive
+            return True
+        return False
+
+    def _write_big_bin(self, val: int, num_zero: int) -> None:
+        self._write_zero_bits(num_zero + 1)  # invalid run = marker
+        bits = get_big_bin_bits(self.max_delta)
+        if val < 0:
+            self._write_bin(-val - 1, bits - 1)
+        else:
+            self._write_bin(val - 1, bits - 1)
+        self._add_bit(val <= 0)  # 0 = positive
+
+    # --- grid access ---------------------------------------------------------
+
+    def _h(self, col: int, row: int) -> int:
+        if row < 0:
+            return 0
+        if col < 0:
+            return 0 if row == 0 else int(self.heights[(row - 1) * self.width])
+        return int(self.heights[col + row * self.width])
+
+    def _plateau_len(self, col: int, row: int) -> int:
+        v = self._h(col - 1, row)
+        row_vals = self.heights[row * self.width: (row + 1) * self.width]
+        n = 0
+        while col + n < self.width and int(row_vals[col + n]) == v:
+            n += 1
+        return n
+
+    def _write_plateau_len(self, p_len: int, col: int) -> None:
+        length, x = p_len, col
+        if col + length >= self.width:
+            while x < self.width:
+                unit = PLATEAU_UNIT[self.plateau_table_pos]
+                self.plateau_table_pos += 1
+                length -= unit
+                x += unit
+                self._add_bit(True)
+            if x != self.width:
+                self.plateau_table_pos -= 1
+        else:
+            while True:
+                unit = PLATEAU_UNIT[self.plateau_table_pos]
+                if length < unit:
+                    break
+                self.plateau_table_pos += 1
+                length -= unit
+                self._add_bit(True)
+                x += unit
+                if x > self.width:
+                    self.plateau_table_pos -= 1
+                if x >= self.width:
+                    return
+            if self.plateau_table_pos > 0:
+                self.plateau_table_pos -= 1
+            self._add_bit(False)  # separator
+            bin_bits = PLATEAU_BIN_BITS[self.plateau_table_pos]
+            if bin_bits > 0:
+                self._write_bin(abs(length), bin_bits)
+
+    # --- main loop -----------------------------------------------------------
+
+    def _encode(self) -> None:
+        std = _ValPredicter(self, CALC_STD)
+        pf0 = _ValPredicter(self, CALC_PLATEAU_ZERO)
+        pf1 = _ValPredicter(self, CALC_PLATEAU_NON_ZERO)
+        write_follower = False
+        pos = 0
+        total = len(self.heights)
+        while pos < total:
+            n = pos % self.width
+            m = pos // self.width
+            h_upper = self._h(n, m - 1)
+            h_left = self._h(n - 1, m)
+            d_diff = h_upper - h_left
+            if write_follower:
+                enc = pf0 if d_diff == 0 else pf1
+                write_follower = False
+            elif d_diff == 0:
+                self.curr_calc_type = CALC_P_LEN
+                p_len = self._plateau_len(n, m)
+                self._write_plateau_len(p_len, n)
+                pos += p_len
+                write_follower = pos % self.width != 0 or p_len == 0
+                continue
+            else:
+                enc = std
+            self.curr_calc_type = enc.type
+            enc.d_diff = d_diff
+            h = self._h(n, m)
+            if enc.type == CALC_STD:
+                h_up_left = self._h(n - 1, m - 1)
+                hdiff_up = h_upper - h_up_left
+                if hdiff_up >= self.max_delta - h_left:
+                    predict = -1
+                elif hdiff_up <= -h_left:
+                    predict = 0
+                else:
+                    predict = h_left + hdiff_up
+                v = (-h + predict) if d_diff > 0 else (h - predict)
+            else:
+                v = h - h_upper  # plateau follower predicts upper height
+            enc.write(v)
+            pos += 1
+
+
+class _ValPredicter:
+    """``DEMTile.ValPredicter`` — per-type adaptive statistics."""
+
+    def __init__(self, tile: DemTileCoder, type_: int):
+        self.tile = tile
+        self.type = type_
+        max_height = tile.max_delta
+        num_zero = get_max_length_zero_bits(max_height)
+        if type_ in (CALC_PLATEAU_ZERO, CALC_PLATEAU_NON_ZERO):
+            num_zero -= 1
+        self.max_zero_bits = num_zero
+        self.unit_delta = max(0, max_height - 0x5F) // 0x40
+        self.enc_type = HYBRID
+        self.wrap_type = WRAP_0
+        self.hunit = get_start_hunit(max_height)
+        self.sum_h = 0
+        self.sum_l = 0
+        self.elem_count = 0
+        self.d_diff = 0
+        if max_height % 2 == 0:
+            self.l0_down, self.l0_up = max_height // 2, -max_height // 2
+            self.l1_down, self.l1_up = (max_height + 2) // 2, -max_height // 2
+            self.l2_down, self.l2_up = max_height // 2, -max_height // 2
+        else:
+            self.l0_down, self.l0_up = (
+                (max_height + 1) // 2, -((max_height - 1) // 2)
+            )
+            self.l1_down, self.l1_up = (
+                (max_height + 1) // 2, -((max_height - 1) // 2)
+            )
+            self.l2_down, self.l2_up = (
+                (max_height - 1) // 2, -((max_height + 1) // 2)
+            )
+        self.h_down = (max_height + 1) // 2
+        self.h_up = -((max_height - 1) // 2)
+
+    def _wrap(self, data: int) -> int:
+        if self.enc_type == HYBRID:
+            down, up = self.h_down, self.h_up
+        elif self.wrap_type == WRAP_0:
+            down, up = self.l0_down, self.l0_up
+        elif self.wrap_type == WRAP_1:
+            down, up = self.l1_down, self.l1_up
+        else:
+            down, up = self.l2_down, self.l2_up
+        v = data
+        md = self.tile.max_delta
+        if v > down:
+            v -= md + 1
+        if v < up:
+            v += md + 1
+        return v
+
+    def _current_max_zero_bits(self) -> int:
+        if self.tile.curr_calc_type in (
+            CALC_PLATEAU_ZERO, CALC_PLATEAU_NON_ZERO
+        ):
+            return (
+                self.max_zero_bits
+                - PLATEAU_BIN_BITS[self.tile.plateau_table_pos]
+            )
+        return self.max_zero_bits
+
+    def write(self, val: int) -> None:
+        wrapped = self._wrap(val)
+        delta1 = wrapped
+        if self.type == CALC_PLATEAU_ZERO:
+            if delta1 <= 0:
+                delta1 += 1
+        elif self.type == CALC_PLATEAU_NON_ZERO:
+            if self.d_diff > 0:
+                delta1 = -delta1
+        if self.wrap_type == WRAP_0:
+            delta2 = delta1
+        elif self.wrap_type == WRAP_1:
+            delta2 = 1 - delta1
+        else:
+            delta2 = -delta1
+        written = False
+        if self.enc_type == HYBRID:
+            written = self.tile._write_hybrid(
+                delta2, self.hunit, self._current_max_zero_bits()
+            )
+        else:
+            if delta2 < 0:
+                n0 = -delta2 * 2
+            elif delta2 > 0:
+                n0 = (delta2 - 1) * 2 + 1
+            else:
+                n0 = 0
+            if n0 <= self._current_max_zero_bits():
+                self.tile._write_zero_bits(n0)
+                written = True
+        if not written:
+            self.tile._write_big_bin(delta2, self._current_max_zero_bits())
+        self._process_val(delta1)
+
+    def _process_val(self, delta1: int) -> None:
+        if self.type == CALC_STD:
+            self.sum_h += delta1 if delta1 > 0 else -delta1
+            if self.sum_h + self.unit_delta + 1 >= 0xFFFF:
+                self.sum_h -= 0x10000
+            eval_region = -1
+            work = delta1
+            if self.elem_count == 63:
+                eval_region = _evaluate_data_region(
+                    self.sum_l, self.elem_count, delta1
+                )
+                even = delta1 % 2 == 0
+                suml1 = (self.sum_l - 1) % 4 == 0
+                if eval_region in (0, 2, 4):
+                    if (suml1 and not even) or (not suml1 and even):
+                        work += 1
+                elif eval_region == 1:
+                    work += 1
+                    if (suml1 and not even) or (not suml1 and even):
+                        work += 1
+                elif eval_region == 3:
+                    if (suml1 and even) or (not suml1 and not even):
+                        work -= 1
+            if eval_region < 0:
+                eval_region = _evaluate_data_region(
+                    self.sum_l, self.elem_count, work
+                )
+            self.sum_l += _evaluate_data(
+                self.sum_l, self.elem_count, work, eval_region
+            )
+            self.elem_count += 1
+            if self.elem_count == 64:
+                self.elem_count = 32
+                self.sum_h = ((self.sum_h - self.unit_delta) >> 1) - 1
+                self.sum_l = _jdiv(self.sum_l, 2)
+            self.hunit = _normalize_hunit(
+                _jdiv(self.unit_delta + self.sum_h + 1, self.elem_count + 1)
+            )
+            self.wrap_type = WRAP_0
+            if self.hunit > 0:
+                self.enc_type = HYBRID
+            else:
+                self.enc_type = LEN
+                if self.sum_l > 0:
+                    self.wrap_type = WRAP_1
+        elif self.type == CALC_PLATEAU_ZERO:
+            self.sum_h += delta1 if delta1 > 0 else 1 - delta1
+            if self.sum_h + self.unit_delta + 1 >= 0xFFFF:
+                self.sum_h -= 0x10000
+            self.sum_l += -1 if delta1 <= 0 else 1
+            self.elem_count += 1
+            if self.elem_count == 64:
+                self.elem_count = 32
+                self.sum_h = ((self.sum_h - self.unit_delta) >> 1) - 1
+                self.sum_l = _jdiv(self.sum_l, 2)
+                if self.sum_l % 2 != 0:
+                    self.sum_l += 1
+            self.hunit = _normalize_hunit(
+                _jdiv(self.unit_delta + self.sum_h + 1 - self.elem_count // 2,
+                      self.elem_count + 1)
+            )
+            self.wrap_type = WRAP_0
+            if self.hunit > 0:
+                self.enc_type = HYBRID
+            else:
+                self.enc_type = LEN
+                if self.sum_l >= 0:
+                    self.wrap_type = WRAP_1
+        else:
+            self.sum_h += -delta1 if delta1 < 0 else delta1
+            if self.sum_h + self.unit_delta + 1 >= 0xFFFF:
+                self.sum_h -= 0x10000
+            self.sum_l += -1 if delta1 <= 0 else 1
+            self.elem_count += 1
+            if self.elem_count == 64:
+                self.elem_count = 32
+                self.sum_h = ((self.sum_h - self.unit_delta) >> 1) - 1
+                self.sum_l = _jdiv(self.sum_l, 2)
+                if self.sum_l % 2 != 0:
+                    self.sum_l -= 1  # different to CALC_PLATEAU_ZERO
+            self.hunit = _normalize_hunit(
+                _jdiv(self.unit_delta + self.sum_h + 1, self.elem_count + 1)
+            )
+            self.wrap_type = WRAP_0
+            if self.hunit > 0:
+                self.enc_type = HYBRID
+            else:
+                self.enc_type = LEN
+                if self.sum_l <= 0:
+                    self.wrap_type = WRAP_2
+
+
+def encode_dem_tile(width: int, height: int, real_heights) -> dict:
+    """Encode one DEM tile → stats + bit-stream bytes (empty for flat
+    or all-void tiles, matching ``DEMTile`` which only builds a stream
+    when min != max)."""
+    c = DemTileCoder(width, height, real_heights)
+    return {
+        "base_height": c.base_height,
+        "max_delta": c.max_delta,
+        "enc_type": c.encoding_type,
+        "has_data": c.has_data,
+        "stream": c.to_bytes(),
+        "bit_len": len(c.bits),
+    }
+
+
+def encode_dem_tiles(batch):
+    """map_batches stage: one coder per row of a (twidth, theight,
+    heights list) Arrow batch → adds stream/bit_len/stat columns. Tiles
+    are independent, so a 100-TB DEM encodes tile-parallel while each
+    stream stays bit-exact sequential."""
+    import pyarrow as pa
+
+    w = np.asarray(batch["twidth"], np.int64)
+    h = np.asarray(batch["theight"], np.int64)
+    hl = batch["heights"]
+    streams, bitlen, base, delta, enc = [], [], [], [], []
+    for i in range(batch.num_rows):
+        r = encode_dem_tile(int(w[i]), int(h[i]), hl[i].as_py())
+        streams.append(r["stream"])
+        bitlen.append(r["bit_len"])
+        base.append(r["base_height"])
+        delta.append(r["max_delta"])
+        enc.append(r["enc_type"])
+    return batch.append_column(
+        "stream", pa.array(streams, pa.binary())
+    ).append_column(
+        "bit_len", pa.array(bitlen, pa.int64())
+    ).append_column(
+        "base_height", pa.array(base, pa.int64())
+    ).append_column(
+        "max_delta", pa.array(delta, pa.int64())
+    ).append_column(
+        "enc_type", pa.array(enc, pa.int64())
+    )
