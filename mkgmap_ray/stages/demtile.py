@@ -520,3 +520,160 @@ def encode_dem_tiles(batch):
     ).append_column(
         "enc_type", pa.array(enc, pa.int64())
     )
+
+
+class DemTileDecoder:
+    """Inverse of ``DemTileCoder`` (the reference ships no decoder; this
+    mirrors the coder's state machine to prove the stream is lossless).
+    Decodes the NORMALISED height matrix (0..max_delta, voids encoded
+    as max_delta by the writer)."""
+
+    def __init__(self, width: int, height: int, max_delta: int, stream: bytes):
+        self.width = width
+        self.height = height
+        self.max_delta = max_delta
+        self.buf = stream
+        self.pos_bit = 0
+        self.plateau_table_pos = 0
+        self.curr_calc_type = None
+        self.heights = np.zeros(width * height, np.int64)
+
+    def _read_bit(self) -> int:
+        b = (self.buf[self.pos_bit >> 3] >> (7 - (self.pos_bit & 7))) & 1
+        self.pos_bit += 1
+        return b
+
+    def _read_bin(self, num_bits: int) -> int:
+        v = 0
+        for _ in range(num_bits):
+            v = (v << 1) | self._read_bit()
+        return v
+
+    def _read_zero_run(self) -> int:
+        n = 0
+        while self._read_bit() == 0:
+            n += 1
+        return n
+
+    def _h(self, col: int, row: int) -> int:
+        if row < 0:
+            return 0
+        if col < 0:
+            return 0 if row == 0 else int(self.heights[(row - 1) * self.width])
+        return int(self.heights[col + row * self.width])
+
+    def _read_plateau_len(self, col: int):
+        length, x = 0, col
+        while True:
+            if self._read_bit() == 1:
+                unit = PLATEAU_UNIT[self.plateau_table_pos]
+                self.plateau_table_pos += 1
+                length += unit
+                x += unit
+                if x >= self.width:
+                    # row-end plateau: writer's first branch, no separator
+                    if x != self.width:
+                        self.plateau_table_pos -= 1
+                    return self.width - col
+            else:
+                break
+        if self.plateau_table_pos > 0:
+            self.plateau_table_pos -= 1
+        bin_bits = PLATEAU_BIN_BITS[self.plateau_table_pos]
+        extra = self._read_bin(bin_bits) if bin_bits > 0 else 0
+        return length + extra
+
+    def _read_value(self, pred: "_ValPredicter") -> int:
+        """Read one encoded value → delta1 (both stream forms + big bin)."""
+        max_zero = pred._current_max_zero_bits()
+        run = self._read_zero_run()
+        if run > max_zero:  # big-bin marker
+            bits = get_big_bin_bits(self.max_delta)
+            b = self._read_bin(bits - 1)
+            neg = self._read_bit() == 1  # 1 means val <= 0
+            delta2 = -(b + 1) if neg else b + 1
+        elif pred.enc_type == HYBRID:
+            num_bits = (
+                (pred.hunit - 1).bit_length() if pred.hunit > 1 else 0
+            )
+            bin_part = self._read_bin(num_bits) if num_bits > 0 else 0
+            positive = self._read_bit() == 1
+            if positive:
+                delta2 = run * pred.hunit + bin_part + 1
+            else:
+                delta2 = -(run * pred.hunit + bin_part)
+        else:  # LEN
+            if run == 0:
+                delta2 = 0
+            elif run % 2 == 1:
+                delta2 = (run + 1) // 2
+            else:
+                delta2 = -(run // 2)
+        if pred.wrap_type == WRAP_0:
+            delta1 = delta2
+        elif pred.wrap_type == WRAP_1:
+            delta1 = 1 - delta2
+        else:
+            delta1 = -delta2
+        return delta1
+
+    def decode(self) -> np.ndarray:
+        if self.max_delta == 0:
+            return self.heights.reshape(self.height, self.width)
+        std = _ValPredicter(self, CALC_STD)
+        pf0 = _ValPredicter(self, CALC_PLATEAU_ZERO)
+        pf1 = _ValPredicter(self, CALC_PLATEAU_NON_ZERO)
+        write_follower = False
+        pos = 0
+        total = self.width * self.height
+        md = self.max_delta
+        while pos < total:
+            n = pos % self.width
+            m = pos // self.width
+            h_upper = self._h(n, m - 1)
+            h_left = self._h(n - 1, m)
+            d_diff = h_upper - h_left
+            if write_follower:
+                pred = pf0 if d_diff == 0 else pf1
+                write_follower = False
+            elif d_diff == 0:
+                self.curr_calc_type = CALC_P_LEN
+                p_len = self._read_plateau_len(n)
+                # plateau: copy the left value
+                v = self._h(n - 1, m)
+                for i in range(p_len):
+                    self.heights[pos + i] = v
+                pos += p_len
+                write_follower = pos % self.width != 0 or p_len == 0
+                continue
+            else:
+                pred = std
+            self.curr_calc_type = pred.type
+            pred.d_diff = d_diff
+            delta1 = self._read_value(pred)
+            # invert the per-type delta1 mapping back to the wrapped value
+            if pred.type == CALC_PLATEAU_ZERO:
+                wrapped = delta1 - 1 if delta1 <= 0 else delta1
+            elif pred.type == CALC_PLATEAU_NON_ZERO:
+                wrapped = -delta1 if d_diff > 0 else delta1
+            else:
+                wrapped = delta1
+            if pred.type == CALC_STD:
+                h_up_left = self._h(n - 1, m - 1)
+                hdiff_up = h_upper - h_up_left
+                if hdiff_up >= md - h_left:
+                    predict = -1
+                elif hdiff_up <= -h_left:
+                    predict = 0
+                else:
+                    predict = h_left + hdiff_up
+                if d_diff > 0:
+                    h = (predict - wrapped) % (md + 1)
+                else:
+                    h = (predict + wrapped) % (md + 1)
+            else:
+                h = (h_upper + wrapped) % (md + 1)
+            self.heights[pos] = h
+            pred._process_val(delta1)
+            pos += 1
+        return self.heights.reshape(self.height, self.width)

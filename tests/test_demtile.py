@@ -90,3 +90,29 @@ def test_batch_stage_matches_scalar():
         want = encode_dem_tile(w, h, np.asarray(hts))
         assert out["stream"][i].as_py() == want["stream"]
         assert out["max_delta"][i].as_py() == want["max_delta"]
+
+
+def test_encode_decode_roundtrip():
+    from mkgmap_ray.stages.demtile import DemTileDecoder
+
+    rng = np.random.default_rng(29)
+    for w, h, lo, spread, void_p in [
+        (64, 64, 0, 5, 0.0),
+        (64, 64, -100, 300, 0.0),
+        (64, 64, 50, 2, 0.3),
+        (33, 17, -50, 1000, 0.05),
+        (95, 64, 0, 40, 0.01),
+        (8, 8, -5, 3, 0.5),
+        (64, 64, 0, 5000, 0.0),
+    ]:
+        rh = rng.integers(lo, lo + spread, w * h)
+        if void_p:
+            rh[rng.random(w * h) < void_p] = UNDEF
+        r = encode_dem_tile(w, h, rh)
+        if r["max_delta"] == 0:
+            continue
+        dec = DemTileDecoder(w, h, r["max_delta"], r["stream"]).decode()
+        want = np.where(
+            rh == UNDEF, r["max_delta"], rh - r["base_height"]
+        ).reshape(h, w)
+        assert (dec == want).all(), (w, h, lo, spread, void_p)
