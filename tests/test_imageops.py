@@ -1,0 +1,83 @@
+"""Image transform stages: resize/crop/grayscale math + the decode →
+transform → re-encode actor over the input_hint table shape."""
+
+import numpy as np
+import pyarrow as pa
+
+from mkgmap_ray.stages.imageops import (
+    ImageTransform,
+    bilinear_resize,
+    center_crop,
+    to_grayscale,
+)
+
+
+def _brute_bilinear(rgb, out_w, out_h):
+    h, w = rgb.shape[:2]
+    out = np.zeros((out_h, out_w, 3))
+    for oy in range(out_h):
+        for ox in range(out_w):
+            y = min(max((oy + 0.5) * h / out_h - 0.5, 0), h - 1)
+            x = min(max((ox + 0.5) * w / out_w - 0.5, 0), w - 1)
+            y0, x0 = int(np.floor(y)), int(np.floor(x))
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            fy, fx = y - y0, x - x0
+            out[oy, ox] = (
+                rgb[y0, x0] * (1 - fy) * (1 - fx)
+                + rgb[y0, x1] * (1 - fy) * fx
+                + rgb[y1, x0] * fy * (1 - fx)
+                + rgb[y1, x1] * fy * fx
+            )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def test_resize_identity_and_constant():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert (bilinear_resize(img, 23, 17) == img).all()
+    const = np.full((20, 30, 3), 137, np.uint8)
+    assert (bilinear_resize(const, 7, 13) == 137).all()
+
+
+def test_resize_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    for ow, oh in [(5, 7), (26, 22), (13, 11), (1, 1)]:
+        got = bilinear_resize(img, ow, oh)
+        want = _brute_bilinear(img, ow, oh)
+        assert (got == want).all(), (ow, oh)
+
+
+def test_center_crop_and_grayscale():
+    img = np.arange(5 * 6 * 3, dtype=np.uint8).reshape(5, 6, 3)
+    c = center_crop(img, 4, 3)
+    assert c.shape == (3, 4, 3)
+    assert (c == img[1:4, 1:5]).all()
+    g = to_grayscale(img)
+    r, gg, b = img[..., 0].astype(int), img[..., 1].astype(int), img[..., 2].astype(int)
+    assert (g == ((77 * r + 150 * gg + 29 * b) >> 8)).all()
+
+
+def test_image_transform_actor_roundtrip():
+    from mkgmap_ray.sources.images import (
+        decode_image,
+        generate_batch,
+        phash64,
+    )
+
+    batch = generate_batch(np.arange(12))
+    t = ImageTransform([("crop", 48, 40), ("resize", 16, 16)])
+    out = t(batch)
+    assert out.num_rows == 12
+    assert out.column_names == batch.column_names
+    for i in range(12):
+        assert out["w"][i].as_py() == 16 and out["h"][i].as_py() == 16
+        rgb = decode_image(out["bytes"][i].as_py(), out["fmt"][i].as_py())
+        assert rgb.shape == (16, 16, 3)
+        # phash column matches the transformed pixels for lossless rows;
+        # lossy qraw stays within the pipeline's hamming invariant
+        from mkgmap_ray.sources.images import hamming64
+
+        assert hamming64(phash64(rgb), out["phash"][i].as_py()) <= 4
+        # captions ride through untouched
+        assert out["caption"][i].as_py() == batch["caption"][i].as_py()
