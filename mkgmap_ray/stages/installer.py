@@ -102,3 +102,21 @@ def gmapi_info_xml(
         lines.append(f"    <Directory>{s}</Directory>")
     lines += ["  </SubProduct>", "</MapProduct>"]
     return "\n".join(lines) + "\n"
+
+
+def mdx_bytes(family_id: int, product_id: int, maps) -> bytes:
+    """Byte-exact MDX index writer (``imgfmt/mdxfmt/MdxFile.java``):
+    little-endian header ``Midx`` + u16 100 + u32 12 + u32 count, then
+    one 12-byte record per map SORTED BY HEX NAME — u32 hexname, u16
+    product, u16 family, u32 mapname."""
+    import struct
+
+    out = bytearray()
+    out += b"Midx"
+    out += struct.pack("<HII", 100, 12, len(maps))
+    for name, hexname in sorted(maps, key=lambda m: m[1]):
+        out += struct.pack(
+            "<IHHI", hexname & 0xFFFFFFFF, product_id & 0xFFFF,
+            family_id & 0xFFFF, name & 0xFFFFFFFF,
+        )
+    return bytes(out)

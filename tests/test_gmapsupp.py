@@ -117,3 +117,23 @@ def test_installer_artifacts():
     assert "!define INDEX" in nsi and '!define TYPNAME "my.typ"' in nsi
     xml = gmapi_info_xml("OSM map", 1, 2001, ["Product1.tdb"])
     assert "<ID>2001</ID>" in xml and "<Directory>Product1.tdb</Directory>" in xml
+
+
+def test_mdx_bytes_exact():
+    from mkgmap_ray.stages.installer import mdx_bytes
+
+    data = mdx_bytes(2001, 1, [(63240001, 0x1234), (63240000, 0x0012)])
+    # header: Midx, u16 100, u32 12, u32 2 (little endian)
+    assert data[:4] == b"Midx"
+    assert data[4:6] == (100).to_bytes(2, "little")
+    assert data[6:10] == (12).to_bytes(4, "little")
+    assert data[10:14] == (2).to_bytes(4, "little")
+    # records sorted by hexname: 0x0012 first
+    rec0 = data[14:26]
+    assert rec0[:4] == (0x0012).to_bytes(4, "little")
+    assert rec0[4:6] == (1).to_bytes(2, "little")
+    assert rec0[6:8] == (2001).to_bytes(2, "little")
+    assert rec0[8:12] == (63240000).to_bytes(4, "little")
+    rec1 = data[26:38]
+    assert rec1[:4] == (0x1234).to_bytes(4, "little")
+    assert len(data) == 14 + 24
