@@ -120,3 +120,40 @@ def mdx_bytes(family_id: int, product_id: int, maps) -> bytes:
             family_id & 0xFFFF, name & 0xFFFFFFFF,
         )
     return bytes(out)
+
+
+def mps_bytes(maps, products, mapset_name: str = "OSM map set") -> bytes:
+    """Byte-exact MPS writer (``imgfmt/mps/MpsFile.java`` + block
+    classes): each block is [id u8][body-length u16 LE][body]; strings
+    are zero-terminated. Map blocks (0x4c: product u16, family u16, map
+    number u32, series\\0, description\\0, area\\0, hex number u32, u32
+    0) then product blocks (0x46: product u16, family u16,
+    description\\0) then the mapset block (0x56: name\\0, u8 0).
+    Products are emitted sorted by (family, product) — the reference
+    iterates a HashSet, so its order is unspecified."""
+    import struct
+
+    def block(bid: int, body: bytes) -> bytes:
+        return struct.pack("<BH", bid, len(body)) + body
+
+    def z(s: str) -> bytes:
+        return s.encode("ascii", "replace") + b"\0"
+
+    out = bytearray()
+    for m in maps:
+        body = (
+            struct.pack("<HHI", m["product_id"], m["family_id"],
+                        m["map_number"])
+            + z(m.get("series", "OSM map"))
+            + z(m.get("description", ""))
+            + z(m.get("area", ""))
+            + struct.pack("<II", m["hex_number"], 0)
+        )
+        out += block(0x4C, body)
+    for p in sorted(products, key=lambda p: (p["family_id"], p["product_id"])):
+        body = struct.pack(
+            "<HH", p["product_id"], p["family_id"]
+        ) + z(p.get("description", ""))
+        out += block(0x46, body)
+    out += block(0x56, z(mapset_name) + b"\0")
+    return bytes(out)

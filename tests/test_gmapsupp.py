@@ -137,3 +137,33 @@ def test_mdx_bytes_exact():
     rec1 = data[26:38]
     assert rec1[:4] == (0x1234).to_bytes(4, "little")
     assert len(data) == 14 + 24
+
+
+def test_mps_bytes_layout():
+    from mkgmap_ray.stages.installer import mps_bytes
+
+    data = mps_bytes(
+        [dict(product_id=1, family_id=2001, map_number=63240001,
+              hex_number=0x1234, series="S", description="D", area="A")],
+        [dict(product_id=1, family_id=2001, description="Fam")],
+        mapset_name="MS",
+    )
+    # map block
+    assert data[0] == 0x4C
+    blen = int.from_bytes(data[1:3], "little")
+    body = data[3:3 + blen]
+    assert body[:2] == (1).to_bytes(2, "little")
+    assert body[2:4] == (2001).to_bytes(2, "little")
+    assert body[4:8] == (63240001).to_bytes(4, "little")
+    assert body[8:].startswith(b"S\0D\0A\0")
+    assert body[-8:-4] == (0x1234).to_bytes(4, "little")
+    assert body[-4:] == b"\0\0\0\0"
+    # product block follows
+    off = 3 + blen
+    assert data[off] == 0x46
+    plen = int.from_bytes(data[off + 1:off + 3], "little")
+    assert data[off + 3:off + 3 + plen] == b"\x01\x00\xd1\x07Fam\0"
+    # mapset block last
+    off2 = off + 3 + plen
+    assert data[off2] == 0x56
+    assert data[off2 + 3:] == b"MS\0\0"
