@@ -157,3 +157,80 @@ def mps_bytes(maps, products, mapset_name: str = "OSM map set") -> bytes:
         out += block(0x46, body)
     out += block(0x56, z(mapset_name) + b"\0")
     return bytes(out)
+
+
+def tdb_bytes(
+    family_id: int,
+    product_id: int,
+    series_name: str,
+    family_name: str,
+    overview: dict,
+    details: list[dict],
+    copyrights: list[dict] = (),
+    product_version: int = 100,
+    code_page: int = 1252,
+    tdb_version: int = 407,
+    enable_profile: int = 0,
+) -> bytes:
+    """Byte-exact TDB writer (``tdbfmt/TdbFile.java`` + block classes,
+    v4.07): the same [id u8][len u16 LE][body] framing as MPS. Header
+    0x50, copyright 0x44 (code u8, where u8, extra u16, text\\0),
+    overview 0x42 (map number, parent, max/min lat/lon as u32 LE,
+    description\\0), detail 0x4c (overview body + n+1/n u16s, sub-file
+    sizes u32, the 0xff00c301 marker + 3 zero bytes, sub-file
+    names\\0)."""
+    import struct
+
+    def block(bid: int, body: bytes) -> bytes:
+        return struct.pack("<BH", bid, len(body)) + body
+
+    def z(s: str) -> bytes:
+        return s.encode("ascii", "replace") + b"\0"
+
+    head = (
+        struct.pack("<HHH", product_id, family_id, tdb_version)
+        + z(series_name)
+        + struct.pack("<H", product_version)
+        + z(family_name)
+        # v4.07 fixed tail (HeaderBlock.java:74-103)
+        + bytes([0, 0x12, 1, 1, 1])
+        + struct.pack("<I", 0)
+        + bytes([0, 0x18])
+        + struct.pack("<IIII", 0, 0, 0, 0)
+        + b"\0\0\0"  # write3(0)
+        + struct.pack("<II", code_page, 10000)
+        + bytes([1, 1 if enable_profile == 1 else 0, 0])
+    )
+    out = bytearray(block(0x50, head))
+    if copyrights:
+        body = b"".join(
+            bytes([c.get("code", 0), c.get("where", 1)])
+            + struct.pack("<H", c.get("extra", 0))
+            + z(c["text"])
+            for c in copyrights
+        )
+        out += block(0x44, body)
+
+    def ov_body(m: dict) -> bytes:
+        return struct.pack(
+            "<IIiiii",
+            m["map_number"],
+            m.get("parent", 0),
+            m["max_lat"],
+            m["max_lon"],
+            m["min_lat"],
+            m["min_lon"],
+        ) + z(m.get("description", ""))
+
+    out += block(0x42, ov_body(overview))
+    for d in details:
+        subs = d.get("sub_files", [])
+        body = ov_body(d)
+        body += struct.pack("<HH", len(subs) + 1, len(subs))
+        for name, size in subs:
+            body += struct.pack("<I", size)
+        body += struct.pack("<I", 0xFF00C301) + b"\0\0\0"
+        for name, size in subs:
+            body += z(name)
+        out += block(0x4C, body)
+    return bytes(out)

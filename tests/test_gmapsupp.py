@@ -167,3 +167,50 @@ def test_mps_bytes_layout():
     off2 = off + 3 + plen
     assert data[off2] == 0x56
     assert data[off2 + 3:] == b"MS\0\0"
+
+
+def test_tdb_bytes_layout():
+    from mkgmap_ray.stages.installer import tdb_bytes
+
+    data = tdb_bytes(
+        2001, 1, "Series", "Fam",
+        overview=dict(map_number=63240000, max_lat=100, max_lon=200,
+                      min_lat=-50, min_lon=-60, description="OV"),
+        details=[dict(map_number=63240001, parent=63240000, max_lat=10,
+                      max_lon=20, min_lat=0, min_lon=5, description="D1",
+                      sub_files=[("63240001.TRE", 1000),
+                                 ("63240001.RGN", 2000)])],
+        copyrights=[dict(text="(c) test")],
+    )
+    # header block
+    assert data[0] == 0x50
+    hlen = int.from_bytes(data[1:3], "little")
+    hb = data[3:3 + hlen]
+    assert hb[:6] == (1).to_bytes(2, "little") + (2001).to_bytes(2, "little") \
+        + (407).to_bytes(2, "little")
+    assert b"Series\0" in hb and b"Fam\0" in hb
+    off = 3 + hlen
+    # copyright block
+    assert data[off] == 0x44
+    clen = int.from_bytes(data[off + 1:off + 3], "little")
+    assert b"(c) test\0" in data[off + 3:off + 3 + clen]
+    off += 3 + clen
+    # overview block
+    assert data[off] == 0x42
+    olen = int.from_bytes(data[off + 1:off + 3], "little")
+    ob = data[off + 3:off + 3 + olen]
+    assert ob[:4] == (63240000).to_bytes(4, "little")
+    assert ob[8:12] == (100).to_bytes(4, "little")
+    assert ob[16:20] == (-50).to_bytes(4, "little", signed=True)
+    off += 3 + olen
+    # detail block
+    assert data[off] == 0x4C
+    dlen = int.from_bytes(data[off + 1:off + 3], "little")
+    db = data[off + 3:off + 3 + dlen]
+    assert db[:4] == (63240001).to_bytes(4, "little")
+    i = db.index(b"D1\0") + 3
+    assert db[i:i + 4] == (3).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    assert db[i + 4:i + 8] == (1000).to_bytes(4, "little")
+    assert db[i + 8:i + 12] == (2000).to_bytes(4, "little")
+    assert db[i + 12:i + 16] == (0xFF00C301).to_bytes(4, "little")
+    assert db.endswith(b"63240001.TRE\x0063240001.RGN\0")
