@@ -116,3 +116,67 @@ class CollateKey:
             batch[self.label_col].astype(str)
         )
         return batch
+
+
+def srt_char_table_bytes() -> dict:
+    """Serialize the collation table in the SRT binary section forms
+    (``imgfmt/app/srt/SRTFile.java:96-131`` + ``writeSrt5Expansions``):
+
+    - ``srt4``: per character code 0..255 a flags byte (1 letter, 2
+      digit, expansion count << 4 — ``SrtTextReader.charFlags`` +
+      expansion marking) followed by the packed weight pair
+      ``primary u8, (tertiary << 4) | (secondary & 0xf)`` —
+      the single-codepage (non-multi) layout;
+    - ``srt5``: the expansion table, one packed weight pair per
+      expanded character, referenced from the char table via the
+      primary value (1-based index).
+    """
+    prim = {}
+    sec = {}
+    ter = {}
+    for p, group in enumerate(_GROUPS, start=1):
+        for s, sub in enumerate(group, start=1):
+            for t, ch in enumerate(sub, start=1):
+                b = ch.encode(_ENC)[0]
+                prim[b], sec[b], ter[b] = p, s, t
+
+    # expansion entries: per source char, one weight triple per expanded
+    # character; the char table stores (count-1) in the flag nibble and
+    # the 1-based first index as its primary
+    exp_entries: list[tuple[int, int, int]] = []
+    exp_ref: dict[int, tuple[int, int]] = {}
+    for src, repl in sorted(EXPANSIONS.items()):
+        # expansion sources beyond latin-1 (e.g. the cp1252 ellipsis)
+        try:
+            b = src.encode(_ENC)[0]
+        except UnicodeEncodeError:
+            b = src.encode("cp1252")[0]
+        first = len(exp_entries) + 1
+        for ch in repl:
+            cb = ch.encode(_ENC)[0]
+            exp_entries.append(
+                (prim.get(cb, 0), sec.get(cb, 0), ter.get(cb, 0))
+            )
+        exp_ref[b] = (first, len(repl) - 1)
+
+    srt4 = bytearray()
+    for code in range(256):
+        ch = bytes([code]).decode(_ENC)
+        flags = 0
+        if ch.isalpha():
+            flags = 1
+        if ch.isdigit():
+            flags = 2
+        if code in exp_ref:
+            first, extra = exp_ref[code]
+            flags |= extra << 4
+            p, s, t = first, 0, 0
+        else:
+            p = prim.get(code, 0)
+            s = sec.get(code, 0)
+            t = ter.get(code, 0)
+        srt4 += bytes([flags, p & 0xFF, ((t << 4) | (s & 0xF)) & 0xFF])
+    srt5 = bytearray()
+    for p, s, t in exp_entries:
+        srt5 += bytes([p & 0xFF, ((t << 4) | (s & 0xF)) & 0xFF])
+    return {"srt4": bytes(srt4), "srt5": bytes(srt5)}
