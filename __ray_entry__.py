@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdr5_cities": Q.q_mdr5_cities,
         "mdr10_pois": Q.q_mdr10_pois,
         "installer_ids": Q.q_installer_ids,
+        "dem_streams": Q.q_dem_streams,
+        "image_transform": Q.q_image_transform,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,

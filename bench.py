@@ -113,6 +113,8 @@ QUERY_NAMES = [
     "mdr5_cities",
     "mdr10_pois",
     "installer_ids",
+    "dem_streams",
+    "image_transform",
 ]
 
 

@@ -4066,3 +4066,92 @@ def q_installer_ids(sf_dir: str):
     return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_dem_streams(sf_dir: str):
+    """Per-tile DEM payload bit streams (``imgfmt/app/dem/DEMTile.java``
+    plateau/predicter coder, bit-exact with the reference's
+    DemTileTest): tiles from the closed-form layout are encoded
+    tile-parallel; rows report stream length + a byte checksum
+    (rows-only: the stream is sequential-predictive; the pytest oracle
+    decodes it back to the exact height matrix)."""
+    import ray
+
+    from ..stages.dem import dem_layout
+    from ..stages.demtile import encode_dem_tiles
+
+    import pyarrow.parquet as pq
+
+    ok = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    k = np.asarray(ok["o_orderkey"], np.int64)
+    k = k[k % 1993 == 0]
+    p = _dem_params(k)
+    lay = dem_layout(p["top"], p["left"], p["ah"], p["aw"], p["dist"])
+    sec = lay["section_of"]
+    w = lay["width"]
+    h = lay["height"]
+    npts = w * h
+    p0 = np.concatenate(([0], np.cumsum(npts)[:-1]))
+    tile_of = np.repeat(np.arange(len(w), dtype=np.int64), npts)
+    pidx = np.arange(int(npts.sum()), dtype=np.int64) - np.repeat(p0, npts)
+    i = pidx // w[tile_of]
+    j = pidx % w[tile_of]
+    d = p["dist"][sec][tile_of]
+    lat = lay["lat_off"][tile_of] - i * d
+    lon = lay["lon_off"][tile_of] + j * d
+    hv, void = _dem_height_fn(lat, lon)
+    hv = np.where(void, -32768, hv)
+    offsets = np.concatenate(([0], np.cumsum(npts))).astype(np.int32)
+    tiles = pa.table(
+        {
+            "o_orderkey": pa.array(k[sec], pa.int64()),
+            "trow": pa.array(lay["row"], pa.int64()),
+            "tcol": pa.array(lay["col"], pa.int64()),
+            "twidth": pa.array(w, pa.int64()),
+            "theight": pa.array(h, pa.int64()),
+            "heights": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(hv, pa.int64())
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tiles)
+        .repartition(8)
+        .map_batches(encode_dem_tiles, batch_format="pyarrow",
+                     batch_size=None)
+        .to_pandas()
+    )
+    import zlib
+
+    out["stream_crc"] = [
+        zlib.crc32(b) for b in out["stream"]
+    ]
+    return out[
+        ["o_orderkey", "trow", "tcol", "base_height", "max_delta",
+         "enc_type", "bit_len", "stream_crc"]
+    ].astype("int64")
+
+
+def q_image_transform(sf_dir: str):
+    """Multimodal decode → crop+resize → re-encode over the image+
+    caption table (input_hint shape): actor-pool stage on the generated
+    image dataset; rows report the new geometry and phash (rows-only:
+    pixel math has no SQL face; the pytest oracle checks pixels)."""
+    from ..sources.images import images_dataset
+    from ..stages.imageops import ImageTransform
+
+    n = 2000  # fixed fleet like images_tiles: payload, not row count,
+    # is the cost driver
+    ds = images_dataset(n)
+    out = ds.map_batches(
+        ImageTransform,
+        fn_constructor_kwargs=dict(
+            ops=[("crop", 48, 40), ("resize", 16, 16)]
+        ),
+        batch_format="pyarrow", batch_size=200,
+        concurrency=pool_concurrency(),
+    )
+    df = out.to_pandas()[["image_id", "w", "h", "phash", "caption"]]
+    df["w"] = df["w"].astype("int64")
+    df["h"] = df["h"].astype("int64")
+    return df.sort_values("image_id").reset_index(drop=True)
