@@ -7,8 +7,9 @@
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
   (column names matched exactly; all numerics int64 / strings so the
   value-hash compare is float-free). Non-SQL-expressible operators
-  (Douglas-Peucker, MinHash/SimHash LSH, langid, fingerprints, LSH cosine,
-  full quadtree refinement) are rows-only by design.
+  (Douglas-Peucker, MinHash/SimHash LSH banding, LSH cosine, full
+  quadtree refinement, bit-stream payloads, image resampling) are
+  rows-only by design.
 
 Ray is initialised by the driver before importing this module; nothing here
 calls ``ray.init``/``ray.shutdown``.
@@ -70,6 +71,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "installer_ids": Q.q_installer_ids,
         "dem_streams": Q.q_dem_streams,
         "image_transform": Q.q_image_transform,
+        # --- new this round: training-data ops + SQL graduations ---
+        "dedup_ngram": Q.q_dedup_ngram,
+        "dedup_embed": Q.q_dedup_embed,
+        "token_bpe": Q.q_token_bpe,
+        "langid": Q.q_langid,
+        "doc_fingerprint": Q.q_doc_fingerprint,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -86,8 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": Q.q_dedup_simhash,
         "minhash_sig": Q.q_minhash_sig,
         "simhash_sig": Q.q_simhash_sig,
-        "langid": Q.q_langid,
-        "doc_fingerprint": Q.q_doc_fingerprint,
         # --- embeddings ---
         "ann_topk_dot": Q.q_ann_topk_dot,
         "ann_cosine_pairs": Q.q_ann_cosine_pairs,
@@ -221,6 +226,133 @@ def _simhash_sig_sql() -> str:
                CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
                          THEN u - {u64} ELSE u END AS BIGINT) AS simhash
         FROM packed ORDER BY doc_id
+    """
+
+
+def _fnv_expr(s: str) -> str:
+    """FNV-1a 64 of an ASCII string column, HUGEINT-wraparound emulation
+    (same recipe the simhash oracle uses)."""
+    return (
+        "list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), "
+        f"list_transform(range(1, length({s})+1), "
+        f"i -> CAST(ord(substr({s}, i, 1)) AS HUGEINT))), "
+        "(acc, b) -> ((acc - acc % 256 "
+        "+ xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) "
+        "* 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
+    )
+
+
+def _dedup_ngram_sql() -> str:
+    """DuckDB mirror of ngram_jaccard_pairs: FNV-1a per token, word-4-gram
+    hash = base-FNV_PRIME polynomial of the 4 token hashes (mod 2^64 ==
+    numpy uint64 wraparound), DISTINCT per doc, self-join intersections,
+    integer-ppm Jaccard."""
+    u64 = "CAST('18446744073709551616' AS HUGEINT)"
+    f = "1099511628211"
+    # ((((f0*F + f1) % U)*F + f2) % U ... — staged mod keeps HUGEINT bounded
+    comb = "f[i]"
+    for j in range(1, 4):
+        comb = f"(({comb}) * {f} % {u64} + f[i+{j}]) % {u64}"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> '') AS w
+          FROM documents),
+        th AS (SELECT doc_id, list_transform(w, t -> {_fnv_expr('t')}) AS f
+               FROM toks),
+        hs AS (SELECT DISTINCT doc_id, {comb} AS h
+               FROM th, LATERAL unnest(range(1, len(f) - 2)) t(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+        p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+        SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+               CAST(p.inter AS BIGINT) AS inter,
+               CAST(p.inter * 1000000 // (sa.n + sb.n - p.inter) AS BIGINT)
+                   AS jacc_ppm
+        FROM p JOIN sizes sa ON p.a = sa.doc_id
+               JOIN sizes sb ON p.b = sb.doc_id
+        WHERE p.inter * 1000000 // (sa.n + sb.n - p.inter) >= 500000
+        ORDER BY a, b
+    """
+
+
+def _dedup_embed_sql() -> str:
+    """DuckDB mirror of cosine_neardup_pairs: quantize to int64 at 1024,
+    integer cosine-squared test dot^2*1e4 >= 1600*|a|^2*|b|^2."""
+    return """
+        WITH e AS (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                         AS n2
+              FROM e),
+        p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                     CAST(list_sum(list_transform(list_zip(x.v, y.v),
+                                                  pr -> pr[1] * pr[2]))
+                          AS BIGINT) AS dot_q,
+                     x.n2 AS na2, y.n2 AS nb2
+              FROM n x JOIN n y ON x.vec_id < y.vec_id)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, dot_q
+        FROM p WHERE dot_q > 0 AND dot_q * dot_q * 10000 >= 1600 * na2 * nb2
+        ORDER BY a, b
+    """
+
+
+def _token_bpe_sql() -> str:
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+              AS n_pretokens,
+          CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(text, '{pat}'),
+                 t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS n_pieces
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _langid_sql() -> str:
+    """DuckDB mirror of TextStats.langid: CJK dominance check (4*cjk >
+    total is the exact integer form of cjk > total*0.25), then
+    most-stopword-hits-wins with the Python dict's en→de→fr→es iteration
+    order deciding ties (strict > means the FIRST language at the max
+    wins), 'und' when nothing hits."""
+    from mkgmap_ray.stages.text import STOPWORDS
+
+    hit_cols = []
+    for lang, ws in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(ws))
+        hit_cols.append(
+            f"len(list_filter(w, t -> lower(t) IN ({lst}))) AS h_{lang}"
+        )
+    langs = list(STOPWORDS)
+    g = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN h_{la} = {g} THEN '{la}'" for la in langs)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> '') AS w
+          FROM documents),
+        base AS (
+          SELECT doc_id, w, array_to_string(w, '') AS joined FROM toks),
+        hits AS (
+          SELECT doc_id, len(w) AS nw,
+                 length(joined) AS total,
+                 length(regexp_replace(joined,
+                        '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+                 {", ".join(hit_cols)}
+          FROM base)
+        SELECT doc_id,
+               CASE WHEN nw = 0 THEN 'und'
+                    WHEN 4 * cjk > total THEN 'zh'
+                    WHEN {g} = 0 THEN 'und'
+                    {case}
+               END AS lang_pred
+        FROM hits ORDER BY doc_id
     """
 
 
@@ -923,6 +1055,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _minhash_sig_sql(),
         "simhash_sig": _simhash_sig_sql(),
+        "dedup_ngram": _dedup_ngram_sql(),
+        "dedup_embed": _dedup_embed_sql(),
+        "token_bpe": _token_bpe_sql(),
+        "langid": _langid_sql(),
+        "doc_fingerprint": """
+            SELECT doc_id, CAST(list_reduce(
+                list_prepend(CAST(0 AS HUGEINT),
+                  list_transform(range(1, length(text) + 1),
+                                 i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+                (acc, b) -> (acc * 31 + b) % 2305843009213693951
+              ) AS BIGINT) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
         "ann_topk_dot": _ann_exact_topk_sql(),
         "emb_label_sums": """
             SELECT CAST(label AS BIGINT) AS label, count(*) AS n,

@@ -55,6 +55,9 @@ QUERY_NAMES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_ngram",
+    "dedup_embed",
+    "token_bpe",
     "minhash_sig",
     "simhash_sig",
     "ann_topk_dot",

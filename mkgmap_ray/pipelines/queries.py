@@ -723,6 +723,31 @@ def q_doc_fingerprint(sf_dir: str):
     return out[["doc_id", "fingerprint"]].astype("int64")
 
 
+def q_token_bpe(sf_dir: str):
+    """Token counting: whitespace tokens + GPT-2-ish ASCII pretokenizer +
+    fixed-width BPE piece estimate (ceil(len/4) per pretoken) — the
+    training-data token-budget operator; the DuckDB oracle recomputes the
+    identical counts with regexp_extract_all + list arithmetic."""
+    from ..stages.text import BpeTokens
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        BpeTokens(), batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+def q_dedup_ngram(sf_dir: str):
+    """EXACT word-4-gram Jaccard near-dup pairs at >= 0.5 — the verifier
+    face of the near-dup stack (minhash_candidates estimates, this
+    confirms; on the sf corpus the >=0.5 survivor sets coincide). Integer
+    ppm arithmetic on both sides."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, min_ppm=500_000)
+
+
 # --- embeddings -------------------------------------------------------------
 
 
@@ -745,6 +770,27 @@ def q_ann_topk_dot(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = topk_dot(ds, q_ids, q_mat, k=ANN_K)
     return out.astype("int64")
+
+
+def q_dedup_embed(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.40), integer-exact: the
+    brute-force baseline matmuls each batch against the ray.put-broadcast
+    quantized corpus and tests dot^2*1e4 >= 1600*|a|^2*|b|^2 in int64 —
+    no float anywhere, so the DuckDB list-arithmetic oracle matches
+    bit-for-bit. Scale path: lsh_bucketed_cosine_pairs."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import cosine_neardup_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], np.int64)
+    dim = len(t["embedding"][0])
+    mat = np.asarray(
+        t["embedding"].combine_chunks().values, np.float64
+    ).reshape(-1, dim)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, ids, mat)
 
 
 def q_ann_cosine_pairs(sf_dir: str):

@@ -392,3 +392,73 @@ def ivf_topk(ds, q_ids, q_mat, centroids, k: int = 10, nprobe: int = 4,
         columns=["query_id", "vec_id", "score", "rank"]
     )
     return res[["query_id", "rank", "vec_id", "score"]]
+
+
+# --- embedding-cosine near-dup ------------------------------------------------
+
+COS_THR2_BP = 1600  # (cos >= 0.40)^2 in basis points: dot^2*1e4 >= 1600*|a|^2*|b|^2
+
+
+class CosinePairsPartial:
+    """map_batches task: integer-exact cosine-threshold pairs of a batch
+    against the broadcast quantized matrix. The cosine test runs without
+    any float: dot > 0 and dot^2 * 10^4 >= thr2_bp * |a|^2 * |b|^2 over
+    int64 quantized vectors — bit-identical to the DuckDB list-arithmetic
+    oracle and immune to summation order."""
+
+    def __init__(self, ref, thr2_bp: int = COS_THR2_BP,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+
+        ids, mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.all_ids = np.asarray(ids, np.int64)
+        self.q = quantize(mat)
+        self.n2 = np.einsum("ij,ij->i", self.q, self.q)
+        hi = int(self.n2.max(initial=0))
+        # int64 headroom guard: dot^2 <= |a|^2*|b|^2 (Cauchy-Schwarz)
+        if hi * hi * max(10_000, int(thr2_bp)) >= 2**63:
+            raise ValueError("quantized norms too large for int64 cosine test")
+        self.thr2 = np.int64(thr2_bp)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qb = quantize(_emb_matrix(batch, self.emb_col))
+        ids = np.asarray(batch[self.id_col].combine_chunks(), np.int64)
+        dots = qb @ self.q.T  # int64 exact
+        nb2 = np.einsum("ij,ij->i", qb, qb)
+        cond = (
+            (dots > 0)
+            & (dots * dots * np.int64(10_000)
+               >= self.thr2 * nb2[:, None] * self.n2[None, :])
+            & (ids[:, None] < self.all_ids[None, :])
+        )
+        ii, jj = np.nonzero(cond)
+        return pa.table(
+            {
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(self.all_ids[jj], pa.int64()),
+                "dot_q": pa.array(dots[ii, jj], pa.int64()),
+            }
+        )
+
+
+def cosine_neardup_pairs(ds, all_ids, all_mat, thr2_bp: int = COS_THR2_BP,
+                         id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Brute-force exact cosine near-dup baseline: each batch matmuls
+    against the ray.put-broadcast quantized corpus (O(n * batch) integer
+    compute, embarrassingly parallel, no shuffle; pairs a < b emitted
+    once because the id inequality is evaluated inside the batch task).
+
+    This is the exact BASELINE the near-dup stack verifies against; the
+    100-TB scale path is ``lsh_bucketed_cosine_pairs`` (candidates only)
+    — a corpus too big to broadcast must go through LSH banding first."""
+    import ray
+
+    ref = ray.put((np.asarray(all_ids, np.int64),
+                   np.asarray(all_mat, np.float64)))
+    out = ds.map_batches(
+        CosinePairsPartial(ref, thr2_bp, id_col, emb_col),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")

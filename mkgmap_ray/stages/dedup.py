@@ -560,3 +560,143 @@ class SimHashSig:
                 "simhash": simhash64_batch(batch[self.text_col].tolist()),
             }
         )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+NGRAM_WORDS = 4  # shingle width in whitespace tokens
+NGRAM_MAX_BUCKET = 4096  # safety cap only; see ngram_jaccard_pairs docstring
+_NGRAM_F = np.uint64(0x100000001B3)  # FNV prime reused as the combine base
+
+
+def _wordgram_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, hash) per word-k-gram, fully vectorized after token
+    hashing: each token gets its FNV-1a 64 hash (one padded-matrix pass
+    for the whole batch), then the k-gram hash is the base-FNV_PRIME
+    polynomial of the k token hashes — computed with numpy uint64
+    wraparound over shifted views, never a per-shingle Python loop.
+    Windows never cross document boundaries (doc-index equality mask)."""
+    toks_per_doc = [t.split() for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_doc), np.int64,
+                         len(toks_per_doc))
+    flat = [w for ws in toks_per_doc for w in ws]
+    if not flat:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    th = fnv1a64_batch(flat)  # uint64, vectorized per char position
+    di = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    if len(th) < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        h *= _NGRAM_F  # uint64 wraparound == HUGEINT % 2^64 in the oracle
+        h += th[j : len(th) - k + 1 + j]
+    valid = di[: len(di) - k + 1] == di[k - 1 :]
+    return di[: len(di) - k + 1][valid], h[valid]
+
+
+class WordGramExplode:
+    """map_batches task: documents → one row per DISTINCT (k-gram hash,
+    doc) with the doc's distinct-shingle count ``n`` riding along (so the
+    union size na+nb-inter never needs a separate sizes join downstream)."""
+
+    def __init__(self, k: int = NGRAM_WORDS, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy(np.int64)
+        di, h = _wordgram_hashes(batch[self.text_col].tolist(), self.k)
+        if not len(h):
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64),
+                 "part": pd.Series([], dtype=np.int64)}
+            )
+        # distinct (doc, hash): sort once, keep run heads
+        order = np.lexsort((h, di))
+        di, h = di[order], h[order]
+        keep = np.r_[True, (di[1:] != di[:-1]) | (h[1:] != h[:-1])]
+        di, h = di[keep], h[keep]
+        n_per_doc = np.bincount(di, minlength=len(ids)).astype(np.int64)
+        hs = h.view(np.int64)
+        return pd.DataFrame(
+            {
+                "h": hs,
+                "doc_id": ids[di],
+                "n": n_per_doc[di],
+                "part": hs & (N_BUCKET_PARTS - 1),
+            }
+        )
+
+
+def ngram_jaccard_pairs(ds, k: int = NGRAM_WORDS, min_ppm: int = 500_000,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """EXACT word-k-gram Jaccard near-dup pairs: explode each doc's
+    distinct shingle hashes, hash-partition by shingle, extract
+    co-occurring (a < b) pairs per partition (vectorized sorted-run
+    extraction, one call per partition), and sum per-pair intersection
+    counts across partitions. ``jacc_ppm = inter * 1e6 // (na + nb -
+    inter)`` is integer arithmetic on both engine and oracle sides.
+
+    Scale shape: only (hash, doc_id, n) rows shuffle — never text. Word
+    k-grams are long enough that shingle buckets stay tiny (max 6 members
+    on the sf0.1 corpus); ``NGRAM_MAX_BUCKET`` guards a degenerate corpus
+    but is NOT expected to bind (binding would undercount intersections —
+    the exact operator is the LSH verifier, not the 100-TB first pass;
+    minhash_candidates is the first pass and this confirms its survivors).
+    The final combine is bounded by candidate-pair count (output-sized),
+    per the combine_partials contract. Assumes doc_id < 2^31 for the
+    packed pair key."""
+    from .combine import combine_partials
+
+    exploded = ds.map_batches(
+        WordGramExplode(k=k, text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=None,
+    )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"key": pd.Series([], dtype=np.int64),
+             "inter": pd.Series([], dtype=np.int64),
+             "na": pd.Series([], dtype=np.int64),
+             "nb": pd.Series([], dtype=np.int64)}
+        )
+        if not len(g):
+            return empty
+        h = g["h"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((ids, h))
+        h, ids, n = h[order], ids[order], n[order]
+        gid = np.cumsum(np.r_[True, h[1:] != h[:-1]])
+        iu, ju = _bucket_pairs(gid, NGRAM_MAX_BUCKET)
+        if not len(iu):
+            return empty
+        key = (ids[iu] << np.int64(32)) | ids[ju]
+        uk, first, cnt = np.unique(key, return_index=True, return_counts=True)
+        return pd.DataFrame(
+            {"key": uk, "inter": cnt.astype(np.int64),
+             "na": n[iu[first]], "nb": n[ju[first]]}
+        )
+
+    parts = exploded.groupby("part").map_groups(
+        pairs_part, batch_format="pandas"
+    )
+    c = combine_partials(parts, "key", ["inter"], first_cols=["na", "nb"])
+    key, inter = c["key"], c["inter"]
+    na, nb = c["na"], c["nb"]
+    union = na + nb - inter
+    jacc_ppm = inter * 1_000_000 // np.maximum(union, 1)
+    m = jacc_ppm >= min_ppm
+    out = pd.DataFrame(
+        {
+            "a": (key[m] >> 32).astype(np.int64),
+            "b": (key[m] & 0xFFFFFFFF).astype(np.int64),
+            "inter": inter[m],
+            "jacc_ppm": jacc_ppm[m].astype(np.int64),
+        }
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -101,3 +101,46 @@ class TextStats:
 
 def text_stats(ds, **kw):
     return ds.map_batches(TextStats, batch_format="pandas", concurrency=pool_concurrency(), **kw)
+
+
+# --- BPE-ish token counting ---------------------------------------------------
+
+# GPT-2-style pretokenizer reduced to ASCII classes so Python re and
+# DuckDB's RE2 agree byte-for-byte: letter runs, digit runs, and runs of
+# anything else that isn't whitespace.
+BPE_PRETOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+BPE_PIECE = 4  # fixed merge width: a pretoken of length L costs ceil(L/4) pieces
+
+
+class BpeTokens:
+    """map_batches task: per-doc token-counting triple — whitespace tokens,
+    regex pretokens, and BPE-ish piece count (sum of ceil(len/4) over
+    pretokens). Regex compiled once per task closure; counts vectorized
+    with numpy over the flattened match lengths."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.pat = re.compile(BPE_PRETOKEN)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].tolist()
+        matches = [self.pat.findall(t) for t in texts]
+        counts = np.fromiter((len(m) for m in matches), np.int64, len(matches))
+        lens = np.fromiter(
+            (len(w) for m in matches for w in m),
+            np.int64,
+            int(counts.sum()),
+        )
+        pieces = (lens + (BPE_PIECE - 1)) // BPE_PIECE
+        di = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        n_pieces = np.bincount(di, weights=pieces, minlength=len(texts))
+        ws = batch[self.text_col].str.split()
+        return pd.DataFrame(
+            {
+                "doc_id": batch[self.id_col].to_numpy(np.int64),
+                "n_ws_tokens": ws.map(len).to_numpy(np.int64),
+                "n_pretokens": counts,
+                "n_pieces": n_pieces.astype(np.int64),
+            }
+        )

@@ -422,3 +422,115 @@ class TestDedupEdgeCases:
             keys = list(zip(pairs["a"], pairs["b"]))
             assert len(keys) == len(set(keys))
             assert (pairs["a"] < pairs["b"]).all()
+
+
+class TestNgramJaccard:
+    @staticmethod
+    def brute_pairs(texts, k=4, min_ppm=500_000):
+        """Set-based oracle: distinct word-k-gram tuples, exact Jaccard."""
+        sets = []
+        for t in texts:
+            w = t.split()
+            sets.append({tuple(w[i : i + k]) for i in range(len(w) - k + 1)})
+        out = {}
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter * 1_000_000 // union >= min_ppm:
+                    out[(a, b)] = (inter, inter * 1_000_000 // union)
+        return out
+
+    def test_matches_set_oracle(self, ray_session):
+        import ray.data as rd
+
+        from mkgmap_ray.stages.dedup import ngram_jaccard_pairs
+
+        t = docs_with_dups()
+        got = ngram_jaccard_pairs(rd.from_arrow(t), min_ppm=500_000)
+        exp = self.brute_pairs([s.as_py() for s in t["text"]])
+        assert {
+            (a, b): (i, j)
+            for a, b, i, j in zip(got["a"], got["b"], got["inter"],
+                                  got["jacc_ppm"])
+        } == exp
+        assert (3, 20) in exp  # the exact dup survives with jacc 1.0
+
+    def test_short_and_empty_docs(self, ray_session):
+        import ray.data as rd
+
+        from mkgmap_ray.stages.dedup import ngram_jaccard_pairs
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["", "one two three", "a b c d e f", "a b c d e f"]
+                ),
+            }
+        )
+        got = ngram_jaccard_pairs(rd.from_arrow(t))
+        assert list(zip(got["a"], got["b"])) == [(2, 3)]
+        assert got["jacc_ppm"].iloc[0] == 1_000_000
+
+
+class TestCosineNearDup:
+    def test_matches_float_brute(self, ray_session):
+        import ray.data as rd
+
+        from mkgmap_ray.stages.ann import cosine_neardup_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(30, 16))
+        # plant near-dups: rows 30..32 are jittered copies of 0..2
+        mat = np.vstack([base, base[:3] + rng.normal(scale=0.02, size=(3, 16))])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = np.arange(len(mat), dtype=np.int64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+        got = cosine_neardup_pairs(
+            rd.from_arrow(t), ids, mat, thr2_bp=8100  # cos >= 0.9
+        )
+        pairs = set(zip(got["a"], got["b"]))
+        assert {(0, 30), (1, 31), (2, 32)} <= pairs
+        # integer test tracks float cosine away from the boundary
+        q = quantize(mat)
+        n2 = (q * q).sum(1)
+        for a, b in pairs:
+            d = int(q[a] @ q[b])
+            assert d > 0 and d * d * 10_000 >= 8100 * int(n2[a]) * int(n2[b])
+
+    def test_norm_guard(self):
+        from mkgmap_ray.stages.ann import CosinePairsPartial
+
+        big = np.full((2, 4), 4e4)
+        with pytest.raises(ValueError):
+            CosinePairsPartial((np.arange(2), big))
+
+
+class TestBpeTokens:
+    def test_counts_match_naive(self):
+        import re as _re
+
+        from mkgmap_ray.stages.text import BPE_PRETOKEN, BpeTokens
+
+        texts = [
+            "hello world, it's 2026!",
+            "  leading spaces\tand\ttabs ",
+            "",
+            "supercalifragilistic 12345 --- x",
+        ]
+        b = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = BpeTokens()(b)
+        pat = _re.compile(BPE_PRETOKEN)
+        for i, t in enumerate(texts):
+            toks = pat.findall(t)
+            assert out["n_pretokens"].iloc[i] == len(toks)
+            assert out["n_pieces"].iloc[i] == sum(
+                (len(w) + 3) // 4 for w in toks
+            )
+            assert out["n_ws_tokens"].iloc[i] == len(t.split())
