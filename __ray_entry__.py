@@ -7,9 +7,9 @@
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
   (column names matched exactly; all numerics int64 / strings so the
   value-hash compare is float-free). Non-SQL-expressible operators
-  (Douglas-Peucker, MinHash/SimHash LSH banding, LSH cosine, full
-  quadtree refinement, bit-stream payloads, image resampling) are
-  rows-only by design.
+  (Douglas-Peucker, float-hyperplane LSH cosine, full quadtree
+  refinement, bit-stream payloads, image resampling) are rows-only by
+  design.
 
 Ray is initialised by the driver before importing this module; nothing here
 calls ``ray.init``/``ray.shutdown``.
@@ -226,6 +226,63 @@ def _simhash_sig_sql() -> str:
                CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
                          THEN u - {u64} ELSE u END AS BIGINT) AS simhash
         FROM packed ORDER BY doc_id
+    """
+
+
+def _dedup_minhash_sql() -> str:
+    """Closed-form DuckDB mirror of the FULL MinHash-LSH dedup pipeline
+    (graduates dedup_minhash from rows-only): per-doc 64-perm signature
+    (same integer arithmetic as _minhash_sig_sql), candidate = some band
+    of 4 consecutive perms fully equal (band_hash equality in the engine
+    is implied by value equality; splitmix collisions would need a 64-bit
+    birthday hit inside one fixture), survivor = >= 32/64 equal perms
+    (est_jaccard >= 0.5 exactly)."""
+    from mkgmap_ray.stages.dedup import MinHasher
+
+    mh = MinHasher()
+    params = ", ".join(
+        f"({j}, CAST({int(a)} AS BIGINT), CAST({int(b)} AS BIGINT))"
+        for j, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, CAST(unnest(list_transform(range(1, length(text) - 3), i ->
+              ord(substr(text, i, 1)) * 923521
+            + ord(substr(text, i+1, 1)) * 29791
+            + ord(substr(text, i+2, 1)) * 961
+            + ord(substr(text, i+3, 1)) * 31
+            + ord(substr(text, i+4, 1)))) AS BIGINT) AS h
+          FROM documents),
+        params(j, a, b) AS (VALUES {params}),
+        mins AS (SELECT doc_id, p.j, min((p.a * sh.h + p.b) % 2147483647) AS m
+                 FROM sh CROSS JOIN params p GROUP BY 1, 2),
+        sigs AS (SELECT doc_id, list(m ORDER BY j) AS s FROM mins
+                 GROUP BY doc_id)
+        SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE len(list_filter(range(0, 16), bb ->
+                x.s[4*bb+1] = y.s[4*bb+1] AND x.s[4*bb+2] = y.s[4*bb+2]
+                AND x.s[4*bb+3] = y.s[4*bb+3]
+                AND x.s[4*bb+4] = y.s[4*bb+4])) > 0
+          AND len(list_filter(range(1, 65), i -> x.s[i] = y.s[i])) >= 32
+        ORDER BY a, b
+    """
+
+
+def _dedup_simhash_sql() -> str:
+    """DuckDB mirror of the FULL SimHash dedup pipeline: with 4 chunks
+    and Hamming <= 3 the pigeonhole blocking is lossless (3 differing
+    bits touch at most 3 of the 4 16-bit chunks), so the engine's output
+    equals ALL pairs at Hamming <= 3 — computable as
+    bit_count(xor(simhash_a, simhash_b)) over the signature CTE."""
+    return f"""
+        WITH sims AS ({_simhash_sig_sql()})
+        SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        ORDER BY a, b
     """
 
 
@@ -1055,6 +1112,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _minhash_sig_sql(),
         "simhash_sig": _simhash_sig_sql(),
+        "dedup_minhash": _dedup_minhash_sql(),
+        "dedup_simhash": _dedup_simhash_sql(),
         "dedup_ngram": _dedup_ngram_sql(),
         "dedup_embed": _dedup_embed_sql(),
         "token_bpe": _token_bpe_sql(),
