@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bpe": Q.q_token_bpe,
         "langid": Q.q_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
+        "style_file": Q.q_style_file,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -1112,6 +1113,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _minhash_sig_sql(),
         "simhash_sig": _simhash_sig_sql(),
+        "style_file": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+              CAST(CASE WHEN o_orderkey % 4 = 0 THEN 1
+                        WHEN o_orderkey % 4 = 3 AND o_orderkey % 6 = 1 THEN 7
+                        WHEN o_orderkey % 4 = 3 THEN 8
+                        WHEN o_orderkey % 6 IN (4, 5) THEN 2
+                        ELSE 3 END AS BIGINT) AS gtype,
+              CAST(CASE WHEN o_orderkey % 4 = 0 THEN 18
+                        WHEN o_orderkey % 4 = 3 AND o_orderkey % 6 = 1 THEN 24
+                        WHEN o_orderkey % 4 = 3 THEN 23
+                        WHEN o_orderkey % 6 IN (4, 5) THEN 20
+                        ELSE 22 END AS BIGINT) AS resolution,
+              CAST(16 AS BIGINT) AS fin_gtype
+            FROM orders ORDER BY o_orderkey
+        """,
         "dedup_minhash": _dedup_minhash_sql(),
         "dedup_simhash": _dedup_simhash_sql(),
         "dedup_ngram": _dedup_ngram_sql(),

@@ -1157,6 +1157,107 @@ def q_style_apply(sf_dir: str):
     return out
 
 
+_STYLE_FIXTURE = {
+    "teststyle/version": "1\n",
+    "teststyle/info": "summary = 'loader fixture'\n",
+    "teststyle/options": "levels = 0:24, 1:22\noverview-levels = 4:17\n",
+    "teststyle/lines": (
+        "# typed rule with an action\n"
+        "highway=motorway {set fast=yes} [0x01 resolution 18]\n"
+        "include 'inc/speed';\n"
+        "if (lanes=4 | lanes=5) then\n"
+        "highway=primary [0x02 resolution 20]\n"
+        "else\n"
+        "highway=primary [0x03 resolution 22]\n"
+        "end\n"
+        "include 'extra' from 'base';\n"
+        "<finalize>\n"
+        "highway=* [0x10 resolution 24]\n"
+    ),
+    "teststyle/inc/speed": "highway=track & lanes=1 [0x07 resolution 24]\n",
+    "base/version": "1\n",
+    "base/extra": "highway=track [0x08 resolution 23]\n",
+}
+
+
+def _write_style_fixture() -> str:
+    """Materialize the deterministic loader fixture under /tmp (styles
+    root with a main style + a sibling referenced by ``from``)."""
+    import pathlib
+
+    root = pathlib.Path("/tmp/mkgmap_ray_styles")
+    for rel, content in _STYLE_FIXTURE.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        if not p.exists() or p.read_text() != content:
+            p.write_text(content)
+    return str(root / "teststyle")
+
+
+def q_style_file(sf_dir: str):
+    """Style DIRECTORY loading end-to-end (``StyleFileLoader``/
+    ``StyleImpl``/``RuleFileReader`` commands): version + options parsing,
+    ``include`` splicing (same-dir and ``from`` a sibling style),
+    ``if/else/end`` expansion via the synthetic-tag rewrite, and the
+    ``<finalize>`` section split — the resolved rule text then runs
+    through the normal vectorized style stage over orders-derived tags.
+    Oracle is the closed-form CASE mirror of the resolved rule order."""
+    from ..stages.stylestage import apply_style
+    from ..style.loader import load_style
+
+    sd = load_style(_write_style_fixture())
+    assert sd.version == 1 and sd.levels == [(0, 24), (1, 22)]
+
+    def to_tags(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        hw = np.where(
+            ok % 4 == 0, "motorway", np.where(ok % 4 == 3, "track", "primary")
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "hw": pa.array(hw.astype(object), pa.string()),
+                "lanes": pa.array((ok % 6).astype(str), pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        to_tags, batch_format="pyarrow", batch_size=None
+    )
+    cols = {"highway": "hw", "lanes": "lanes"}
+    styled = apply_style(ds, sd.rule_text["lines"], tag_columns=cols,
+                         keep=["o_orderkey", "hw", "lanes"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        # the finalize pass re-emits gtype/resolution, so stash the main
+        # pass's results under different names first
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "hw": batch["hw"],
+                "lanes": batch["lanes"],
+                "main_gtype": batch["gtype"],
+                "main_res": batch["resolution"],
+            }
+        )
+
+    fin = apply_style(
+        styled.map_batches(rename, batch_format="pyarrow", batch_size=None),
+        sd.finalize_text["lines"], tag_columns=cols,
+        keep=["o_orderkey", "main_gtype", "main_res"],
+    )
+    out = fin.to_pandas()
+    res = pd.DataFrame(
+        {
+            "o_orderkey": out["o_orderkey"],
+            "gtype": out["main_gtype"],
+            "resolution": out["main_res"],
+            "fin_gtype": out["gtype"],
+        }
+    ).astype("int64")
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
 VALUE_FILTER_STYLE = (
     "ref=* {name "
     "'${ref|highway-symbol:box:6:6|def:-}"
