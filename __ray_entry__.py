@@ -78,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": Q.q_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "style_file": Q.q_style_file,
+        "image_phash_dedup": Q.q_image_phash_dedup,
+        "mdr20_streets": Q.q_mdr20_streets,
+        # graduated to SQL this round — need driver rows with the oracle
+        "dedup_minhash": Q.q_dedup_minhash,
+        "dedup_simhash": Q.q_dedup_simhash,
         # --- geo / tiling engine (SURVEY.md §2.4, §2.5, §2.8) ---
         "cell_assign_grid": Q.q_cell_assign_grid,
         "clip_segments": Q.q_clip_segments,
@@ -90,8 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_tiles": Q.q_images_tiles,
         # --- documents / training-data operators ---
         "dedup_exact": Q.q_dedup_exact,
-        "dedup_minhash": Q.q_dedup_minhash,
-        "dedup_simhash": Q.q_dedup_simhash,
         "minhash_sig": Q.q_minhash_sig,
         "simhash_sig": Q.q_simhash_sig,
         # --- embeddings ---
@@ -1113,6 +1116,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _minhash_sig_sql(),
         "simhash_sig": _simhash_sig_sql(),
+        "mdr20_streets": """
+            WITH base AS (
+              SELECT DISTINCT
+                     printf('S%03d', (o_orderkey * 11) % 300) AS street,
+                     printf('C%02d', (o_orderkey * 7) % 50) AS city,
+                     o_orderkey % 16 AS map_index
+              FROM orders),
+            mdr7 AS (
+              SELECT street, map_index,
+                     CAST(row_number() OVER (ORDER BY street, map_index)
+                          AS BIGINT) AS mdr7_idx
+              FROM (SELECT DISTINCT street, map_index FROM base)),
+            recs AS (
+              SELECT b.city, b.street, CAST(b.map_index AS BIGINT)
+                         AS map_index, m.mdr7_idx
+              FROM base b JOIN mdr7 m USING (street, map_index)),
+            ordered AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY city, mdr7_idx)
+                             AS BIGINT) AS record
+              FROM recs)
+            SELECT record, city, street, map_index, mdr7_idx,
+                   CAST(min(record) OVER (PARTITION BY city) AS BIGINT)
+                       AS mdr20
+            FROM ordered ORDER BY record
+        """,
         "style_file": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
               CAST(CASE WHEN o_orderkey % 4 = 0 THEN 1

@@ -58,6 +58,8 @@ QUERY_NAMES = [
     "dedup_ngram",
     "dedup_embed",
     "token_bpe",
+    "image_phash_dedup",
+    "style_file",
     "minhash_sig",
     "simhash_sig",
     "ann_topk_dot",

@@ -748,6 +748,17 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_pairs(ds, min_ppm=500_000)
 
 
+def q_image_phash_dedup(sf_dir: str):
+    """Image near-dup dedup: decode → perceptual hash → exact-signature
+    groups → near-dup linking of group representatives (rows-only; pixel
+    decode has no SQL face — tests/test_imageops.py holds the brute
+    oracle)."""
+    from ..sources.images import images_dataset
+    from ..stages.imagestage import phash_dedup
+
+    return phash_dedup(images_dataset(2000), max_hamming=4)
+
+
 # --- embeddings -------------------------------------------------------------
 
 
@@ -4131,6 +4142,63 @@ def q_mdr5_cities(sf_dir: str):
     return keep[
         ["global_idx", "name", "region", "country", "map_index",
          "mdr20_idx", "n_dups"]
+    ]
+
+
+def q_mdr20_streets(sf_dir: str):
+    """Mdr20 streets-by-city section (``imgfmt/app/mdr/Mdr20.java:50-95``):
+    street records sorted by (city sort position, mdr7 street index), one
+    record kept per distinct (city name, street, mdr7 index) run, each
+    city taking the record number of the FIRST record of its name section
+    as its mdr20 value. Mdr7 indexes are the dense rank of distinct
+    (street, map) in (street, map) order. Distinct-collapse runs under a
+    hash partition (equal triples co-locate); only the collapsed
+    output-sized record set reaches the driver for global ranking."""
+    N_PARTS = 64
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        df = pd.DataFrame(
+            {
+                "street": pd.Series((k * 11) % 300).map("S{:03d}".format),
+                "city": pd.Series((k * 7) % 50).map("C{:02d}".format),
+                "map_index": k % 16,
+            }
+        )
+        h = pd.util.hash_pandas_object(
+            df["street"] + df["city"] + df["map_index"].astype(str),
+            index=False,
+        ).to_numpy(np.uint64)
+        df["part"] = (h & np.uint64(N_PARTS - 1)).astype(np.int64)
+        return df
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["street", "city", "map_index"])[
+            ["street", "city", "map_index"]
+        ]
+
+    recs = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    # mdr7 index: dense rank of distinct (street, map)
+    pairs = recs[["street", "map_index"]].drop_duplicates().sort_values(
+        ["street", "map_index"]
+    )
+    pairs["mdr7_idx"] = np.arange(1, len(pairs) + 1, dtype=np.int64)
+    recs = recs.merge(pairs, on=["street", "map_index"])
+    # section walk: sort by (city name, mdr7 index); with distinct
+    # triples every row is a kept record (the reference's repeat-collapse
+    # fires only for same (city name, street, index) duplicates)
+    recs = recs.sort_values(["city", "mdr7_idx"]).reset_index(drop=True)
+    recs["record"] = np.arange(1, len(recs) + 1, dtype=np.int64)
+    recs["mdr20"] = recs.groupby("city")["record"].transform("min")
+    recs["map_index"] = recs["map_index"].astype("int64")
+    return recs[
+        ["record", "city", "street", "map_index", "mdr7_idx", "mdr20"]
     ]
 
 

@@ -219,7 +219,23 @@ def build_split_tree(
 
 NARROW_SPILL_BYTES_ENV = "MKGMAP_NARROW_SPILL_BYTES"
 NARROW_SPILL_DIR_ENV = "MKGMAP_SPILL_DIR"
-_NARROW_SPILL_DEFAULT = 2 << 30  # 2 GiB of narrow stats in the store
+_NARROW_SPILL_FLOOR = 2 << 30  # never spill below 2 GiB of narrow stats
+
+
+def _default_spill_bytes() -> int:
+    """Default spill threshold: a quarter of the OBJECT STORE, floored at
+    2 GiB. The original fixed 2 GiB default spilled the repeat=96 scaling
+    workload (~2.4 GB of narrow int32s) onto this box's ONE disk, whose
+    bandwidth does not grow with CPUs — the 2→8-cpu efficiency collapsed
+    to 0.49 because every refinement round re-read the projection from
+    disk. The object store DOES grow with nodes on a real cluster, so
+    sizing the threshold to it keeps refinement re-reads zero-copy until
+    memory genuinely runs short; cross-node runs should also point
+    ``MKGMAP_SPILL_DIR`` at storage whose bandwidth scales."""
+    import ray
+
+    store = int(ray.cluster_resources().get("object_store_memory", 0))
+    return max(_NARROW_SPILL_FLOOR, store // 4)
 
 
 def _spill_narrow(ds, n_blocks: int):
@@ -234,9 +250,15 @@ def _spill_narrow(ds, n_blocks: int):
 
     import ray
 
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(
         prefix="mkgmap_narrow_", dir=os.environ.get(NARROW_SPILL_DIR_ENV)
     )
+    # spill dirs are run-scoped scratch: reclaim on interpreter exit (the
+    # dataset's lifetime is the refinement loop, which has no close hook)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     ds.write_parquet(d)
     out = ray.data.read_parquet(d, override_num_blocks=n_blocks)
     out._mkgmap_spill_dir = d
@@ -262,9 +284,8 @@ def prepare_narrow(narrow_ds):
     if getattr(narrow_ds, "_mkgmap_prepared", False):
         return narrow_ds
     n_blocks = max(1, int(ray.cluster_resources().get("CPU", 32)))
-    spill_bytes = int(
-        os.environ.get(NARROW_SPILL_BYTES_ENV, _NARROW_SPILL_DEFAULT)
-    )
+    env = os.environ.get(NARROW_SPILL_BYTES_ENV)
+    spill_bytes = int(env) if env is not None else _default_spill_bytes()
     if spill_bytes == 0:
         out = _spill_narrow(narrow_ds, n_blocks)
     else:

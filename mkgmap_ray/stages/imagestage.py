@@ -68,3 +68,98 @@ def decode_verify(ds, **kw):
     return ds.map_batches(
         DecodeVerify, batch_format="pyarrow", batch_size=None, **kw
     )
+
+
+# --- perceptual-hash dedup ------------------------------------------------
+
+
+class DecodePhash:
+    """Actor: decode every image payload and recompute its 64-bit
+    perceptual hash from PIXELS (not the stored column — the decode path
+    is part of what's being verified). Emits (img_num, phash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = batch.num_rows
+        nums = np.empty(n, np.int64)
+        ph = np.empty(n, np.int64)
+        for i in range(n):
+            nums[i] = int(ids[i][3:])
+            ph[i] = phash64(decode_image(data[i], fmts[i]))
+        return pa.table(
+            {
+                "img_num": pa.array(nums, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
+            }
+        )
+
+
+def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
+    """Image near-dup dedup over a web-scale-shaped corpus: exact
+    perceptual-signature groups first (hash-partitioned groupby — only
+    (img_num, phash) rows shuffle, payloads never leave the decode
+    stage), then near-dup LINKING of the group REPRESENTATIVES at
+    Hamming ≤ ``max_hamming`` with union-find on the driver.
+
+    Scale shape: representative count is bounded by DISTINCT signatures
+    (output-sized — the synthetic gradient corpus collapses ~2000 images
+    to ~50 signatures; a real corpus collapses burst shots / re-encodes
+    the same way), so the driver linking is the standard output-sized
+    combine, not an input-sized loop. Emitting raw pairs instead would be
+    O(cluster²) — the round-1 LSH lesson.
+
+    Returns one row per distinct signature: (phash, keep_img = smallest
+    member, n_members, cluster = smallest keep_img among signatures
+    linked transitively at ≤ max_hamming)."""
+    import pandas as pd
+
+    from ..util import pool_concurrency
+    from .dedup import hamming64 as ham_vec
+
+    parts = ds.map_batches(
+        DecodePhash, batch_format="pyarrow", batch_size=200,
+        concurrency=pool_concurrency(),
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        ph = np.asarray(b["phash"].combine_chunks(), np.int64)
+        return b.append_column(
+            "part", pa.array(ph & np.int64(n_parts - 1), pa.int64())
+        )
+
+    def collapse(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = g.groupby("phash", as_index=False).agg(
+            keep_img=("img_num", "min"), n_members=("img_num", "size")
+        )
+        return agg[["phash", "keep_img", "n_members"]]
+
+    reps = (
+        parts.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    reps = reps.sort_values("keep_img").reset_index(drop=True)
+    m = len(reps)
+    ph = reps["phash"].to_numpy(np.int64)
+    # union-find over representative pairs at <= max_hamming (m is
+    # distinct-signature count; all-pairs here is m^2 over output rows)
+    parent = np.arange(m)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    iu, ju = np.triu_indices(m, 1)
+    close = ham_vec(ph[iu] ^ ph[ju]) <= max_hamming
+    for i, j in zip(iu[close], ju[close]):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    roots = np.fromiter((find(i) for i in range(m)), np.int64, m)
+    reps["cluster"] = reps["keep_img"].to_numpy(np.int64)[roots]
+    return reps.astype("int64")

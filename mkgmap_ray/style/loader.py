@@ -249,6 +249,21 @@ class StyleDef:
     def finalize_rules(self, kind: str) -> RuleSet:
         return compile_style(self.finalize_text.get(kind, ""))
 
+    def used_tags(self) -> set[str]:
+        """Union of every rule file's used-tag set plus the options
+        ``extra-used-tags`` list (``StyleImpl.getUsedTags``,
+        java:215-260) — what readers may prune every other tag column
+        down to. Synthetic ``mkgmap:if:N`` tags are internal and
+        excluded."""
+        out: set[str] = set()
+        for kind in self.rule_text:
+            out |= self.rules(kind).used_tags()
+            out |= self.finalize_rules(kind).used_tags()
+        extra = self.options.get("extra-used-tags", "")
+        out |= {t.strip() for t in extra.replace(",", " ").split()}
+        out.discard("")
+        return {t for t in out if not t.startswith("mkgmap:if:")}
+
 
 def load_style(root: str | Path, name: str | None = None) -> StyleDef:
     """Load a style directory into a ``StyleDef``: mandatory ``version``

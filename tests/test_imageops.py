@@ -81,3 +81,68 @@ def test_image_transform_actor_roundtrip():
         assert hamming64(phash64(rgb), out["phash"][i].as_py()) <= 4
         # captions ride through untouched
         assert out["caption"][i].as_py() == batch["caption"][i].as_py()
+
+
+class TestPhashDedup:
+    def test_matches_brute_oracle(self, ray_session):
+        from mkgmap_ray.sources.images import (
+            decode_qraw,
+            encode_qraw,
+            images_dataset,
+            make_pixels,
+            phash64,
+        )
+        from mkgmap_ray.stages.imagestage import phash_dedup
+
+        n = 240
+        got = phash_dedup(images_dataset(n), max_hamming=4)
+
+        # brute oracle: regenerate every image THROUGH ITS CODEC (the
+        # engine hashes decoded pixels; qraw is lossy), group by exact
+        # phash, then link groups transitively at hamming <= 4
+        ws, hs = [32, 64, 128], [32, 48, 96]
+
+        def roundtrip(r):
+            rgb = make_pixels(r, ws[r % 3], hs[r % 3])
+            return rgb if r % 2 == 0 else decode_qraw(encode_qraw(rgb))
+
+        hashes = [phash64(roundtrip(r)) for r in range(n)]
+        groups = {}
+        for r, h in enumerate(hashes):
+            groups.setdefault(h, []).append(r)
+        keep = {h: min(m) for h, m in groups.items()}
+        exp = {
+            h: (keep[h], len(m)) for h, m in groups.items()
+        }
+        assert {
+            (p, k, c) for p, k, c in
+            zip(got["phash"], got["keep_img"], got["n_members"])
+        } == {(h, k, c) for h, (k, c) in exp.items()}
+
+        # cluster links: union-find over rep pairs
+        reps = sorted(groups, key=lambda h: keep[h])
+        parent = list(range(len(reps)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                if bin((reps[i] ^ reps[j]) & ((1 << 64) - 1)).count("1") <= 4:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        exp_cluster = {
+            reps[i]: keep[reps[find(i)]] for i in range(len(reps))
+        }
+        assert {
+            (p, c) for p, c in zip(got["phash"], got["cluster"])
+        } == set(exp_cluster.items())
+        # the gradient corpus really does collapse: far fewer signatures
+        # than images, and clusters merge signatures further
+        assert len(got) < n / 3
+        assert got["cluster"].nunique() <= len(got)
+        assert got["n_members"].sum() == n

@@ -150,6 +150,19 @@ class TestLoadStyle:
         assert len(sd.rules("points").rules) == 1
         assert len(sd.finalize_rules("lines").rules) == 1
 
+    def test_used_tags(self, tmp_path):
+        root = write_style(
+            tmp_path,
+            "s",
+            {
+                "version": "1",
+                "options": "extra-used-tags = foo, bar\n",
+                "lines": "if (k=1) then\na=1 {set b='${c}'} [0x1]\nend\n",
+            },
+        )
+        sd = load_style(root)
+        assert sd.used_tags() == {"k", "a", "b", "c", "foo", "bar"}
+
     def test_no_version_raises(self, tmp_path):
         root = write_style(tmp_path, "s", {"lines": "a=1 [0x1]\n"})
         with pytest.raises(FileNotFoundError, match="version"):
