@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "style_file": Q.q_style_file,
         "image_phash_dedup": Q.q_image_phash_dedup,
         "mdr20_streets": Q.q_mdr20_streets,
+        "audio_features": Q.q_audio_features,
+        "video_frames": Q.q_video_frames,
+        "unused_filter": Q.q_unused_filter,
         # graduated to SQL this round — need driver rows with the oracle
         "dedup_minhash": Q.q_dedup_minhash,
         "dedup_simhash": Q.q_dedup_simhash,
@@ -1116,6 +1119,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": _minhash_sig_sql(),
         "simhash_sig": _simhash_sig_sql(),
+        "unused_filter": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+              CAST(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                   WHEN (o_orderkey*13) % 2000 BETWEEN 500 AND 1500
+                        AND (o_orderkey*29) % 2000 BETWEEN 500 AND 1500
+                       THEN 1
+                   WHEN o_orderkey % 11 = 0 THEN 1
+                   ELSE 0 END AS BIGINT) AS keep_node,
+              CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0
+                   WHEN (o_orderkey*17) % 2000 BETWEEN 500 AND 1500
+                        AND (o_orderkey*23) % 2000 <= 1500
+                        AND (o_orderkey*23) % 2000
+                            + 100 + o_orderkey % 300 >= 500
+                       THEN 1
+                   ELSE 0 END AS BIGINT) AS keep_way
+            FROM orders ORDER BY o_orderkey
+        """,
+        "audio_features": """
+            WITH r AS (SELECT unnest(range(0, 2000)) AS aid),
+            s AS (SELECT aid, t.j, ((aid*31 + t.j*17) % 201) - 100 AS v
+                  FROM r, LATERAL unnest(range(0, 1024)) t(j)),
+            w AS (SELECT aid, j // 256 AS win, j % 256 AS pos, v,
+                         lead(v) OVER (PARTITION BY aid ORDER BY j) AS nxt
+                  FROM s)
+            SELECT CAST(aid AS BIGINT) AS audio_id,
+                   CAST(win AS BIGINT) AS win,
+                   CAST(sum(v*v) AS BIGINT) AS energy,
+                   CAST(count(*) FILTER (WHERE pos < 255 AND v * nxt < 0)
+                        AS BIGINT) AS n_zc,
+                   CAST(max(abs(v)) AS BIGINT) AS peak
+            FROM w GROUP BY aid, win ORDER BY audio_id, win
+        """,
+        "video_frames": """
+            WITH r AS (SELECT unnest(range(0, 1500)) AS vid),
+            f AS (SELECT vid, unnest(range(0, 4 + vid % 5)) AS frame FROM r)
+            SELECT CAST(vid AS BIGINT) AS video_id,
+                   CAST(frame AS BIGINT) AS frame,
+                   CAST((((vid*7 + frame*13) % 256) // 8) * 8 + 4
+                        AS BIGINT) AS mean_val
+            FROM f WHERE frame % 2 = 0 ORDER BY video_id, frame
+        """,
         "mdr20_streets": """
             WITH base AS (
               SELECT DISTINCT

@@ -748,6 +748,79 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_pairs(ds, min_ppm=500_000)
 
 
+def q_unused_filter(sf_dir: str):
+    """``UnusedElementsRemoverHook``: tagless elements dropped, nodes
+    outside the tile bbox dropped unless POI-placement-tagged, ways kept
+    iff an endpoint is inside / the segment intersects / the way bbox
+    covers the tile. Axis-aligned fixture segments keep the oracle exact
+    (Liang-Barsky reduces to interval overlap)."""
+    from ..stages.hooks import unused_nodes_mask, unused_ways_mask
+
+    BBOX = (500, 500, 1500, 1500)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        keep_node = unused_nodes_mask(
+            k % 7 != 0, (k * 13) % 2000, (k * 29) % 2000, BBOX,
+            poi_tag_present=(k % 11 == 0),
+        )
+        horiz = k % 2 == 0
+        a = (k * 17) % 2000
+        b = (k * 23) % 2000
+        ln = 100 + (k % 300)
+        lat0 = np.where(horiz, a, b)
+        lon0 = np.where(horiz, b, a)
+        lat1 = np.where(horiz, a, b + ln)
+        lon1 = np.where(horiz, b + ln, a)
+        keep_way = unused_ways_mask(
+            k % 5 != 0, lat0, lon0, lat1, lon1, BBOX
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "keep_node": pa.array(keep_node.astype(np.int64),
+                                      pa.int64()),
+                "keep_way": pa.array(keep_way.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_audio_features(sf_dir: str):
+    """Audio feature extraction over a binary PCM column: decode →
+    per-window integer energy / zero-crossings / peak (actor stage; the
+    closed-form signal makes the features SQL-exact while the decode path
+    stays real bytes → codec → numpy)."""
+    from ..stages.media import audio_dataset, audio_features
+
+    out = audio_features(audio_dataset(2000)).to_pandas()
+    return (
+        out.sort_values(["audio_id", "win"]).reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling over a length-prefixed frame container:
+    seek past unsampled frames (no decode), decode every 2nd frame via
+    the real qraw codec, emit integer frame means (SQL-exact thanks to
+    the closed-form solid frames)."""
+    from ..stages.media import frame_sample, video_dataset
+
+    out = frame_sample(video_dataset(1500), k=2).to_pandas()
+    return (
+        out.sort_values(["video_id", "frame"]).reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def q_image_phash_dedup(sf_dir: str):
     """Image near-dup dedup: decode → perceptual hash → exact-signature
     groups → near-dup linking of group representatives (rows-only; pixel

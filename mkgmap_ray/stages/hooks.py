@@ -199,3 +199,55 @@ class ResidentialTagger:
             res[(df["landuse"] == "residential").to_numpy()] = None
         df["mkgmap:residential"] = res
         return df
+
+
+# --- UnusedElementsRemoverHook ------------------------------------------------
+
+
+def unused_nodes_mask(has_tags, lat, lon, bbox, poi_tag_present=None):
+    """``UnusedElementsRemoverHook.end`` node pass
+    (``reader/osm/UnusedElementsRemoverHook.java:63-97``): drop tagless
+    nodes; drop out-of-bbox nodes unless they carry a POI-placement tag
+    (those may anchor an area-to-POI later). ``bbox`` = (min_lat,
+    min_lon, max_lat, max_lon), containment inclusive."""
+    lat = np.asarray(lat, np.int64)
+    lon = np.asarray(lon, np.int64)
+    inb = (
+        (lat >= bbox[0]) & (lat <= bbox[2])
+        & (lon >= bbox[1]) & (lon <= bbox[3])
+    )
+    keep = np.asarray(has_tags, bool) & inb
+    if poi_tag_present is not None:
+        keep |= np.asarray(has_tags, bool) & np.asarray(poi_tag_present, bool)
+    return keep
+
+
+def unused_ways_mask(has_tags, lat0, lon0, lat1, lon1, bbox):
+    """``UnusedElementsRemoverHook.end`` way pass (java:100-154) for
+    segment rows: drop tagless ways; keep a way iff an endpoint lies in
+    the bbox, the segment INTERSECTS the bbox (the same Liang-Barsky
+    kernel the clip stage uses), or the way's own bbox CONTAINS the tile
+    bbox (the generate-sea=polygon case). Multi-point ways pass one row
+    per segment; OR the masks per way id upstream."""
+    from ..geom.clip import clip_segments_np
+
+    lat0 = np.asarray(lat0, np.int64)
+    lon0 = np.asarray(lon0, np.int64)
+    lat1 = np.asarray(lat1, np.int64)
+    lon1 = np.asarray(lon1, np.int64)
+    in0 = (
+        (lat0 >= bbox[0]) & (lat0 <= bbox[2])
+        & (lon0 >= bbox[1]) & (lon0 <= bbox[3])
+    )
+    in1 = (
+        (lat1 >= bbox[0]) & (lat1 <= bbox[2])
+        & (lon1 >= bbox[1]) & (lon1 <= bbox[3])
+    )
+    hit, *_ = clip_segments_np(lon0, lat0, lon1, lat1, bbox)
+    wb_contains = (
+        (np.minimum(lat0, lat1) <= bbox[0])
+        & (np.maximum(lat0, lat1) >= bbox[2])
+        & (np.minimum(lon0, lon1) <= bbox[1])
+        & (np.maximum(lon0, lon1) >= bbox[3])
+    )
+    return np.asarray(has_tags, bool) & (in0 | in1 | hit | wb_contains)
