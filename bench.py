@@ -168,6 +168,7 @@ def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
 
     _warmup(num_cpus)
     out_dir = tempfile.mkdtemp(prefix="bench_tiles_", dir="/tmp")
+    phases = os.environ.get("MKGMAP_BENCH_PHASES")
     t0 = time.perf_counter()
     ds = features_dataset(sf_dir, repeat=repeat)
     # derivation is `repeat` features per source row: count from metadata
@@ -176,17 +177,28 @@ def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
         for t in ("events", "lineitem", "orders")
     )
     assigned, meta, tree = build_tiles(ds, shift=0, clip=True)
+    if phases:
+        print(f"[phase] build_tiles {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        t_w = time.perf_counter()
     # the benched pipeline IS the writing pipeline: partitioned tile
     # output + manifest, summary derived from the written files
     wstats = write_tiles(assigned, meta, tree, out_dir, resume=False)
+    if phases:
+        print(f"[phase] write_tiles {time.perf_counter()-t_w:.1f}s",
+              file=sys.stderr)
     summary = wstats["summary"]
     n_out = (
         sum(summary["n_points"].to_pylist())
         + sum(summary["n_lines"].to_pylist())
         + sum(summary["n_shapes"].to_pylist())
     )
+    if phases:
+        t_p = time.perf_counter()
     pip = Q.q_pip_regions(sf_dir)
     n_pip = len(pip)
+    if phases:
+        print(f"[phase] pip {time.perf_counter()-t_p:.1f}s", file=sys.stderr)
     sec = time.perf_counter() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
     total = n_features + n_pip

@@ -36,8 +36,14 @@ def build_tiles(
     tree = build_split_tree(narrow_stats(features_ds), shift, limits, bounds)
     assigned, meta = assign_cells(features_ds, tree)
     if clip:
+        # bounded batches: clip intermediates (per-part coordinate lists)
+        # are several times the input width — whole-block batches pay the
+        # slow-first-touch cost documented in BASELINE.md
+        import os as _os
+
         assigned = assigned.map_batches(
-            ClipToCell(cell_bounds_hp(tree)), batch_format="pyarrow", batch_size=None
+            ClipToCell(cell_bounds_hp(tree)), batch_format="pyarrow",
+            batch_size=int(_os.environ.get("MKGMAP_ASSIGN_BATCH", 500_000)),
         )
     return assigned, meta, tree
 

@@ -336,3 +336,69 @@ def normalize_tag_values(table: pa.Table) -> pa.Table:
         table.column_names.index("tag_vals"), "tag_vals",
         pa.ListArray.from_arrays(arr.offsets, flat),
     )
+
+
+def keep_tags_filter(table: pa.Table, used_tags=None, deleted_tags=None,
+                     remove_fixme: bool = True) -> pa.Table:
+    """Full ``OsmHandler.keepTag`` ingest filter
+    (``reader/osm/OsmHandler.java:92-125``): drop tags named by the
+    delete-tags-file (a key with an empty value-set deletes ALL its
+    values, otherwise only the listed values), project to the style's
+    used-tags set, and drop values matching ``(?i)fix[ _]?me`` unless the
+    KEY itself is fixme/FIXME. Vectorized over the flattened key/value
+    columns; list offsets rebuilt from the keep mask."""
+    import pyarrow.compute as pc
+
+    if "tag_keys" not in table.column_names:
+        return table
+    keys_arr = table["tag_keys"].combine_chunks()
+    vals_arr = table["tag_vals"].combine_chunks()
+    keys = keys_arr.flatten()
+    vals = vals_arr.flatten()
+    if pa.types.is_dictionary(keys.type):
+        keys = keys.cast(pa.string())
+    if pa.types.is_dictionary(vals.type):
+        vals = vals.cast(pa.string())
+    keep = np.ones(len(keys), dtype=bool)
+    if deleted_tags:
+        all_vals = [k for k, vs in deleted_tags.items() if not vs]
+        if all_vals:
+            keep &= ~np.asarray(
+                pc.is_in(keys, value_set=pa.array(all_vals)), bool
+            )
+        pair_list = [
+            f"{k}\x00{v}" for k, vs in deleted_tags.items() for v in vs
+        ]
+        if pair_list:
+            pairs = pc.binary_join_element_wise(keys, vals, "\x00")
+            keep &= ~np.asarray(
+                pc.is_in(pairs, value_set=pa.array(pair_list)), bool
+            )
+    if used_tags:
+        keep &= np.asarray(
+            pc.is_in(keys, value_set=pa.array(sorted(used_tags))), bool
+        )
+    if remove_fixme:
+        is_fixme_val = np.asarray(
+            pc.match_substring_regex(vals, r"^(?i)fix[ _]?me$"), bool
+        ) & (np.asarray(pc.utf8_length(vals), np.int64) >= 5)
+        fixme_key = np.asarray(
+            pc.is_in(keys, value_set=pa.array(["fixme", "FIXME"])), bool
+        )
+        keep &= ~(is_fixme_val & ~fixme_key)
+    if keep.all():
+        return table
+    n_rows = len(keys_arr)
+    offs = np.asarray(keys_arr.offsets, np.int64)
+    row_of = np.repeat(np.arange(n_rows), np.diff(offs))
+    new_counts = np.bincount(row_of[keep], minlength=n_rows)
+    new_offs = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32)
+    idx = pa.array(np.nonzero(keep)[0], pa.int64())
+    out = table.set_column(
+        table.column_names.index("tag_keys"), "tag_keys",
+        pa.ListArray.from_arrays(pa.array(new_offs), keys.take(idx)),
+    )
+    return out.set_column(
+        out.column_names.index("tag_vals"), "tag_vals",
+        pa.ListArray.from_arrays(pa.array(new_offs), vals.take(idx)),
+    )

@@ -207,9 +207,22 @@ def build_split_tree(
     ``2^levels_per_round × active leaves`` — bounded by the output tile
     count, not the feature count, so this holds at 10^12 features.
     """
+    trace = os.environ.get("MKGMAP_BENCH_PHASES")
+    if trace:
+        import sys
+        import time as _t
+
+        _tp = _t.perf_counter()
     narrow_ds = prepare_narrow(narrow_ds)
+    if trace:
+        print(f"[narrow] prepare {_t.perf_counter()-_tp:.1f}s",
+              file=sys.stderr, flush=True)
+        _tp = _t.perf_counter()
     if bounds is None:
         bounds = compute_bounds(narrow_ds)
+    if trace:
+        print(f"[narrow] bounds {_t.perf_counter()-_tp:.1f}s",
+              file=sys.stderr, flush=True)
     tree = SplitTree.root(bounds, shift)
     tree.split_max_size(limits.max_division_size)
     n_initial = tree.n_nodes()
@@ -313,10 +326,16 @@ def refine_tree(
     min_dim = limits.min_dimension
     t_shift = tree.shift
     active: list[int] = tree.leaves()
+    trace = os.environ.get("MKGMAP_BENCH_PHASES")
 
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         if not active:
             break
+        if trace:
+            import sys
+            import time as _t
+
+            _t0 = _t.perf_counter()
         packed = tree.pack()
         is_active = np.zeros(tree.n_nodes(), dtype=bool)
         is_active[active] = True
@@ -372,12 +391,21 @@ def refine_tree(
         acc: dict[str, list] = {
             c: [] for c in ("key", "leaf", "lat_r", "lon_r", *STAT_COLS)
         }
+        # bounded scan batches: a whole 10M-row block as ONE batch makes
+        # every round first-touch ~2-3 GB of fresh numpy intermediates per
+        # task (this box faults anon pages slowly — see BASELINE.md);
+        # streaming fixed-size batches lets the allocator REUSE pages
+        # across batches. Cell partials stay bounded: cells-per-batch ≤
+        # min(batch rows, 2^levels × active leaves).
+        scan_rows = int(os.environ.get("MKGMAP_REFINE_BATCH", 2_000_000))
         parts_ds = narrow_ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
+            partial, batch_format="pyarrow", batch_size=scan_rows
         )
         for b in parts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             for c in acc:
                 acc[c].append(np.asarray(b[c].combine_chunks(), np.int64))
+        if trace:
+            _t1 = _t.perf_counter()
         if not acc["key"] or sum(len(a) for a in acc["key"]) == 0:
             break
         key = np.concatenate(acc["key"])
@@ -433,6 +461,14 @@ def refine_tree(
         for s, e in zip(starts, ends):
             leaf = int(sorted_leaf[s])
             recurse(leaf, order[s:e], levels)
+        if trace:
+            print(
+                f"[round {round_no}] scan {_t1-_t0:.1f}s driver "
+                f"{_t.perf_counter()-_t1:.1f}s cells {len(key)} "
+                f"active {len(active)}->{len(new_active)} "
+                f"nodes {tree.n_nodes()}",
+                file=sys.stderr, flush=True,
+            )
         active = new_active
 
 
@@ -519,8 +555,12 @@ def assign_cells(features_ds, tree: SplitTree):
     leaves = tree.leaves()
     leaf_rank = {n: i for i, n in enumerate(leaves)}
     packed = tree.pack()
+    # bounded batches for the same reason as the refinement scan: feature
+    # rows carry coordinate lists, so whole-block batches first-touch GBs
+    # of intermediates per task on this box (see BASELINE.md)
     ds = features_ds.map_batches(
-        CellAssigner(packed, leaf_rank), batch_format="pyarrow", batch_size=None
+        CellAssigner(packed, leaf_rank), batch_format="pyarrow",
+        batch_size=int(os.environ.get("MKGMAP_ASSIGN_BATCH", 500_000)),
     )
     meta = pa.table(
         {

@@ -251,3 +251,22 @@ def unused_ways_mask(has_tags, lat0, lon0, lat1, lon1, bbox):
         & (np.maximum(lon0, lon1) >= bbox[3])
     )
     return np.asarray(has_tags, bool) & (in0 | in1 | hit | wb_contains)
+
+
+# ``RoutingHook`` (``reader/osm/RoutingHook.java:30-49``) contributes only
+# its used-tag set to the ingest projection — the restriction tags must
+# survive ``keep_tags_filter`` even when no style rule reads them, because
+# the restriction join consumes them later.
+ROUTING_HOOK_USED_TAGS = frozenset(
+    {
+        "except",
+        "restriction",
+        "restriction:foot",
+        "restriction:hgv",
+        "restriction:motorcar",
+        "restriction:vehicle",
+        "restriction:motor_vehicle",
+        "restriction:bicycle",
+        "restriction:bus",
+    }
+)

@@ -271,3 +271,65 @@ class TestLabel6:
         from mkgmap_ray.stages.labelenc import decode6, encode6
 
         assert decode6(encode6("ABéC")) in ("ABC", "ABEC")
+
+
+class TestKeepTagsFilter:
+    def make(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "tag_keys": pa.array(
+                    [["highway", "note", "created_by", "fixme", "surface"],
+                     ["name", "todo"]],
+                    pa.list_(pa.string()),
+                ),
+                "tag_vals": pa.array(
+                    [["residential", "fix me", "JOSM", "continue here",
+                      "FIXME"],
+                     ["Main St", "fix_me"]],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    def test_delete_pairs_fixme_and_projection(self):
+        from mkgmap_ray.sources.osmxml import keep_tags_filter
+
+        out = keep_tags_filter(
+            self.make(),
+            deleted_tags={"created_by": set(), "note": {"fix me"}},
+        )
+        # created_by: all values deleted; note: only the listed value;
+        # fixme KEY keeps its value; surface=FIXME dropped by the value
+        # pattern; todo=fix_me dropped ((?i)fix[ _]?me)
+        assert out["tag_keys"].to_pylist() == [["highway", "fixme"], ["name"]]
+        assert out["tag_vals"].to_pylist() == [
+            ["residential", "continue here"], ["Main St"]
+        ]
+
+    def test_used_tags_projection(self):
+        from mkgmap_ray.sources.osmxml import keep_tags_filter
+
+        out = keep_tags_filter(
+            self.make(), used_tags={"highway", "name"}, remove_fixme=False
+        )
+        assert out["tag_keys"].to_pylist() == [["highway"], ["name"]]
+
+    def test_short_fixme_value_kept(self):
+        import pyarrow as pa
+
+        from mkgmap_ray.sources.osmxml import keep_tags_filter
+
+        t = pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "tag_keys": pa.array([["a"]], pa.list_(pa.string())),
+                "tag_vals": pa.array([["fixm"]], pa.list_(pa.string())),
+            }
+        )
+        # val.length() >= 5 guard: 4-char value survives even though the
+        # pattern would not match anyway
+        out = keep_tags_filter(t)
+        assert out["tag_vals"].to_pylist() == [["fixm"]]
