@@ -10,6 +10,8 @@ the per-tile parquet + ``_done`` marker are the ``.img`` + TDB analogue.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -247,6 +249,24 @@ def write_tiles(
         to_write = assigned_ds
 
     stat_ops = {"n_points": "sum", "n_lines": "sum", "n_shapes": "sum"}
+    # the sort is the pipeline's one all-to-all: every byte dropped here
+    # is moved twice less. `cell` duplicates tile_id (meta maps tiles →
+    # cells); the writer and all tile readers only use tile_id. A
+    # per-batch projection (not Dataset.schema()) keeps the plan lazy.
+    def _drop_cell(batch: pa.Table) -> pa.Table:
+        if "cell" in batch.column_names:
+            return batch.drop_columns(["cell"])
+        return batch
+
+    to_write = to_write.map_batches(
+        _drop_cell, batch_format="pyarrow", batch_size=None
+    )
+    # push-based shuffle pipelines the sort's map and reduce halves —
+    # the plain sort barrier left the 8-cpu leg at ~50% CPU utilization
+    # (write phase 151 s → 114 s at repeat=96; see BASELINE.md round 3)
+    from ray.data import DataContext
+
+    DataContext.get_current().use_push_based_shuffle = True
     parts = to_write.sort("tile_id").map_batches(
         BlockTileWriter(out_dir, count_kind_stats, stat_ops),
         batch_format="pyarrow", batch_size=None,
@@ -257,6 +277,10 @@ def write_tiles(
         parts.iter_batches(batch_size=None, batch_format="pyarrow"),
         stat_ops,
     )
+    if os.environ.get("MKGMAP_BENCH_PHASES"):
+        import sys
+
+        print(parts.stats(), file=sys.stderr, flush=True)
     return {
         "n_tiles": meta.num_rows,
         "written_tiles": len(summary),
