@@ -398,8 +398,38 @@ def refine_tree(
         # across batches. Cell partials stay bounded: cells-per-batch ≤
         # min(batch rows, 2^levels × active leaves).
         scan_rows = int(os.environ.get("MKGMAP_REFINE_BATCH", 2_000_000))
+
+        def merge_partials(batch: pa.Table) -> pa.Table:
+            # second-level combine: bounded scan batches each emit their
+            # own per-cell partials, so late rounds stream tens of
+            # millions of partial rows; re-uniquing 8M-row slices here
+            # keeps the DRIVER combine bounded by cells × surviving
+            # slices instead of cells × scan batches
+            k = np.asarray(batch["key"].combine_chunks(), np.int64)
+            uniq, first, inv = np.unique(
+                k, return_index=True, return_inverse=True
+            )
+            if len(uniq) == len(k):
+                return batch
+            out = {"key": pa.array(uniq, pa.int64())}
+            for c in ("leaf", "lat_r", "lon_r"):
+                out[c] = pa.array(
+                    np.asarray(batch[c].combine_chunks(), np.int64)[first],
+                    pa.int64(),
+                )
+            for c in STAT_COLS:
+                vals = np.asarray(batch[c].combine_chunks(), np.int64)
+                out[c] = pa.array(
+                    np.bincount(inv, weights=vals, minlength=len(uniq))
+                    .astype(np.int64),
+                    pa.int64(),
+                )
+            return pa.table(out)
+
         parts_ds = narrow_ds.map_batches(
             partial, batch_format="pyarrow", batch_size=scan_rows
+        ).map_batches(
+            merge_partials, batch_format="pyarrow", batch_size=8_000_000
         )
         for b in parts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             for c in acc:
