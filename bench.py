@@ -314,7 +314,25 @@ def main() -> None:
         out = run_full(
             args.sf_dir, args.cpus, args.headline_only, repeat=args.repeat
         )
-    print(json.dumps(out))
+    # The driver captures only the tail of stdout; the per-query dict (80+
+    # entries) outgrew it in round 3 (BENCH_r03 parsed=null). Full record
+    # goes to a file; the FINAL stdout line stays compact and parseable.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    compact = dict(out)
+    q = compact.get("queries") or {}
+    if q:
+        compact["queries"] = {}
+        compact["n_queries"] = len(q)
+        compact["queries_sum_sec"] = round(sum(q.values()), 1)
+        compact["queries_slowest"] = max(q, key=q.get)
+        compact["queries_file"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -72,6 +72,13 @@ def dem_layout(
     top = np.asarray(top, np.int64)
     left = np.asarray(left, np.int64)
     dist = np.asarray(dist, np.int64)
+    if len(top) == 0:
+        z = np.empty(0, np.int64)
+        return {
+            "section_of": z, "row": z, "col": z, "width": z, "height": z,
+            "lat_off": z, "lon_off": z, "tiles_lat": z, "tiles_lon": z,
+            "nonstd_height": z, "nonstd_width": z,
+        }
     tiles_lat, nonstd_h = dem_tile_info(area_height, dist)
     tiles_lon, nonstd_w = dem_tile_info(area_width, dist)
     n_tiles = tiles_lat * tiles_lon
@@ -108,6 +115,13 @@ def dem_tile_stats(
     h = layout["height"]
     sec = layout["section_of"]
     dist = np.asarray(dist, np.int64)
+    if len(w) == 0:
+        z = np.empty(0, np.int64)
+        return {
+            "base_height": z, "max_delta": z, "enc_type": z,
+            "has_data": np.empty(0, bool), "n_void": z,
+            "max_height": z, "n_points": z,
+        }
     npts = w * h
     p0 = np.concatenate(([0], np.cumsum(npts)[:-1]))
     tile_of = np.repeat(np.arange(len(w), dtype=np.int64), npts)

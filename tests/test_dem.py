@@ -165,3 +165,15 @@ def test_all_void_tile():
     assert stats["base_height"][0] == 0 and stats["max_delta"][0] == 0
     assert recs["min_height"][0] == 0 and recs["max_height"][0] == 0
     assert recs["delta_size"][0] == 1 and recs["base_size"][0] == 1
+
+
+def test_empty_input_safe():
+    # CORRECTNESS_r03: a block whose key filter leaves no sections must
+    # produce typed empty outputs, not crash in np.repeat/reduceat.
+    z = np.empty(0, np.int64)
+    layout = dem_layout(z, z, z, z, z)
+    assert len(layout["section_of"]) == 0
+    stats = dem_tile_stats(layout, z, lambda la, lo: (la, la > 0))
+    assert len(stats["base_height"]) == 0
+    recs = dem_section_records(layout, stats, 0)
+    assert len(recs["min_height"]) == 0
