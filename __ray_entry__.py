@@ -36,6 +36,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     long-stable hash-exact evergreens rotate to the tail (round-2 VERDICT
     finding 1)."""
     return {
+        # --- new in round 4 ---
+        "phash_cluster": Q.q_phash_cluster,
+        "mdr9_groups": Q.q_mdr9_groups,
+        "mdr1_reverse": Q.q_mdr1_reverse,
+        "house_repair": Q.q_house_repair,
+        "sea_gaps": Q.q_sea_gaps,
+        "label_cp932": Q.q_label_cp932,
         # --- never driver-verified (shipped round 2 past the 50-cap) ---
         "routing_graph": Q.q_routing_graph,
         "locator_normalize": Q.q_locator_normalize,
@@ -445,11 +452,279 @@ def _ann_exact_topk_sql() -> str:
         """
 
 
+_MDR_POI_SQL = """
+  SELECT k, name, map_index, full_type,
+         CASE WHEN full_type <= 15 THEN 1
+              WHEN typ BETWEEN 42 AND 48 THEN typ - 40
+              WHEN typ = 40 THEN 9
+              WHEN typ BETWEEN 100 AND 102 THEN typ - 89
+              ELSE 0 END AS grp,
+         row_number() OVER (ORDER BY name, map_index, k) AS mdr11_rec
+  FROM (
+    SELECT *, CASE WHEN (full_type & 1048320) > 0
+                   THEN (full_type >> 8) & 4095
+                   ELSE full_type & 255 END AS typ
+    FROM (
+      SELECT o_orderkey AS k,
+             printf('P%03d', (o_orderkey * 11) % 300) AS name,
+             o_orderkey % 32 AS map_index,
+             CASE o_orderkey % 6
+               WHEN 0 THEN 4
+               WHEN 1 THEN 10752 + o_orderkey % 3
+               WHEN 2 THEN 11520
+               WHEN 3 THEN 10240
+               WHEN 4 THEN 25600
+               ELSE 11008 END AS full_type
+      FROM orders
+    ) t0
+  ) t1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     pip_parts = " UNION ALL ".join(
         _pip_region_sql(rid, pts) for rid, pts in Q.PIP_REGIONS
     )
     return {
+        "phash_cluster": """
+            WITH RECURSIVE src AS (
+              SELECT o_orderkey AS img_num, o_orderkey // 3 AS j
+              FROM orders
+            ), hv AS (
+              SELECT img_num, j,
+                     ((j % 37 + 1)::HUGEINT * 2862933555777941757::HUGEINT)
+                       % 18446744073709551616::HUGEINT AS uv
+              FROM src
+            ), based AS (
+              SELECT img_num, j,
+                     CAST(CASE WHEN uv >= 9223372036854775808::HUGEINT
+                               THEN uv - 18446744073709551616::HUGEINT
+                               ELSE uv END AS BIGINT) AS b
+              FROM hv
+            ), hashed AS (
+              SELECT img_num,
+                xor(b, xor(xor(xor(
+                  CASE WHEN j % 5 > 0 THEN CAST(1 AS BIGINT)
+                       << CAST((j * 3) % 63 AS INTEGER) ELSE 0 END,
+                  CASE WHEN j % 5 > 1 THEN CAST(1 AS BIGINT)
+                       << CAST((j * 5) % 63 AS INTEGER) ELSE 0 END),
+                  CASE WHEN j % 5 > 2 THEN CAST(1 AS BIGINT)
+                       << CAST((j * 7) % 63 AS INTEGER) ELSE 0 END),
+                  CASE WHEN j % 5 > 3 THEN CAST(1 AS BIGINT)
+                       << CAST((j * 9) % 63 AS INTEGER) ELSE 0 END)) AS phash
+              FROM based
+            ), reps AS (
+              SELECT phash, min(img_num) AS keep_img,
+                     CAST(count(*) AS BIGINT) AS n_members
+              FROM hashed GROUP BY phash
+            ), edges AS (
+              SELECT r1.keep_img AS a, r2.keep_img AS b
+              FROM reps r1 JOIN reps r2
+                ON r1.keep_img <> r2.keep_img
+               AND bit_count(xor(r1.phash, r2.phash)) <= 4
+            ), reach(a, b) AS (
+              SELECT keep_img, keep_img FROM reps
+              UNION
+              SELECT reach.a, edges.b FROM reach JOIN edges
+                ON edges.a = reach.b
+            )
+            SELECT r.phash, r.keep_img, r.n_members, c.cluster
+            FROM reps r
+            JOIN (SELECT a AS keep_img, min(b) AS cluster
+                  FROM reach GROUP BY a) c USING (keep_img)
+            ORDER BY keep_img
+        """,
+        "label_cp932": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 0 THEN 7 ELSE 6 END
+                     AS n_bytes,
+                   467 + o_orderkey % 50 + (o_orderkey * 7) % 50
+                   + CASE WHEN o_orderkey % 4 = 0 THEN 101 ELSE 0 END
+                     AS byte_sum
+            FROM orders ORDER BY o_orderkey
+        """,
+        "sea_gaps": """
+            SELECT o_orderkey,
+              CASE o_orderkey % 3 WHEN 1 THEN 2 ELSE 1 END AS n_chains,
+              CASE o_orderkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 END
+                AS n_bridges,
+              CASE o_orderkey % 3 WHEN 2 THEN 7 ELSE 5 END AS sum_pts,
+              CASE o_orderkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 0 ELSE 5 END
+                AS bridge_len
+            FROM orders WHERE o_orderkey % 11 = 3
+            ORDER BY o_orderkey
+        """,
+        "wrong_angle": """
+            SELECT o_orderkey,
+                   6 + o_orderkey % 4 AS n_points,
+                   (6 + o_orderkey % 4) * (o_orderkey % 3)
+                   + 3 * (6 + o_orderkey % 4) * (5 + o_orderkey % 4) // 2
+                     AS coord_sum
+            FROM orders WHERE o_orderkey % 16 = 7
+            ORDER BY o_orderkey
+        """,
+        "house_repair": """
+            WITH src AS (
+              SELECT o_orderkey AS k, o_orderkey // 37 AS h
+              FROM orders WHERE o_orderkey % 37 = 0
+            ), seq AS (
+              SELECT k, h // 12 AS road, h % 12 AS j, (h // 12) % 3 AS v
+              FROM src
+            ), hs AS (
+              SELECT k AS house, road,
+                CASE WHEN v = 1 AND j >= 6 THEN 1 ELSE -1 END AS side,
+                CASE WHEN v = 0 THEN 2*j + 1
+                     WHEN v = 1 AND j < 6 THEN 10 + j
+                     WHEN v = 1 THEN 8 + j
+                     WHEN j < 6 THEN j + 1
+                     ELSE 200000 + j END AS num,
+                CASE WHEN v = 1 AND j >= 6 THEN 500 + j*10
+                     WHEN v = 2 AND j >= 6 THEN 700 + j*10
+                     ELSE j*10 END AS pos
+              FROM seq
+            ), iv0 AS (
+              SELECT road, side, min(num) AS lo, max(num) AS hi,
+                     max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END) AS he,
+                     max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END) AS ho
+              FROM hs GROUP BY road, side
+            ), ivs AS (
+              SELECT *, CASE WHEN he = 1 AND ho = 1 THEN 3
+                             WHEN he = 1 THEN 2 ELSE 1 END AS style
+              FROM iv0
+            ), roadbad AS (
+              SELECT road,
+                max(CASE WHEN hi - lo > 131071
+                          OR (style = 2 AND (lo % 2 != 0 OR hi % 2 != 0))
+                          OR (style = 1 AND (lo % 2 = 0 OR hi % 2 = 0))
+                     THEN 1 ELSE 0 END) AS sb,
+                count(*) AS n_sides,
+                first(lo ORDER BY side) AS lo1, first(hi ORDER BY side) AS hi1,
+                last(lo ORDER BY side) AS lo2, last(hi ORDER BY side) AS hi2,
+                first(style ORDER BY side) AS s1,
+                last(style ORDER BY side) AS s2
+              FROM ivs GROUP BY road
+            ), bad AS (
+              SELECT road FROM roadbad
+              WHERE sb = 1 OR (n_sides >= 2
+                AND (s1 = s2 OR s1 = 3 OR s2 = 3)
+                AND NOT (lo2 > hi1 OR hi2 < lo1)
+                AND NOT (lo1 = hi1 AND lo2 = hi2 AND lo1 = lo2))
+            ), gaps AS (
+              SELECT hs.road, pos, house,
+                     pos - lag(pos) OVER
+                       (PARTITION BY hs.road ORDER BY pos, house) AS gap
+              FROM hs JOIN bad USING (road)
+            ), split AS (
+              SELECT road, pos FROM (
+                SELECT road, pos, gap,
+                       row_number() OVER (PARTITION BY road
+                         ORDER BY gap DESC NULLS LAST, pos, house) AS rn
+                FROM gaps
+              ) WHERE rn = 1 AND gap > 0
+            ), parts AS (
+              SELECT hs.*, CASE WHEN s.pos IS NOT NULL AND hs.pos >= s.pos
+                                THEN 1 ELSE 0 END AS part
+              FROM hs LEFT JOIN split s USING (road)
+            ), w AS (
+              SELECT road, part, side, num, pos, house,
+                     num - lag(num) OVER
+                       (PARTITION BY road, part, side
+                        ORDER BY pos, house) AS dstep
+              FROM parts
+            ), agg AS (
+              SELECT road, part, side,
+                     count(*) AS n,
+                     min(num) AS lo, max(num) AS hi,
+                     count(DISTINCT num) AS nd,
+                     max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END) AS has_even,
+                     max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END) AS has_odd,
+                     max(CASE WHEN dstep > 0 THEN 1 ELSE 0 END) AS inc,
+                     max(CASE WHEN dstep < 0 THEN 1 ELSE 0 END) AS dec,
+                     first(num ORDER BY pos, house) AS fn,
+                     last(num ORDER BY pos, house) AS ln
+              FROM w GROUP BY road, part, side
+            ), f AS (
+              SELECT *,
+                     CASE WHEN has_even = 1 AND has_odd = 1 THEN 3
+                          WHEN has_even = 1 THEN 2 ELSE 1 END AS style,
+                     ((fn <> hi AND fn <> lo) OR (ln <> hi AND ln <> lo))
+                       AS not_ext,
+                     (fn = ln AND hi <> lo) AS case1
+              FROM agg
+            ), g AS (
+              SELECT *,
+                     CASE WHEN case1 THEN true
+                          WHEN not_ext THEN fn <= ln
+                          ELSE fn < ln END AS increasing
+              FROM f
+            )
+            SELECT road, part, side, CAST(style AS BIGINT) AS style,
+                   CASE WHEN increasing THEN lo ELSE hi END AS start_num,
+                   CASE WHEN increasing THEN hi ELSE lo END AS end_num,
+                   n,
+                   CAST(CASE WHEN (inc = 1 AND dec = 1)
+                                  OR (NOT case1 AND not_ext)
+                             THEN 1 ELSE 0 END AS BIGINT) AS not_in_order,
+                   CAST(CASE WHEN hi > lo AND
+                             (hi - lo) // (CASE WHEN style = 3
+                                                THEN 1 ELSE 2 END) - 1 > nd - 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS has_gaps
+            FROM g ORDER BY road, part, side
+        """,
+        "mdr9_groups": f"""
+            WITH poi AS ({_MDR_POI_SQL}),
+            sub AS (
+              SELECT *, CASE WHEN grp = 1 THEN full_type
+                             WHEN full_type < 255 THEN 0
+                             ELSE full_type & 255 END AS subtype
+              FROM poi WHERE grp > 0
+            ), ordered AS (
+              SELECT *,
+                row_number() OVER (ORDER BY grp, mdr11_rec) AS mdr10_rec,
+                CASE WHEN lag(name) OVER w = name
+                      AND lag(CASE WHEN grp = 1 THEN full_type
+                                   WHEN full_type < 255 THEN 0
+                                   ELSE full_type & 255 END) OVER w
+                          = subtype
+                     THEN 0 ELSE 1 END AS is_new
+              FROM sub
+              WINDOW w AS (PARTITION BY grp ORDER BY mdr11_rec)
+            )
+            SELECT k AS o_orderkey, grp, subtype, mdr11_rec, mdr10_rec,
+                   min(mdr10_rec) OVER (PARTITION BY grp) AS grp_first,
+                   CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+                       AS grp_n,
+                   CAST(is_new AS BIGINT) AS is_new,
+                   CAST(1 + 1
+                        + CASE WHEN count(*) OVER () >= 256
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN count(*) OVER () >= 65536
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN count(*) OVER () >= 16777216
+                               THEN 1 ELSE 0 END AS BIGINT) AS item_size
+            FROM ordered
+            ORDER BY mdr10_rec
+        """,
+        "mdr1_reverse": f"""
+            WITH poi AS ({_MDR_POI_SQL}),
+            ordered AS (
+              SELECT *, row_number() OVER (ORDER BY grp, mdr11_rec)
+                        AS mdr10_rec
+              FROM poi WHERE grp > 0
+            ), per_map AS (
+              SELECT map_index,
+                     CAST(count(*) AS BIGINT) AS n_records,
+                     CAST(sum(mdr10_rec) AS BIGINT) AS rec_sum
+              FROM ordered GROUP BY map_index
+            )
+            SELECT map_index, n_records,
+                   CAST(1 + coalesce(sum(n_records) OVER (
+                       ORDER BY map_index
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS index_offset,
+                   rec_sum
+            FROM per_map ORDER BY map_index
+        """,
         "ann_ivf": _ann_exact_topk_sql(),
         "rgn_bitstream": """
             WITH pts AS (
@@ -1836,21 +2111,30 @@ def oracle_sql() -> dict[str, str]:
                      CASE o_orderkey % 2
                        WHEN 0 THEN 24 ELSE 22 END AS sum_max_res,
                      2 AS sum_nod, o_orderkey % 3 AS sum_numbers,
-                     0 AS sum_feet, 0 AS n_city
+                     0 AS sum_feet, 0 AS n_city,
+                     3000 + 2 * o_orderkey AS sum_nod_id,
+                     1 AS sum_nod_bnd,
+                     (o_orderkey % 3) * ((o_orderkey % 3) - 1) // 2
+                       AS sum_hn_node,
+                     (o_orderkey % 3) * (10 + 2 * (o_orderkey % 7))
+                       AS sum_hn_left,
+                     (o_orderkey % 3) * (10 + 2 * (o_orderkey % 5))
+                       AS sum_hn_right
               FROM orders
             ), contour AS (
               SELECT 32, 1, 0, 0, 0, 0, 0, 24, 24, 0, 0,
                      CAST(trunc((o_orderkey % 997) * 3.2808399) AS BIGINT),
-                     0
+                     0, 0, 0, 0, 0, 0
               FROM orders WHERE o_orderkey % 5 = 0
             ), poi AS (
-              SELECT 42, 1, 0, 0, 0, 0, 0, 24, 24, 0, 0, 0, 1
+              SELECT 42, 1, 0, 0, 0, 0, 0, 24, 24, 0, 0, 0, 1,
+                     0, 0, 0, 0, 0
               FROM orders WHERE o_orderkey % 3 = 0
             ), poly AS (
               SELECT 80, 1, 0, 0, 0, 0, 0,
                      CASE o_orderkey % 2 WHEN 0 THEN 24 ELSE 22 END,
                      CASE o_orderkey % 2 WHEN 0 THEN 24 ELSE 22 END,
-                     0, 0, 0, 0
+                     0, 0, 0, 0, 0, 0, 0, 0, 0
               FROM orders WHERE o_orderkey % 4 = 0
             ), u AS (
               SELECT * FROM road UNION ALL SELECT * FROM contour
@@ -1867,7 +2151,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(sum_nod)::BIGINT AS sum_nod,
                    SUM(sum_numbers)::BIGINT AS sum_numbers,
                    SUM(sum_feet)::BIGINT AS sum_feet,
-                   SUM(n_city)::BIGINT AS n_city
+                   SUM(n_city)::BIGINT AS n_city,
+                   SUM(sum_nod_id)::BIGINT AS sum_nod_id,
+                   SUM(sum_nod_bnd)::BIGINT AS sum_nod_bnd,
+                   SUM(sum_hn_node)::BIGINT AS sum_hn_node,
+                   SUM(sum_hn_left)::BIGINT AS sum_hn_left,
+                   SUM(sum_hn_right)::BIGINT AS sum_hn_right
             FROM u GROUP BY type ORDER BY type
         """,
         "value_filters": """

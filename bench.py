@@ -120,6 +120,12 @@ QUERY_NAMES = [
     "installer_ids",
     "dem_streams",
     "image_transform",
+    "phash_cluster",
+    "mdr9_groups",
+    "mdr1_reverse",
+    "house_repair",
+    "sea_gaps",
+    "label_cp932",
 ]
 
 

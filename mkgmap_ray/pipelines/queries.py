@@ -823,13 +823,67 @@ def q_video_frames(sf_dir: str):
 
 def q_image_phash_dedup(sf_dir: str):
     """Image near-dup dedup: decode → perceptual hash → exact-signature
-    groups → near-dup linking of group representatives (rows-only; pixel
-    decode has no SQL face — tests/test_imageops.py holds the brute
-    oracle)."""
+    groups → banded near-dup candidate pairs → union-find over pairs
+    (rows-only; pixel decode has no SQL face — tests/test_imageops.py
+    holds the brute oracle; ``phash_cluster`` is the SQL-exact face of
+    the same grouping/banding/clustering machinery)."""
     from ..sources.images import images_dataset
     from ..stages.imagestage import phash_dedup
 
     return phash_dedup(images_dataset(2000), max_hamming=4)
+
+
+def _phash_synth(k: np.ndarray) -> np.ndarray:
+    """Closed-form 64-bit signatures with planted exact dups (key
+    triples), near-dups (≤4 flipped bits off a per-group base) and
+    distinct noise — int64-wrap arithmetic both numpy and DuckDB HUGEINT
+    reproduce bit-exactly."""
+    j = k // 3
+    g = j % 37
+    base = (g + 1) * np.int64(2862933555777941757)  # wraps mod 2^64
+    f = j % 5
+    mask = np.zeros_like(j)
+    for i in range(4):
+        bit = np.int64(1) << ((j * (2 * i + 3)) % 63)
+        mask = np.where(f > i, mask ^ bit, mask)
+    return base ^ mask
+
+
+def q_phash_cluster(sf_dir: str):
+    """SQL-exact face of the phash dedup machinery (VERDICT r3 finding
+    3): exact-signature collapse (hash-partitioned groupby), pigeonhole
+    banding of the 64-bit hash into max_hamming+1 slices, bucketed
+    candidate pairs, union-find over PAIRS only. The DuckDB oracle
+    recomputes the signatures closed-form, finds edges with
+    ``bit_count(xor(...)) <= 4`` and clusters them with a recursive-CTE
+    transitive closure."""
+    from ..stages.imagestage import (
+        cluster_pairs,
+        phash_near_pairs,
+        phash_rep_groups,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "img_num": pa.array(k, pa.int64()),
+                "phash": pa.array(_phash_synth(k), pa.int64()),
+            }
+        )
+
+    ds = _read_split(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+    reps_ds = phash_rep_groups(ds)
+    pairs = phash_near_pairs(reps_ds, max_hamming=4).to_pandas()
+    reps = reps_ds.to_pandas().sort_values("keep_img").reset_index(drop=True)
+    reps["cluster"] = cluster_pairs(
+        reps["keep_img"].to_numpy(np.int64),
+        pairs["a"].to_numpy(np.int64),
+        pairs["b"].to_numpy(np.int64),
+    )
+    return reps[["phash", "keep_img", "n_members", "cluster"]].astype("int64")
 
 
 # --- embeddings -------------------------------------------------------------
@@ -2427,7 +2481,7 @@ def _mp_full_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
     from ..sources.polish import write_mp
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/mkgmap_ray_mpfull_{name}"
+    out = f"/tmp/mkgmap_ray_mpfull_v2_{name}"
     paths = [f"{out}/shard{s}.mp" for s in range(n_shards)]
     if os.path.exists(f"{out}/_done"):
         return paths
@@ -2450,7 +2504,11 @@ def _mp_full_fixture_dir(sf_dir: str, n_shards: int = 8) -> list[str]:
                         f"1,0,{ok % 2}"
                     ),
                     "nod": [f"0,{1000 + ok},0", f"2,{2000 + ok},1"],
-                    "numbers": ["0,O,1,9,E,2,8"] * (ok % 3),
+                    "numbers": [
+                        f"{i},O,{1 + ok % 7},{9 + ok % 7},"
+                        f"E,{2 + ok % 5},{8 + ok % 5}"
+                        for i in range(ok % 3)
+                    ],
                     "lat_mu": [y0, y0 + 100], "lon_mu": [x0, x0 + 100],
                 }
             )
@@ -2492,6 +2550,13 @@ def q_mp_sections(sf_dir: str):
     paths = _mp_full_fixture_dir(sf_dir)
     ds = read_mp(paths)
 
+    def list_sums(col: pa.ChunkedArray) -> np.ndarray:
+        ca = col.combine_chunks()
+        vals = np.asarray(ca.values, np.int64)
+        offs = np.asarray(ca.offsets, np.int64)
+        cs = np.r_[0, np.cumsum(vals)]
+        return cs[offs[1:]] - cs[offs[:-1]]
+
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.select(
             ["kind", "type", "label", "city", "road_id", "speed",
@@ -2522,13 +2587,23 @@ def q_mp_sections(sf_dir: str):
                 "sum_numbers": df["n_numbers"].astype(np.int64),
                 "sum_feet": feet,
                 "n_city": (df["city"].to_numpy() != "").astype(np.int64),
+                # parsed Nod / Numbers subsection payloads (round-4:
+                # RoadHelper.addNode/addNumbers now fully modelled)
+                "sum_nod_id": list_sums(batch["nod_id"]),
+                "sum_nod_bnd": list_sums(batch["nod_boundary"]),
+                "sum_hn_node": list_sums(batch["hn_node"]),
+                "sum_hn_left": list_sums(batch["hn_left_start"])
+                + list_sums(batch["hn_left_end"]),
+                "sum_hn_right": list_sums(batch["hn_right_start"])
+                + list_sums(batch["hn_right_end"]),
             }
         )
         return out.groupby("type", as_index=False).sum()
 
     cols = ["n", "sum_speed", "sum_class", "n_oneway", "n_toll",
             "sum_no_access", "sum_min_res", "sum_max_res", "sum_nod",
-            "sum_numbers", "sum_feet", "n_city"]
+            "sum_numbers", "sum_feet", "n_city", "sum_nod_id",
+            "sum_nod_bnd", "sum_hn_node", "sum_hn_left", "sum_hn_right"]
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("type")
@@ -2785,12 +2860,16 @@ def q_label_encode8(sf_dir: str):
 
 
 def q_wrong_angle(sf_dir: str):
-    """Rounding-artifact repair (``WrongAngleFixer`` subset): per order a
-    shallow near-straight polyline whose naive rounding zigzags; the
-    fixer must not INCREASE the max bearing error and shared endpoints
-    stay consistent. Reports per-order point count + coordinate checksum
-    (rows-only: bearing math is float; the pytest oracle asserts the
-    error bound)."""
+    """Rounding-artifact repair (``WrongAngleFixer.java`` move pass,
+    ``optimizeWays``/``MAX_BEARING_ERROR``): per order a near-flat
+    polyline whose interior "wiggle" points sit 1 hp unit past a
+    rounding boundary — naive rounding zigzags them a full map unit off
+    the line (≈27° bearing error); the fixer must move each wiggle back
+    onto the line while leaving the clean control points (and the
+    no-wiggle control lines) untouched. The repaired output is closed
+    form — n_points = m and coord_sum = m*y0 + m*(m-1) — so the DuckDB
+    oracle is hash-exact and FAILS on a no-op rounding (the wiggles
+    would each add +1)."""
     from ..geom.anglefix import fix_wrong_angles
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -2804,9 +2883,14 @@ def q_wrong_angle(sf_dir: str):
         for idx, ok in enumerate(ook):
             ok = int(ok)
             m = 6 + ok % 4
-            step = scale // 2 + 1 + (ok % 13)
-            lat_hp = (np.arange(m) * step) % (4 * scale)
-            lon_hp = np.arange(m) * 10 * scale
+            y0 = ok % 3
+            lat_hp = np.full(m, y0 * scale + 20, np.int64)
+            if ok % 5 != 0:  # control arm: every 5th line is clean
+                lat_hp[3] = y0 * scale + 33  # 1 hp past the boundary
+            # 3-mu spacing puts the wiggle's own error (2 x 14.5°) over
+            # its threshold while its clean neighbours (14.5° + 0°) stay
+            # under theirs — only the wiggle moves, deterministically
+            lon_hp = np.arange(m) * 3 * scale
             (rla, rlo), = fix_wrong_angles([(lat_hp, lon_hp)], D)
             n_points[idx] = len(rla)
             coord_sum[idx] = int(rla.sum() + rlo.sum())
@@ -2815,6 +2899,103 @@ def q_wrong_angle(sf_dir: str):
                 "o_orderkey": pa.array(ook, pa.int64()),
                 "n_points": pa.array(n_points, pa.int64()),
                 "coord_sum": pa.array(coord_sum, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_label_cp932(sf_dir: str):
+    """Multibyte label encoding (``labelenc/AnyCharsetEncoder.java`` +
+    ``CodeFunctions.java:101-105`` cp932/ms932): labels mixing ASCII,
+    two katakana (2 bytes each in cp932 — the block is contiguous, so
+    byte sums are 196+i closed form) and, on every 4th key, an é that
+    cp932 cannot represent and must transliterate to 'e'. NUL
+    terminator included in the byte count."""
+    from ..stages.labelenc import code_functions
+
+    fmt, cp, enc = code_functions("cp932")
+    assert (fmt, cp) == (9, 932)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = len(k)
+        n_bytes = np.empty(n, np.int64)
+        byte_sum = np.empty(n, np.int64)
+        for i, ok in enumerate(k):
+            ok = int(ok)
+            label = "K" + chr(0x30A2 + ok % 50) + chr(0x30A2 + (ok * 7) % 50)
+            if ok % 4 == 0:
+                label += "é"
+            b = enc(label)
+            n_bytes[i] = len(b)
+            byte_sum[i] = sum(b)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "byte_sum": pa.array(byte_sum, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_sea_gaps(sf_dir: str):
+    """Coastline gap closing (``SeaGenerator.closeGaps``,
+    ``--generate-sea=close-gaps=NUM``): per order a coastline ring is
+    delivered as 2-3 arcs with deliberate gaps; arcs whose end→start gap
+    is under the limit merge (nearest-start-first, scan restarted per
+    merge) and each merge records a bridge marker. Three closed-form
+    variants: a 2 mu gap (merges), a 50 mu gap (stays split), and a
+    3-arc chain (two merges) — n_chains / n_bridges / total points /
+    bridge length are all exact."""
+    from ..stages.coastline import close_gaps
+
+    MAX_GAP = 10
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        k = k[k % 11 == 3]  # bounded fixture subset
+        n = len(k)
+        n_chains = np.empty(n, np.int64)
+        n_bridges = np.empty(n, np.int64)
+        sum_pts = np.empty(n, np.int64)
+        bridge_len = np.empty(n, np.int64)
+        A = lambda *pts: (  # noqa: E731
+            np.array([p[0] for p in pts], np.int64),
+            np.array([p[1] for p in pts], np.int64),
+        )
+        for idx, ok in enumerate(k):
+            v = int(ok) % 3
+            arc_a = A((0, 0), (100, 0), (100, 100))
+            if v == 0:
+                chains = [arc_a, A((100, 102), (0, 100))]
+            elif v == 1:
+                chains = [arc_a, A((100, 150), (0, 100))]
+            else:
+                chains = [
+                    arc_a, A((100, 103), (0, 100)), A((2, 100), (50, 50))
+                ]
+            out, bridges = close_gaps(chains, MAX_GAP)
+            n_chains[idx] = len(out)
+            n_bridges[idx] = len(bridges)
+            sum_pts[idx] = sum(len(la) for la, _ in out)
+            bridge_len[idx] = sum(
+                int(round(((e[0] - s[0]) ** 2 + (e[1] - s[1]) ** 2) ** 0.5))
+                for e, s in bridges
+            )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "n_chains": pa.array(n_chains, pa.int64()),
+                "n_bridges": pa.array(n_bridges, pa.int64()),
+                "sum_pts": pa.array(sum_pts, pa.int64()),
+                "bridge_len": pa.array(bridge_len, pa.int64()),
             }
         )
 
@@ -3571,6 +3752,66 @@ def q_house_numbers(sf_dir: str):
     return out.sort_values(["road", "side"]).reset_index(drop=True).astype(
         "int64"
     )
+
+
+def q_house_repair(sf_dir: str):
+    """ExtNumbers interval self-repair (``ExtNumbers.java:394-427``
+    plausibility loop + ``Numbers.isPlausible``, Numbers.java:299-353):
+    a deliberately-dirty housenumber fixture — overlapping left/right
+    ranges on one road family, a > MAX_DELTA span on another, clean
+    roads on the third — is split at the largest position gap until
+    every (road, part, side) Numbers record is plausible. The fixture
+    converges in one split, so the DuckDB oracle mirrors the repair
+    closed-form; the engine runs the general iterative loop
+    (``stages/housenum.py::repair_intervals_part``).
+
+    Scale: compact (road, side, pos, house, num) rows hash-partition by
+    road; the repair loop runs vectorized per partition."""
+    from ..stages.housenum import N_HOUSE_PARTS, repair_intervals_part
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        k = k[k % 37 == 0]
+        h = k // 37
+        road, j = h // 12, h % 12
+        v = road % 3
+        side = np.where((v == 1) & (j >= 6), 1, -1)
+        num = np.select(
+            [v == 0, (v == 1) & (j < 6), v == 1, j < 6],
+            [2 * j + 1, 10 + j, 8 + j, j + 1],
+            200000 + j,
+        )
+        pos = np.select(
+            [(v == 1) & (j >= 6), (v == 2) & (j >= 6)],
+            [500 + j * 10, 700 + j * 10],
+            j * 10,
+        )
+        return pa.table(
+            {
+                "road": pa.array(road, pa.int64()),
+                "side": pa.array(side, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "house": pa.array(k, pa.int64()),
+                "num": pa.array(num, pa.int64()),
+                "part": pa.array(road & (N_HOUSE_PARTS - 1), pa.int64()),
+            }
+        )
+
+    out = (
+        _read_split(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(
+            lambda g: repair_intervals_part(
+                g.drop(columns=["part"])
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["road", "part", "side"]).reset_index(
+        drop=True
+    ).astype("int64")
 
 
 def q_mdr_index(sf_dir: str):
@@ -4332,6 +4573,118 @@ def q_mdr10_pois(sf_dir: str):
         ["k", "name", "map_index", "full_type", "grp", "record_no",
          "first_record", "n_pois"]
     ].rename(columns={"k": "o_orderkey"})
+
+
+def _mdr_poi_rows(sf_dir: str) -> pd.DataFrame:
+    """Shared POI fixture for the Mdr9/Mdr10/Mdr1 faces (same type/
+    group/name math as ``q_mdr10_pois``), with the mdr11 record number
+    ((name, map, key) order, ``Mdr11.java:57-75``) already assigned."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = k % 6
+        full = np.select(
+            [sel == 0, sel == 1, sel == 2, sel == 3, sel == 4],
+            [0x04, 0x2A00 + (k % 3), 0x2D00, 0x2800, 0x6400],
+            0x2B00,
+        )
+        typ = np.where((full & 0xFFF00) > 0, (full >> 8) & 0xFFF, full & 0xFF)
+        grp = np.select(
+            [
+                full <= 0xF,
+                (typ >= 0x2A) & (typ <= 0x30),
+                typ == 0x28,
+                (typ >= 0x64) & (typ <= 0x66),
+            ],
+            [1, typ - 0x28, 9, typ - 0x59],
+            0,
+        )
+        return pd.DataFrame(
+            {
+                "k": k,
+                "name": pd.Series((k * 11) % 300).map("P{:03d}".format),
+                "map_index": k % 32,
+                "full_type": full,
+                "grp": grp,
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    rows = rows.sort_values(["name", "map_index", "k"]).reset_index(drop=True)
+    rows["mdr11_rec"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    return rows
+
+
+def q_mdr9_groups(sf_dir: str):
+    """Mdr9 POI-type group index (``imgfmt/app/mdr/Mdr9.java:60-67``
+    ``setGroups`` offset accumulation over ``Mdr10.getGroupSizes``;
+    ``Mdr10.java:50-95`` group filter/sort/subtype/top-bit): group-0
+    POIs are skipped, mdr10 records lie group-major in mdr11-record
+    order, subtype is the full type for group 1 else
+    ``getSubtypeFromFullType`` (``MdrUtils.java:84-86``), ``is_new``
+    mirrors the non-repeated-name top bit (name+subtype vs the previous
+    record, reset per group), and ``item_size`` is 1 + the byte width
+    of an mdr10 record pointer (``Mdr9.getItemSize``)."""
+    rows = _mdr_poi_rows(sf_dir)
+    poi = rows[rows["grp"] > 0].copy()
+    full = poi["full_type"].to_numpy(np.int64)
+    poi["subtype"] = np.where(
+        poi["grp"].to_numpy(np.int64) == 1,
+        full,
+        np.where(full < 0xFF, 0, full & 0xFF),
+    )
+    poi = poi.sort_values(["grp", "mdr11_rec"]).reset_index(drop=True)
+    poi["mdr10_rec"] = np.arange(1, len(poi) + 1, dtype=np.int64)
+    same = (
+        (poi["name"] == poi["name"].shift())
+        & (poi["subtype"] == poi["subtype"].shift())
+        & (poi["grp"] == poi["grp"].shift())
+    )
+    poi["is_new"] = (~same.fillna(False)).astype(np.int64)
+    g = poi.groupby("grp")
+    poi["grp_first"] = g["mdr10_rec"].transform("min")
+    poi["grp_n"] = g["mdr10_rec"].transform("size").astype(np.int64)
+    total = len(poi)
+    poi["item_size"] = 1 + (
+        1 + (total >= 1 << 8) + (total >= 1 << 16) + (total >= 1 << 24)
+    )
+    out = poi[
+        ["k", "grp", "subtype", "mdr11_rec", "mdr10_rec", "grp_first",
+         "grp_n", "is_new", "item_size"]
+    ].rename(columns={"k": "o_orderkey"})
+    return out.astype("int64")
+
+
+def q_mdr1_reverse(sf_dir: str):
+    """Mdr1 per-map reverse index (``imgfmt/app/mdr/Mdr1.java:22-80``:
+    one record per map with an offset to its sub-section of record
+    numbers; ``Mdr10.writeSectData`` feeds sub2 via ``addIndexPointer
+    (mapIndex, count)``): per map the count of its mdr10 pointers, the
+    1-based offset where its sub-section starts in the concatenated
+    pointer stream (maps written in map order), and the pointer-sum
+    face so the oracle checks the actual record numbers, not just
+    counts."""
+    rows = _mdr_poi_rows(sf_dir)
+    poi = rows[rows["grp"] > 0].copy()
+    poi = poi.sort_values(["grp", "mdr11_rec"]).reset_index(drop=True)
+    poi["mdr10_rec"] = np.arange(1, len(poi) + 1, dtype=np.int64)
+    g = poi.groupby("map_index", sort=True)
+    out = pd.DataFrame(
+        {
+            "n_records": g.size().astype(np.int64),
+            "rec_sum": g["mdr10_rec"].sum().astype(np.int64),
+        }
+    ).reset_index()
+    out["index_offset"] = (
+        1 + np.r_[0, np.cumsum(out["n_records"].to_numpy(np.int64))[:-1]]
+    )
+    return out[
+        ["map_index", "n_records", "index_offset", "rec_sum"]
+    ].astype("int64")
 
 
 def q_installer_ids(sf_dir: str):

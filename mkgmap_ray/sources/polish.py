@@ -99,8 +99,14 @@ _BOOL_FIELDS = ("oneway", "toll", "dir_indicator")
 _DENIED_BITS = 8
 
 
+# NumberStyle.fromChar (imgfmt/app/net/NumberStyle.java:58-69); values
+# are the engine's ODD=1 / EVEN=2 / BOTH=3 / NONE=0 convention
+_STYLE_OF_CHAR = {"N": 0, "E": 2, "O": 1, "B": 3, "0": 1}
+
+
 def _new_element(kind: int) -> dict:
-    el = {"kind": kind, "type": 0, "level": 0, "lats": [], "lons": []}
+    el = {"kind": kind, "type": 0, "level": 0, "lats": [], "lons": [],
+          "nod_idx": [], "nod_ids": [], "nod_bnd": [], "hn": []}
     for f in _STR_FIELDS:
         el[f] = ""
     el.update(_INT_FIELDS)
@@ -253,12 +259,31 @@ class _MpParser:
         elif kind == 1 and key == "RoadID":
             el["road_id"] = int(value)
         elif kind == 1 and key.startswith("Nod"):
+            # RoadHelper.addNode + NodeIndex (RoadHelper.java:78-80,
+            # 201-211): point index, routing node id, boundary flag
+            f = value.split(",")
+            el["nod_idx"].append(int(f[0]))
+            el["nod_ids"].append(int(f[1]))
+            el["nod_bnd"].append(
+                1 if len(f) > 2 and int(f[2]) > 0 else 0
+            )
             el["n_nod"] += 1
         elif kind == 1 and key in ("RouteParam", "RouteParams"):
             self._route_param(el, value)
         elif kind == 1 and key == "DirIndicator":
             el["dir_indicator"] = int(value) > 0
         elif kind == 1 and key.startswith("Numbers"):
+            # RoadHelper.addNumbers → Numbers(String) (Numbers.java:
+            # 89-99): node,LStyle,LStart,LEnd,RStyle,RStart,REnd; kept
+            # only when a side has a style (addNumbers, RoadHelper:189)
+            f = value.split(",")
+            ls = _STYLE_OF_CHAR.get(f[1][:1], 0)
+            rs = _STYLE_OF_CHAR.get(f[4][:1], 0)
+            if ls != 0 or rs != 0:
+                el["hn"].append(
+                    (int(f[0]), ls, int(f[2]), int(f[3]),
+                     rs, int(f[5]), int(f[6]))
+                )
             el["n_numbers"] += 1
         elif self._common(el, key, value):
             pass
@@ -315,6 +340,21 @@ class _MpParser:
             cols[f] = pa.array([r[f] for r in rows], pa.int32())
         for f in _BOOL_FIELDS:
             cols[f] = pa.array([r[f] for r in rows], pa.bool_())
+        # routing-node and housenumber subsection payloads (lines only)
+        cols["nod_index"] = pa.array(
+            [r["nod_idx"] for r in rows], pa.list_(pa.int32()))
+        cols["nod_id"] = pa.array(
+            [r["nod_ids"] for r in rows], pa.list_(pa.int64()))
+        cols["nod_boundary"] = pa.array(
+            [r["nod_bnd"] for r in rows], pa.list_(pa.int8()))
+        for i, name in enumerate(
+            ("hn_node", "hn_left_style", "hn_left_start", "hn_left_end",
+             "hn_right_style", "hn_right_start", "hn_right_end")
+        ):
+            cols[name] = pa.array(
+                [[t[i] for t in r["hn"]] for r in rows],
+                pa.list_(pa.int32()),
+            )
         return pa.table(cols)
 
 

@@ -241,3 +241,74 @@ class PrecompSeaIndex:
                 for i in range(t.num_rows)
             ]
         return self.cache[cell]
+
+
+def close_gaps(chains, max_gap: int, bounds: Area | None = None):
+    """``SeaGenerator.closeGaps`` (reader/osm/SeaGenerator.java:
+    closeGaps loop, ``--generate-sea=close-gaps=NUM``): repeatedly take
+    the first OPEN chain whose end is not on the tile boundary, find the
+    chain whose START point is nearest to that end (boundary starts and
+    closed chains excluded), and if the gap is below ``max_gap`` append
+    that chain's points and record a bridge segment — restarting the
+    scan after every merge, exactly like the reference's
+    ``while (changed)`` / ``break`` shape.
+
+    ``chains``: list of (lat array, lon array) in map units;
+    ``max_gap`` in map units (the reference measures metres — same
+    semantics, different unit). Returns (merged chains, bridges) where
+    bridges are ((lat1, lon1), (lat2, lon2)) pairs — the reference's
+    ``natural=mkgmap:coastline-gap`` marker ways."""
+    ways = [
+        (list(map(int, la)), list(map(int, lo))) for la, lo in chains
+    ]
+    bridges: list[tuple[tuple[int, int], tuple[int, int]]] = []
+
+    def is_closed(w):
+        return (
+            len(w[0]) > 1
+            and w[0][0] == w[0][-1] and w[1][0] == w[1][-1]
+        )
+
+    def on_boundary(lat, lon):
+        if bounds is None:
+            return False
+        return (
+            lat in (bounds.min_lat, bounds.max_lat)
+            or lon in (bounds.min_lon, bounds.max_lon)
+        )
+
+    lim2 = max_gap * max_gap
+    changed = True
+    while changed:
+        changed = False
+        for i, w1 in enumerate(ways):
+            if is_closed(w1):
+                continue
+            e = (w1[0][-1], w1[1][-1])
+            if on_boundary(*e):
+                continue
+            best = -1
+            best_d2 = None
+            for j, w2 in enumerate(ways):
+                if i == j or is_closed(w2):
+                    continue
+                s = (w2[0][0], w2[1][0])
+                if on_boundary(*s):
+                    continue
+                d2 = (e[0] - s[0]) ** 2 + (e[1] - s[1]) ** 2
+                if best_d2 is None or d2 < best_d2:
+                    best_d2 = d2
+                    best = j
+            if best >= 0 and best_d2 < lim2:
+                s = (ways[best][0][0], ways[best][1][0])
+                bridges.append((e, s))
+                w1[0].extend(ways[best][0])
+                w1[1].extend(ways[best][1])
+                del ways[best]
+                changed = True
+                break
+    out = [
+        (np.asarray(la, np.int64), np.asarray(lo, np.int64))
+        for la, lo in ways
+    ]
+    return out, bridges

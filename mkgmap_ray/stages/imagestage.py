@@ -96,32 +96,27 @@ class DecodePhash:
         )
 
 
-def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
-    """Image near-dup dedup over a web-scale-shaped corpus: exact
-    perceptual-signature groups first (hash-partitioned groupby — only
-    (img_num, phash) rows shuffle, payloads never leave the decode
-    stage), then near-dup LINKING of the group REPRESENTATIVES at
-    Hamming ≤ ``max_hamming`` with union-find on the driver.
+def band_slices(ph: np.ndarray, n_bands: int) -> np.ndarray:
+    """Split each 64-bit hash into ``n_bands`` contiguous bit slices
+    (pigeonhole: two hashes at Hamming ≤ n_bands-1 agree on ≥1 slice).
+    Returns an (n, n_bands) int64 slice-value matrix."""
+    ph = np.ascontiguousarray(ph, np.int64).view(np.uint64)
+    widths = np.full(n_bands, 64 // n_bands, np.uint64)
+    widths[: 64 % n_bands] += 1
+    shifts = np.concatenate(([0], np.cumsum(widths)[:-1])).astype(np.uint64)
+    out = np.empty((len(ph), n_bands), np.int64)
+    for b in range(n_bands):
+        mask = np.uint64((1 << int(widths[b])) - 1)
+        out[:, b] = ((ph >> shifts[b]) & mask).view(np.int64)
+    return out
 
-    Scale shape: representative count is bounded by DISTINCT signatures
-    (output-sized — the synthetic gradient corpus collapses ~2000 images
-    to ~50 signatures; a real corpus collapses burst shots / re-encodes
-    the same way), so the driver linking is the standard output-sized
-    combine, not an input-sized loop. Emitting raw pairs instead would be
-    O(cluster²) — the round-1 LSH lesson.
 
-    Returns one row per distinct signature: (phash, keep_img = smallest
-    member, n_members, cluster = smallest keep_img among signatures
-    linked transitively at ≤ max_hamming)."""
+def phash_rep_groups(ds, n_parts: int = 64):
+    """documents/images → one row per DISTINCT perceptual signature:
+    (phash, keep_img = smallest member, n_members). Hash-partitioned
+    groupby over (img_num, phash) rows only — payloads never leave the
+    decode stage."""
     import pandas as pd
-
-    from ..util import pool_concurrency
-    from .dedup import hamming64 as ham_vec
-
-    parts = ds.map_batches(
-        DecodePhash, batch_format="pyarrow", batch_size=200,
-        concurrency=pool_concurrency(),
-    )
 
     def add_part(b: pa.Table) -> pa.Table:
         ph = np.asarray(b["phash"].combine_chunks(), np.int64)
@@ -135,31 +130,131 @@ def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
         )
         return agg[["phash", "keep_img", "n_members"]]
 
-    reps = (
-        parts.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(collapse, batch_format="pandas")
-        .to_pandas()
     )
-    reps = reps.sort_values("keep_img").reset_index(drop=True)
-    m = len(reps)
-    ph = reps["phash"].to_numpy(np.int64)
-    # union-find over representative pairs at <= max_hamming (m is
-    # distinct-signature count; all-pairs here is m^2 over output rows)
-    parent = np.arange(m)
 
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
 
-    iu, ju = np.triu_indices(m, 1)
-    close = ham_vec(ph[iu] ^ ph[ju]) <= max_hamming
-    for i, j in zip(iu[close], ju[close]):
-        ri, rj = find(int(i)), find(int(j))
+def phash_near_pairs(reps, max_hamming: int = 4):
+    """Distributed near-dup pair generation over signature
+    representatives via pigeonhole banding (VERDICT r3 finding 3: the
+    old path collected ALL signatures to the driver and ran
+    ``np.triu_indices(m, 1)`` — O(m²) on a real corpus where distinct
+    phashes ≈ image count).
+
+    The 64-bit hash splits into ``max_hamming + 1`` bit slices; any pair
+    at Hamming ≤ max_hamming collides in ≥1 slice, so candidates come
+    from (band, slice) buckets exactly like ``minhash_candidates`` —
+    bucket runs extracted vectorized per hash partition, full-hash
+    Hamming verified in the same pass, pairs deduped exactly-once
+    downstream. Only (keep_a, keep_b) PAIR rows ever reach the driver."""
+    import pandas as pd
+
+    from .dedup import (
+        MAX_BUCKET,
+        N_BUCKET_PARTS,
+        _bucket_pairs,
+        hamming64 as ham_vec,
+        unique_pairs,
+    )
+
+    n_bands = max_hamming + 1
+
+    def to_bands(b: pa.Table) -> "pd.DataFrame":
+        ph = np.asarray(b["phash"].combine_chunks(), np.int64)
+        keep = np.asarray(b["keep_img"].combine_chunks(), np.int64)
+        sl = band_slices(ph, n_bands)
+        n = len(ph)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                "slice": sl.reshape(-1),
+                "keep_img": np.repeat(keep, n_bands),
+                "phash": np.repeat(ph, n_bands),
+                "part": (
+                    sl.reshape(-1) * np.int64(31)
+                    + np.tile(np.arange(n_bands, dtype=np.int64), n)
+                )
+                & np.int64(N_BUCKET_PARTS - 1),
+            }
+        )
+
+    def pairs_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        if not len(g):
+            return empty
+        gid = g.groupby(["band", "slice"], sort=False).ngroup().to_numpy(
+            np.int64
+        )
+        keep = g["keep_img"].to_numpy(np.int64)
+        ph = g["phash"].to_numpy(np.int64)
+        order = np.lexsort((keep, gid))
+        gid, keep, ph = gid[order], keep[order], ph[order]
+        iu, ju = _bucket_pairs(gid, MAX_BUCKET)
+        if not len(iu):
+            return empty
+        ok = (ham_vec(ph[iu] ^ ph[ju]) <= max_hamming) & (
+            keep[iu] != keep[ju]
+        )
+        out = pd.DataFrame({"a": keep[iu[ok]], "b": keep[ju[ok]]})
+        return out.drop_duplicates(["a", "b"])
+
+    pairs = (
+        reps.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+    return unique_pairs(pairs, ())
+
+
+def cluster_pairs(keep: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union-find over PAIRS only: cluster label (smallest linked
+    keep_img) for every id in ``keep``; ids not in any pair label
+    themselves."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for i, j in zip(a.tolist(), b.tolist()):
+        ri, rj = find(i), find(j)
         if ri != rj:
             parent[max(ri, rj)] = min(ri, rj)
-    roots = np.fromiter((find(i) for i in range(m)), np.int64, m)
-    reps["cluster"] = reps["keep_img"].to_numpy(np.int64)[roots]
+    return np.fromiter((find(int(k)) for k in keep), np.int64, len(keep))
+
+
+def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
+    """Image near-dup dedup over a web-scale-shaped corpus: exact
+    perceptual-signature groups first (hash-partitioned groupby — only
+    (img_num, phash) rows shuffle, payloads never leave the decode
+    stage), then near-dup LINKING of the group representatives at
+    Hamming ≤ ``max_hamming`` via banded candidate pairs
+    (``phash_near_pairs``) and union-find over the pairs alone.
+
+    Scale shape: no stage holds all signatures in one place — exact
+    collapse and pair generation are hash-partitioned; the driver sees
+    only true near-dup pairs (sparse on a real corpus) and the final
+    output rows. Returns one row per distinct signature: (phash,
+    keep_img = smallest member, n_members, cluster = smallest keep_img
+    among signatures linked transitively at ≤ max_hamming)."""
+    from ..util import pool_concurrency
+
+    parts = ds.map_batches(
+        DecodePhash, batch_format="pyarrow", batch_size=200,
+        concurrency=pool_concurrency(),
+    )
+    reps_ds = phash_rep_groups(parts, n_parts=n_parts)
+    pairs = phash_near_pairs(reps_ds, max_hamming=max_hamming).to_pandas()
+    reps = reps_ds.to_pandas().sort_values("keep_img").reset_index(drop=True)
+    keep = reps["keep_img"].to_numpy(np.int64)
+    reps["cluster"] = cluster_pairs(
+        keep, pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)
+    )
     return reps.astype("int64")

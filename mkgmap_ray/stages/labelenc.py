@@ -166,6 +166,59 @@ def decode8(data: bytes, codepage: str = "latin1") -> str:
     return data.rstrip(b"\x00").decode(enc)
 
 
+def encode_any_charset(text: str, charset: str = "cp1252",
+                       upper: bool = False) -> bytes:
+    """General (including MULTIBYTE) label encoding
+    (``labelenc/AnyCharsetEncoder.java:50-101``): encode in the target
+    charset; an unmappable character goes through the transliterator
+    and the replacement is encoded instead, degrading to '?' when the
+    replacement is unmappable too. Covers the reference's cp932/ms932
+    Japanese codepage (``CodeFunctions.java:101-105``) via the
+    same-named Python codec. NUL-terminated like every LBL encoding."""
+    if upper:
+        text = text.upper()
+    out = bytearray()
+    for c in text:
+        try:
+            out += c.encode(charset)
+        except (UnicodeEncodeError, LookupError):
+            rep = transliterate_ascii(c)
+            try:
+                out += rep.encode(charset)
+            except (UnicodeEncodeError, LookupError):
+                out += b"?"
+    return bytes(out) + b"\x00"
+
+
+def decode_any_charset(data: bytes, charset: str) -> str:
+    """``labelenc/AnyCharsetDecoder.java`` analogue."""
+    return data.rstrip(b"\x00").decode(charset)
+
+
+def code_functions(charset: str):
+    """``CodeFunctions.createEncoderForLBL`` dispatch
+    (``labelenc/CodeFunctions.java:73-112``): returns (label format,
+    codepage, encoder callable). Format 6 = packed ASCII, format 9 =
+    single/multibyte + codepage, 10 = unicode."""
+    cs = charset.lower()
+    if cs == "ascii":
+        return 6, 0, lambda t, upper=False: encode6(
+            t.upper() if upper else t
+        )
+    if cs == "cp0":
+        return 9, 0, lambda t, upper=False: encode8(t, "ascii", upper)
+    if cs in ("cp1252", "latin1"):
+        return 9, 1252, lambda t, upper=False: encode8(t, "latin1", upper)
+    if cs in ("cp65001", "unicode"):
+        return 10, 65001, encode_utf8
+    if cs in ("cp932", "ms932"):
+        return 9, 932, lambda t, upper=False: encode_any_charset(
+            t, "cp932", upper
+        )
+    cp = int(cs[2:]) if cs.startswith("cp") and cs[2:].isdigit() else 0
+    return 9, cp, lambda t, upper=False: encode_any_charset(t, cs, upper)
+
+
 # --- road-name prefix/suffix separators --------------------------------------
 
 SEP_PREFIX_SHOWN = "\x1e"   # blank-joined prefix, shown as a blank

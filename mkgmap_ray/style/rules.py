@@ -58,6 +58,12 @@ class Rule:
     gtype: int | None  # Garmin type code, None for action-only rules
     resolution: int | None
     cont: bool  # continue: later rules still apply to matched rows
+    # TypeReader extras (osmstyle/TypeReader.java): max resolution of a
+    # "resolution N-M" range (single N defaults the max to 24), plus the
+    # remaining key=value / flag tokens (road_class, road_speed, oneway,
+    # toll, withindex, level, default_name) as a sorted tuple of pairs
+    res_max: int | None = None
+    attrs: tuple = ()
 
 
 @dataclass
@@ -629,7 +635,8 @@ def compile_style(text: str) -> RuleSet:
             continue
         expr = parse_expr(pred_text)
         actions = _parse_actions(actions_text or "")
-        gtype = resolution = None
+        gtype = resolution = res_max = None
+        attrs: list[tuple[str, str]] = []
         cont = False
         if tpart is not None:
             toks = tpart.split()
@@ -640,11 +647,29 @@ def compile_style(text: str) -> RuleSet:
                     gtype = int(t, 16)
                 elif t == "resolution":
                     i += 1
-                    resolution = int(toks[i])
+                    v = toks[i]
+                    if "-" in v:  # TypeReader: range normalized min<=max
+                        a, b = (int(x) for x in v.split("-", 1))
+                        if a > b:
+                            a, b = b, a
+                        resolution, res_max = a, b
+                    else:
+                        resolution = int(v)
                 elif t == "continue":
                     cont = True
+                    if i + 1 < len(toks) and toks[i + 1] == "with_actions":
+                        i += 1
+                        attrs.append(("with_actions", "1"))
+                elif t == "level":
+                    i += 1
+                    attrs.append(("level", toks[i]))
+                elif "=" in t:
+                    attrs.append(tuple(t.split("=", 1)))
+                elif t in ("oneway", "toll", "withindex"):
+                    attrs.append((t, "1"))
                 else:
                     raise ValueError(f"bad type clause token {t!r} in {raw!r}")
                 i += 1
-        rules.append(Rule(expr, actions, gtype, resolution, cont))
+        rules.append(Rule(expr, actions, gtype, resolution, cont,
+                          res_max, tuple(sorted(attrs))))
     return RuleSet(rules)

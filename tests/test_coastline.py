@@ -54,3 +54,50 @@ def test_srt_char_table_sections():
     assert srt5[i] == dot_p
     # ignorable (unmapped) char: all-zero weights
     assert srt4[5 * 3: 5 * 3 + 3] == bytes([0, 0, 0])
+
+
+class TestCloseGaps:
+    def _arc(self, *pts):
+        import numpy as np
+        return (np.array([p[0] for p in pts], np.int64),
+                np.array([p[1] for p in pts], np.int64))
+
+    def test_merges_smallest_gap_first(self):
+        from mkgmap_ray.stages.coastline import close_gaps
+
+        a = self._arc((0, 0), (100, 0), (100, 100))
+        b = self._arc((100, 103), (0, 100))     # gap 3 from a's end
+        c = self._arc((100, 102), (50, 50))     # gap 2 from a's end
+        out, bridges = close_gaps([a, b, c], 10)
+        # nearest START wins: c merges onto a first
+        assert bridges[0] == ((100, 100), (100, 102))
+        assert len(out) == 2  # a+c merged; b still separate (gap from
+        # a+c end (50,50) to b start (100,103) is > 10)
+        assert len(bridges) == 1
+
+    def test_gap_over_limit_stays(self):
+        from mkgmap_ray.stages.coastline import close_gaps
+
+        a = self._arc((0, 0), (100, 100))
+        b = self._arc((100, 111), (0, 100))  # gap 11 > limit 10
+        out, bridges = close_gaps([a, b], 10)
+        assert len(out) == 2 and not bridges
+
+    def test_boundary_ends_excluded(self):
+        from mkgmap_ray.geom.area import Area
+        from mkgmap_ray.stages.coastline import close_gaps
+
+        bounds = Area(0, 0, 1000, 1000)
+        # a ends ON the boundary (lat 1000): never bridged
+        a = self._arc((0, 500), (1000, 500))
+        b = self._arc((1000, 502), (500, 800))
+        out, bridges = close_gaps([a, b], 10, bounds)
+        assert len(out) == 2 and not bridges
+
+    def test_closed_rings_untouched(self):
+        from mkgmap_ray.stages.coastline import close_gaps
+
+        ring = self._arc((0, 0), (10, 0), (10, 10), (0, 0))
+        open_ = self._arc((0, 2), (5, 5))
+        out, bridges = close_gaps([ring, open_], 10)
+        assert len(out) == 2 and not bridges

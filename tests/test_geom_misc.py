@@ -283,3 +283,50 @@ class TestWrongAngleFixer:
             assert abs(int(rla[1])) <= 1
         else:
             assert len(rla) == 2
+
+
+def test_wrong_angle_wiggle_move():
+    """Round-4 oracle fixture: a 1-hp-past-the-boundary wiggle on a flat
+    3-mu-spaced line must move back onto the line (naive rounding puts
+    it a full map unit off); clean lines pass through unchanged."""
+    import numpy as np
+
+    from mkgmap_ray.geom.anglefix import fix_wrong_angles
+
+    scale = 64
+    for m in (6, 7, 8, 9):
+        for y0 in (0, 1, 2):
+            lat_hp = np.full(m, y0 * scale + 20, np.int64)
+            lat_hp[3] = y0 * scale + 33
+            lon_hp = np.arange(m) * 3 * scale
+            (rla, rlo), = fix_wrong_angles([(lat_hp, lon_hp)], 6)
+            assert (rla == y0).all(), (m, y0, rla)
+            assert (rlo == 3 * np.arange(m)).all()
+            naive = (lat_hp + 32) >> 6
+            assert naive[3] == y0 + 1  # the artifact the fixer removed
+            # control: clean line untouched
+            flat = np.full(m, y0 * scale + 20, np.int64)
+            (cla, clo), = fix_wrong_angles([(flat, lon_hp)], 6)
+            assert (cla == y0).all() and (clo == 3 * np.arange(m)).all()
+
+
+def test_label_multibyte_cp932():
+    """AnyCharsetEncoder with a multibyte codepage (CodeFunctions
+    cp932/ms932 dispatch): katakana encode as 2 bytes, unmappable é
+    transliterates to 'e', NUL terminator, decoder round-trips."""
+    from mkgmap_ray.stages.labelenc import (
+        code_functions,
+        decode_any_charset,
+        encode_any_charset,
+    )
+
+    fmt, cp, enc = code_functions("ms932")
+    assert (fmt, cp) == (9, 932)
+    b = enc("Kアé")
+    assert b == b"K" + "ア".encode("cp932") + b"e\x00"
+    assert decode_any_charset(b"K" + "ア".encode("cp932") + b"\x00",
+                              "cp932") == "Kア"
+    # upper-casing flows through (AnyCharsetEncoder.isUpperCase path)
+    assert encode_any_charset("ab", "cp932", upper=True) == b"AB\x00"
+    # unknown charsets degrade to '?' per character, never raise
+    assert encode_any_charset("é", "nonexistent-charset") == b"?\x00"

@@ -146,3 +146,46 @@ class TestPhashDedup:
         assert len(got) < n / 3
         assert got["cluster"].nunique() <= len(got)
         assert got["n_members"].sum() == n
+
+
+class TestPhashBanding:
+    def test_pigeonhole_completeness_and_sparsity(self, ray_session):
+        """VERDICT r3 finding 3: pair generation must be banded, not
+        driver all-pairs. On a corpus of ~all-distinct signatures the
+        candidate pair count must be << m^2, while every true pair at
+        Hamming <= 4 must still be found (pigeonhole: 5 bands)."""
+        import ray.data
+
+        from mkgmap_ray.stages.dedup import hamming64 as ham
+        from mkgmap_ray.stages.imagestage import phash_near_pairs
+
+        rng = np.random.RandomState(11)
+        m = 3000
+        ph = rng.randint(-(2**62), 2**62, m, dtype=np.int64)
+        # plant 60 true near-dup pairs (flip <= 4 bits)
+        for t in range(60):
+            i = t * 40
+            mask = np.int64(0)
+            for b in range(1 + t % 4):
+                mask ^= np.int64(1) << np.int64((t * 13 + b * 7) % 63)
+            ph[i + 1] = ph[i] ^ mask
+        keep = np.arange(m, dtype=np.int64)
+        reps = ray.data.from_arrow(
+            pa.table({"phash": ph, "keep_img": keep})
+        ).repartition(8)
+        pairs = phash_near_pairs(reps, max_hamming=4).to_pandas()
+        # every true pair found
+        iu, ju = np.triu_indices(m, 1)
+        d = ham(ph[iu] ^ ph[ju])
+        true_pairs = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(iu[d <= 4], ju[d <= 4])
+        }
+        got = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(pairs["a"], pairs["b"])
+        }
+        assert got == true_pairs
+        assert len(true_pairs) >= 60
+        # sparsity: nowhere near m^2 (the old driver path compared all)
+        assert len(pairs) < m * 5

@@ -336,3 +336,68 @@ class TestFillNumbers:
             )
         )
         assert len(out) == 0
+
+
+class TestHouseRepair:
+    def _fixture(self, n=15000):
+        k = np.arange(0, n, 37, dtype=np.int64)
+        h = k // 37
+        road, j = h // 12, h % 12
+        v = road % 3
+        side = np.where((v == 1) & (j >= 6), 1, -1)
+        num = np.select(
+            [v == 0, (v == 1) & (j < 6), v == 1, j < 6],
+            [2 * j + 1, 10 + j, 8 + j, j + 1], 200000 + j,
+        )
+        pos = np.select(
+            [(v == 1) & (j >= 6), (v == 2) & (j >= 6)],
+            [500 + j * 10, 700 + j * 10], j * 10,
+        )
+        import pandas as pd
+        return pd.DataFrame(
+            {"road": road, "side": side, "pos": pos, "house": k, "num": num}
+        )
+
+    def test_repair_splits_until_plausible(self):
+        from mkgmap_ray.stages.housenum import (
+            MAX_DELTA,
+            _implausible_keys,
+            fill_numbers_part,
+            repair_intervals_part,
+        )
+
+        g = self._fixture()
+        out = repair_intervals_part(g)
+        v = out["road"] % 3
+        # clean roads untouched (single part, intervals == fillNumbers)
+        assert (out[v == 0].groupby("road")["part"].max() == 0).all()
+        plain = fill_numbers_part(g[g["road"] % 3 == 0]).sort_values(
+            ["road", "side"]).reset_index(drop=True).astype("int64")
+        rep0 = out[v == 0][plain.columns].sort_values(
+            ["road", "side"]).reset_index(drop=True)
+        assert rep0.equals(plain)
+        # overlap-dirty roads split into single-sided parts
+        p0 = out[(v == 1) & (out["part"] == 0)]
+        p1 = out[(v == 1) & (out["part"] == 1)]
+        assert (p0["side"] == -1).all() and (p1["side"] == 1).all()
+        # delta-dirty roads now within MAX_DELTA everywhere
+        assert (np.abs(out["start_num"] - out["end_num"]) <= MAX_DELTA).all()
+        # every output interval is plausible
+        iv = out.rename(columns={"part": "ipart"})
+        assert len(_implausible_keys(iv)) == 0
+
+    def test_unsplittable_interval_kept(self):
+        import pandas as pd
+
+        from mkgmap_ray.stages.housenum import repair_intervals_part
+
+        # two houses at the SAME position with a > MAX_DELTA span: no
+        # positive gap to split at -> the reference logs and keeps it
+        g = pd.DataFrame(
+            {"road": [7, 7], "side": [-1, -1], "pos": [5, 5],
+             "house": [1, 2], "num": [1, 200001]}
+        )
+        out = repair_intervals_part(g)
+        assert len(out) == 1
+        assert out["start_num"].iloc[0] == 1
+        assert out["end_num"].iloc[0] == 200001

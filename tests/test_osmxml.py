@@ -333,3 +333,32 @@ class TestKeepTagsFilter:
         # pattern would not match anyway
         out = keep_tags_filter(t)
         assert out["tag_vals"].to_pylist() == [["fixm"]]
+
+
+def test_mp_nod_numbers_payloads(tmp_path):
+    """Round-4: Nod / Numbers subsections parse into real payloads
+    (RoadHelper.addNode/addNumbers + Numbers(String), not just counts)."""
+    from mkgmap_ray.sources.polish import parse_mp_text, write_mp
+
+    p = str(tmp_path / "t.mp")
+    write_mp(p, [
+        {"kind": 1, "type": 5, "road_id": 9,
+         "route_param": "3,2,1,0,1,0,0,0",
+         "nod": ["0,1009,0", "2,2009,1"],
+         "numbers": ["0,O,1,9,E,2,8", "1,N,0,0,B,5,11", "2,N,0,0,N,0,0"],
+         "lat_mu": [100, 200, 300], "lon_mu": [100, 200, 300]},
+    ])
+    t = parse_mp_text(open(p).read())
+    assert t.num_rows == 1
+    assert t["nod_index"][0].as_py() == [0, 2]
+    assert t["nod_id"][0].as_py() == [1009, 2009]
+    assert t["nod_boundary"][0].as_py() == [0, 1]
+    # third Numbers line is N/N on both sides -> dropped (RoadHelper:189)
+    assert t["hn_node"][0].as_py() == [0, 1]
+    assert t["hn_left_style"][0].as_py() == [1, 0]
+    assert t["hn_left_start"][0].as_py() == [1, 0]
+    assert t["hn_left_end"][0].as_py() == [9, 0]
+    assert t["hn_right_style"][0].as_py() == [2, 3]
+    assert t["hn_right_start"][0].as_py() == [2, 5]
+    assert t["hn_right_end"][0].as_py() == [8, 11]
+    assert t["n_numbers"][0].as_py() == 3

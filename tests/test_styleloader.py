@@ -167,3 +167,66 @@ class TestLoadStyle:
         root = write_style(tmp_path, "s", {"lines": "a=1 [0x1]\n"})
         with pytest.raises(FileNotFoundError, match="version"):
             load_style(root)
+
+
+class TestStyleTester:
+    def test_single_file_golden(self, tmp_path):
+        from mkgmap_ray.style.tester import check_style_test
+
+        text = """\
+WAY 42
+highway=primary
+name=Main Street
+
+WAY 7
+power=line
+
+WAY 9
+landuse=forest
+
+<<<lines>>>
+highway=primary {name '${name}'} [0x3 road_class=2 road_speed=2]
+power=line [0x29 resolution 20]
+
+<<<results>>>
+WAY 42: Road 0x3, labels=[Main Street, null, null, null], res=24-24 (1/1),(2/2), road class=2 speed=2
+WAY 7: Line 0x29, labels=[null, null, null, null], res=20-24 (1/1),(2/2),
+"""
+        actual, diffs = check_style_test(text)
+        assert not diffs, diffs
+        assert len(actual) == 2  # way 9 matches nothing
+
+    def test_continue_emits_extra_elements(self):
+        from mkgmap_ray.style.tester import run_style_test
+
+        text = """\
+WAY 5
+highway=footpath
+
+<<<lines>>>
+highway=footpath [0x16 resolution 22 continue]
+highway=* [0x17 resolution 20-23]
+"""
+        out = run_style_test(text)
+        assert out == [
+            "WAY 5: Line 0x16, labels=[null, null, null, null],"
+            " res=22-24 (1/1),(2/2),",
+            "WAY 5: Line 0x17, labels=[null, null, null, null],"
+            " res=20-23 (1/1),(2/2),",
+        ], out
+
+    def test_mismatch_reports_diff(self):
+        from mkgmap_ray.style.tester import check_style_test
+
+        text = """\
+WAY 1
+highway=primary
+
+<<<lines>>>
+highway=primary [0x3]
+
+<<<results>>>
+WAY 1: Line 0x4, labels=[null, null, null, null], res=24-24 (1/1),(2/2),
+"""
+        _, diffs = check_style_test(text)
+        assert diffs
