@@ -308,6 +308,10 @@ def prepare_narrow(narrow_ds):
         else:
             out = mat
     out._mkgmap_prepared = True
+    try:
+        out._mkgmap_nrows = out.count()
+    except Exception:
+        out._mkgmap_nrows = None
     return out
 
 
@@ -428,9 +432,17 @@ def refine_tree(
 
         parts_ds = narrow_ds.map_batches(
             partial, batch_format="pyarrow", batch_size=scan_rows
-        ).map_batches(
-            merge_partials, batch_format="pyarrow", batch_size=8_000_000
         )
+        # the second combine level only pays for itself when a round
+        # streams MANY scan batches (its extra stage barrier costs
+        # ~0.3-0.5 s per round on this box — pure overhead at sf0.1,
+        # where the whole input is a handful of scan batches)
+        nrows = getattr(narrow_ds, "_mkgmap_nrows", None)
+        if nrows is None or nrows > 4 * scan_rows:
+            parts_ds = parts_ds.map_batches(
+                merge_partials, batch_format="pyarrow",
+                batch_size=8_000_000,
+            )
         for b in parts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             for c in acc:
                 acc[c].append(np.asarray(b[c].combine_chunks(), np.int64))
