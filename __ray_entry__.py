@@ -37,6 +37,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     finding 1)."""
     return {
         # --- new in round 4 ---
+        "mdr13_regions": Q.q_mdr13_regions,
+        "mdr29_countries": Q.q_mdr29_countries,
+        "mdr2x_streets": Q.q_mdr2x_streets,
+        "mdr25_cities": Q.q_mdr25_cities,
+        "mdr15_strings": Q.q_mdr15_strings,
+        "mdr17_prefix": Q.q_mdr17_prefix,
+        "mdr19_types": Q.q_mdr19_types,
+        "predict_points": Q.q_predict_points,
         "phash_cluster": Q.q_phash_cluster,
         "mdr9_groups": Q.q_mdr9_groups,
         "mdr1_reverse": Q.q_mdr1_reverse,
@@ -724,6 +732,334 @@ def oracle_sql() -> dict[str, str]:
                    ), 0) AS BIGINT) AS index_offset,
                    rec_sum
             FROM per_map ORDER BY map_index
+        """,
+        "predict_points": """
+            WITH pts AS (
+              SELECT o_orderkey AS k, j
+              FROM orders,
+                   LATERAL unnest(range(0, 2 + o_orderkey % 6)) AS t(j)
+            ), coords AS (
+              SELECT k, j,
+                (k % 1024) * 64 + j * (k % 32) AS lat,
+                ((k * 7) % 1024) * 64 + j * ((k * 3) % 16) AS lon
+              FROM pts
+            ), res AS (
+              SELECT unnest([16, 18, 20, 24]) AS resolution
+            ), rounded AS (
+              SELECT k, j, resolution,
+                CASE WHEN resolution >= 24 THEN lat
+                     ELSE (lat + (1 << (24 - resolution - 1)))
+                          & (-(1 << (24 - resolution))) END AS rla,
+                CASE WHEN resolution >= 24 THEN lon
+                     ELSE (lon + (1 << (24 - resolution - 1)))
+                          & (-(1 << (24 - resolution))) END AS rlo
+              FROM coords CROSS JOIN res
+            ), flags AS (
+              SELECT k, resolution,
+                CASE WHEN lag(rla) OVER w IS NULL
+                       OR lag(rla) OVER w != rla
+                       OR lag(rlo) OVER w != rlo
+                     THEN 1 ELSE 0 END AS is_new
+              FROM rounded WINDOW w AS (PARTITION BY k, resolution
+                                        ORDER BY j)
+            )
+            SELECT k AS o_orderkey,
+                   CAST(resolution AS BIGINT) AS resolution,
+                   CAST(sum(is_new) AS BIGINT) AS n_pred
+            FROM flags GROUP BY k, resolution
+            ORDER BY o_orderkey, resolution
+        """,
+        "mdr13_regions": """
+            WITH regs AS (
+              SELECT DISTINCT o_orderkey % 16 AS map_index,
+                              1 + o_orderkey % 20 AS region_idx
+              FROM orders
+            ), named AS (
+              SELECT map_index, region_idx,
+                     1 + region_idx % 5 AS country_idx,
+                     printf('R%02d', region_idx) AS name
+              FROM regs
+            ), walk AS (
+              SELECT *,
+                row_number() OVER (ORDER BY map_index, region_idx)
+                    AS mdr13_rec,
+                row_number() OVER (ORDER BY name, map_index) AS mdr23_rec,
+                dense_rank() OVER (ORDER BY name) AS mdr28_idx
+              FROM named
+            )
+            SELECT CAST(map_index AS BIGINT) AS map_index,
+                   CAST(region_idx AS BIGINT) AS region_idx,
+                   CAST(country_idx AS BIGINT) AS country_idx,
+                   name,
+                   CAST(mdr13_rec AS BIGINT) AS mdr13_rec,
+                   CAST(mdr23_rec AS BIGINT) AS mdr23_rec,
+                   CAST(mdr28_idx AS BIGINT) AS mdr28_idx,
+                   CAST(max(mdr23_rec) OVER (PARTITION BY name) AS BIGINT)
+                       AS mdr28_mdr23
+            FROM walk ORDER BY mdr13_rec
+        """,
+        "mdr29_countries": """
+            WITH cs AS (
+              SELECT DISTINCT o_orderkey % 32 AS map_index,
+                              1 + o_orderkey % 7 AS country_idx
+              FROM orders
+            ), named AS (
+              SELECT map_index, country_idx,
+                     printf('X%d', country_idx) AS name
+              FROM cs
+            ), walk AS (
+              SELECT *,
+                row_number() OVER (ORDER BY map_index, country_idx)
+                    AS mdr14_rec,
+                row_number() OVER (ORDER BY name, map_index) AS mdr24_rec,
+                dense_rank() OVER (ORDER BY name) AS mdr29_idx
+              FROM named
+            )
+            SELECT CAST(map_index AS BIGINT) AS map_index,
+                   CAST(country_idx AS BIGINT) AS country_idx,
+                   name,
+                   CAST(mdr14_rec AS BIGINT) AS mdr14_rec,
+                   CAST(mdr24_rec AS BIGINT) AS mdr24_rec,
+                   CAST(mdr29_idx AS BIGINT) AS mdr29_idx,
+                   CAST(max(mdr24_rec) OVER (PARTITION BY name) AS BIGINT)
+                       AS mdr29_mdr24
+            FROM walk ORDER BY mdr14_rec
+        """,
+        "mdr2x_streets": """
+            WITH t AS (
+              SELECT DISTINCT
+                printf('S%03d', (o_orderkey*11) % 300) AS street,
+                printf('C%02d', (o_orderkey*7) % 50) AS city,
+                o_orderkey % 16 AS map_index,
+                ((o_orderkey*7) % 50) % 7 AS region_num,
+                printf('X%d', ((o_orderkey*7) % 50) % 3) AS country
+              FROM orders
+            ), idx AS (
+              SELECT *, printf('R%d', region_num) AS region,
+                dense_rank() OVER (ORDER BY street, map_index) AS mdr7_idx
+              FROM t
+            ), w21 AS (
+              SELECT *, dense_rank() OVER (ORDER BY region) AS pos
+              FROM idx WHERE region_num > 0
+            ), k21a AS (
+              SELECT *, CASE WHEN lag(mdr7_idx) OVER
+                       (ORDER BY pos, mdr7_idx, city, map_index) = mdr7_idx
+                     THEN 0 ELSE 1 END AS keep
+              FROM w21
+            ), k21b AS (
+              SELECT *, SUM(keep) OVER
+                  (ORDER BY pos, mdr7_idx, city, map_index
+                   ROWS UNBOUNDED PRECEDING) AS record
+              FROM k21a
+            ), m21 AS (
+              SELECT 21 AS section, record, street, city, map_index,
+                     mdr7_idx, region AS grp,
+                     max(record) OVER (PARTITION BY region) AS grp_val
+              FROM k21b WHERE keep = 1
+            ), w22 AS (
+              SELECT *, dense_rank() OVER (ORDER BY country) AS pos
+              FROM idx
+            ), k22a AS (
+              SELECT *, CASE WHEN lag(mdr7_idx) OVER
+                       (ORDER BY pos, mdr7_idx, city, map_index) = mdr7_idx
+                     THEN 0 ELSE 1 END AS keep
+              FROM w22
+            ), k22b AS (
+              SELECT *, SUM(keep) OVER
+                  (ORDER BY pos, mdr7_idx, city, map_index
+                   ROWS UNBOUNDED PRECEDING) AS record
+              FROM k22a
+            ), m22 AS (
+              SELECT 22 AS section, record, street, city, map_index,
+                     mdr7_idx, country AS grp,
+                     max(record) OVER (PARTITION BY country) AS grp_val
+              FROM k22b WHERE keep = 1
+            )
+            SELECT CAST(section AS BIGINT) AS section,
+                   CAST(record AS BIGINT) AS record,
+                   street, city, CAST(map_index AS BIGINT) AS map_index,
+                   CAST(mdr7_idx AS BIGINT) AS mdr7_idx, grp,
+                   CAST(grp_val AS BIGINT) AS grp_val
+            FROM (SELECT * FROM m21 UNION ALL SELECT * FROM m22)
+            ORDER BY section, record
+        """,
+        "mdr25_cities": """
+            WITH c AS (
+              SELECT printf('C%03d', (o_orderkey*7) % 500) AS name,
+                     'R' || CAST(o_orderkey % 7 AS VARCHAR) AS region,
+                     'X' || CAST(o_orderkey % 3 AS VARCHAR) AS country,
+                     o_orderkey % 32 AS map_index
+              FROM orders
+            ), d AS (
+              SELECT DISTINCT name, region, country, map_index FROM c
+            ), s AS (
+              SELECT *,
+                lag(name) OVER w AS pn, lag(map_index) OVER w AS pm
+              FROM d WINDOW w AS (ORDER BY name, region, country, map_index)
+            ), runs AS (
+              SELECT *, SUM(CASE WHEN pn IS NOT NULL AND pn = name
+                                  AND pm = map_index
+                                 THEN 0 ELSE 1 END)
+                  OVER (ORDER BY name, region, country, map_index
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM s
+            ), cities AS (
+              SELECT CAST(run_id AS BIGINT) AS global_idx, name, region,
+                     country
+              FROM runs
+              WHERE pn IS NULL OR pn != name OR pm != map_index
+            ), s25 AS (
+              SELECT *, lag(name) OVER o AS pn, lag(region) OVER o AS pr
+              FROM cities WINDOW o AS (ORDER BY country, global_idx)
+            ), k25a AS (
+              SELECT *, CASE WHEN pn = name AND pr = region
+                             THEN 0 ELSE 1 END AS keep
+              FROM s25
+            ), k25b AS (
+              SELECT *, SUM(keep) OVER (ORDER BY country, global_idx
+                        ROWS UNBOUNDED PRECEDING) AS record
+              FROM k25a
+            ), m25 AS (
+              SELECT 25 AS section, record, global_idx, name, region,
+                     country, country AS grp,
+                     min(record) OVER (PARTITION BY country) AS grp_val
+              FROM k25b WHERE keep = 1
+            ), w27 AS (
+              SELECT *, row_number() OVER (ORDER BY region, global_idx)
+                        AS record
+              FROM cities
+            ), m27 AS (
+              SELECT 27 AS section, record, global_idx, name, region,
+                     country, region AS grp,
+                     min(record) OVER (PARTITION BY region) AS grp_val
+              FROM w27
+            )
+            SELECT CAST(section AS BIGINT) AS section,
+                   CAST(record AS BIGINT) AS record,
+                   CAST(global_idx AS BIGINT) AS global_idx,
+                   name, region, country, grp,
+                   CAST(grp_val AS BIGINT) AS grp_val
+            FROM (SELECT * FROM m25 UNION ALL SELECT * FROM m27)
+            ORDER BY section, record
+        """,
+        "mdr15_strings": """
+            WITH recs AS (
+              SELECT o_orderkey % 32 AS map_index, 0 AS kind,
+                     printf('X%d', o_orderkey % 3) AS name FROM orders
+              UNION ALL SELECT o_orderkey % 32, 1,
+                     printf('R%d', o_orderkey % 7) FROM orders
+              UNION ALL SELECT o_orderkey % 32, 2,
+                     printf('C%03d', (o_orderkey*7) % 500) FROM orders
+              UNION ALL SELECT o_orderkey % 32, 3,
+                     printf('P%03d', (o_orderkey*11) % 300) FROM orders
+              UNION ALL SELECT o_orderkey % 32, 4,
+                     printf('S%03d', (o_orderkey*11) % 300) FROM orders
+            ), dist AS (
+              SELECT DISTINCT map_index, kind, name FROM recs
+            ), seqd AS (
+              SELECT *, row_number() OVER (ORDER BY map_index, kind, name)
+                        AS seq
+              FROM dist
+            ), firsts AS (
+              SELECT name, min(seq) AS fseq FROM seqd GROUP BY name
+            ), ordered AS (
+              SELECT s.name, s.map_index AS first_map,
+                     s.kind AS first_kind, f.fseq
+              FROM firsts f JOIN seqd s ON s.seq = f.fseq
+            )
+            SELECT name,
+                   CAST(1 + coalesce(SUM(length(name) + 1) OVER (
+                       ORDER BY fseq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS str_off,
+                   CAST(length(name) AS BIGINT) AS str_len,
+                   CAST(first_map AS BIGINT) AS first_map,
+                   CAST(first_kind AS BIGINT) AS first_kind
+            FROM ordered ORDER BY str_off
+        """,
+        "mdr17_prefix": """
+            WITH t AS (
+              SELECT DISTINCT
+                printf('S%03dW%02d', (o_orderkey*11) % 40,
+                       o_orderkey % 90) AS street,
+                printf('C%02d', (o_orderkey*7) % 50) AS city,
+                o_orderkey % 16 AS map_index
+              FROM orders
+            ), st AS (SELECT DISTINCT street, map_index FROM t),
+            ct AS (SELECT DISTINCT city, map_index FROM t),
+            stw AS (
+              SELECT *, row_number() OVER (ORDER BY street, map_index)
+                        AS in_rec,
+                     substr(street, 1, 4) AS prefix
+              FROM st
+            ), stk AS (
+              SELECT *, CASE WHEN lag(prefix) OVER (ORDER BY in_rec)
+                                  = prefix
+                             THEN 0 ELSE 1 END AS new
+              FROM stw
+            ), stn AS (
+              SELECT prefix, CAST(count(*) AS BIGINT) AS n
+              FROM stw GROUP BY prefix
+            ), sti AS (
+              SELECT 0 AS section,
+                     row_number() OVER (ORDER BY in_rec) AS out_rec,
+                     prefix, in_rec
+              FROM stk WHERE new = 1
+            ), ctw AS (
+              SELECT *, row_number() OVER (ORDER BY city, map_index)
+                        AS in_rec,
+                     substr(city, 1, 2) AS prefix
+              FROM ct
+            ), ctk AS (
+              SELECT *, CASE WHEN lag(prefix) OVER (ORDER BY in_rec)
+                                  = prefix
+                             THEN 0 ELSE 1 END AS new
+              FROM ctw
+            ), ctn AS (
+              SELECT prefix, CAST(count(*) AS BIGINT) AS n
+              FROM ctw GROUP BY prefix
+            ), cti AS (
+              SELECT 1 AS section,
+                     row_number() OVER (ORDER BY in_rec) AS out_rec,
+                     prefix, in_rec
+              FROM ctk WHERE new = 1
+            )
+            SELECT CAST(section AS BIGINT) AS section,
+                   CAST(out_rec AS BIGINT) AS out_rec, prefix,
+                   CAST(in_rec AS BIGINT) AS in_rec, n
+            FROM (
+              SELECT s.*, stn.n FROM sti s JOIN stn USING (prefix)
+              UNION ALL
+              SELECT c.*, ctn.n FROM cti c JOIN ctn USING (prefix)
+            )
+            ORDER BY section, out_rec
+        """,
+        "mdr19_types": f"""
+            WITH poi AS ({_MDR_POI_SQL}),
+            typed AS (
+              SELECT *,
+                (CASE WHEN (full_type & 1048320) > 0
+                      THEN (full_type >> 8) & 4095
+                      ELSE full_type & 255 END) * 32
+                + CASE WHEN (full_type & -256) != 0
+                       THEN full_type & 31 ELSE 0 END AS natural_type
+              FROM poi WHERE grp > 0
+            ), ordered AS (
+              SELECT *,
+                row_number() OVER (ORDER BY natural_type, mdr11_rec)
+                    AS mdr19_rec,
+                CASE WHEN lag(name) OVER
+                          (ORDER BY natural_type, mdr11_rec) = name
+                     THEN 0 ELSE 1 END AS name_flag
+              FROM typed
+            )
+            SELECT k AS o_orderkey,
+                   CAST(natural_type AS BIGINT) AS natural_type,
+                   CAST(mdr19_rec AS BIGINT) AS mdr19_rec, mdr11_rec,
+                   CAST(name_flag AS BIGINT) AS name_flag,
+                   CAST(min(mdr19_rec) OVER (PARTITION BY natural_type)
+                        AS BIGINT) AS type_first
+            FROM ordered ORDER BY mdr19_rec
         """,
         "ann_ivf": _ann_exact_topk_sql(),
         "rgn_bitstream": """

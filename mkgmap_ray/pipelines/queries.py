@@ -4687,6 +4687,402 @@ def q_mdr1_reverse(sf_dir: str):
     ].astype("int64")
 
 
+def q_predict_points(sf_dir: str):
+    """``PredictFilterPoints.predictedMaxNumPoints`` (``filters/
+    PredictFilterPoints.java:18-52``): per synthetic polyline and
+    resolution, the count of points surviving the filters'
+    +half-and-mask rounding (first point always, then every rounded
+    change). Closed-form integer coordinates so the SQL oracle replays
+    the same rounding with lag()."""
+    from ..splitter import predicted_num_points
+
+    RESOLUTIONS = (16, 18, 20, 24)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        m = 2 + k % 6
+        offsets = np.r_[0, np.cumsum(m)]
+        total = int(offsets[-1])
+        j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], m)
+        kk = np.repeat(k, m)
+        lat = (kk % 1024) * 64 + j * (kk % 32)
+        lon = ((kk * 7) % 1024) * 64 + j * ((kk * 3) % 16)
+        outs = []
+        for r in RESOLUTIONS:
+            outs.append(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array(k, pa.int64()),
+                        "resolution": pa.array(
+                            np.full(len(k), r, np.int64), pa.int64()
+                        ),
+                        "n_pred": pa.array(
+                            predicted_num_points(lat, lon, offsets, r),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values(["o_orderkey", "resolution"]).reset_index(
+        drop=True
+    )
+
+
+def _mdr_distinct(sf_dir: str, derive, subset, n_parts: int = 64):
+    """Distributed distinct-collapse used by the MDR section fixtures:
+    derive per-batch rows, hash-partition on the collapse tuple so equal
+    tuples co-locate, drop duplicates per partition. Only the collapsed
+    (output-sized) set reaches the driver for global ranking — the scale
+    shape all Mdr faces share (index cardinality ≪ input rows)."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[subset[0]].astype(str)
+        for c in subset[1:]:
+            key = key + "\x00" + df[c].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy(np.uint64)
+        df["part"] = (h & np.uint64(n_parts - 1)).astype(np.int64)
+        return df
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset)[subset]
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(
+            lambda b: add_part(derive(b)), batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_mdr13_regions(sf_dir: str):
+    """Mdr13 per-map region records + Mdr28 distinct-name region index +
+    Mdr23 sorted walk (``imgfmt/app/mdr/Mdr13.java:42-49`` sort by
+    ``(map<<16)+region``; ``Mdr28.java:33-58`` one record per distinct
+    name in (name, map) order; ``Mdr23.java:35-53`` record++ per new
+    (map, name), each region's mdr28 keeping the LAST record of its name
+    run). Fixture: distinct (map, region) pairs derived from order keys;
+    name is a function of the region index so the name runs are exact."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return pd.DataFrame(
+            {
+                "map_index": (k % 16).astype(np.int64),
+                "region_idx": (1 + k % 20).astype(np.int64),
+            }
+        )
+
+    rows = _mdr_distinct(sf_dir, derive, ["map_index", "region_idx"])
+    rows["country_idx"] = (1 + rows["region_idx"] % 5).astype(np.int64)
+    rows["name"] = rows["region_idx"].map("R{:02d}".format)
+    # Mdr13 record order: (mapIndex << 16) + regionIndex
+    rows = rows.sort_values(["map_index", "region_idx"]).reset_index(
+        drop=True
+    )
+    rows["mdr13_rec"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    # Mdr23/Mdr28 walk: sortList keys (name, mapIndex); every (map, name)
+    # pair here is distinct so each row is a kept mdr23 record
+    m23 = rows.sort_values(["name", "map_index"]).reset_index(drop=True)
+    m23["mdr23_rec"] = np.arange(1, len(m23) + 1, dtype=np.int64)
+    m23["mdr28_idx"] = (
+        (m23["name"] != m23["name"].shift()).cumsum().astype(np.int64)
+    )
+    m23["mdr28_mdr23"] = (
+        m23.groupby("name")["mdr23_rec"].transform("max").astype(np.int64)
+    )
+    out = m23.sort_values("mdr13_rec").reset_index(drop=True)
+    return out[
+        ["map_index", "region_idx", "country_idx", "name", "mdr13_rec",
+         "mdr23_rec", "mdr28_idx", "mdr28_mdr23"]
+    ]
+
+
+def q_mdr29_countries(sf_dir: str):
+    """Mdr14 per-map country records + Mdr29 distinct-name country index
+    + Mdr24 sorted walk (``Mdr14Record.compareTo``: ``(map<<16)+country``;
+    ``Mdr29.java:30-50``; ``Mdr24.java:33-52``: record++ per new
+    (map, name), the mdr29 record keeping the LAST record of its name
+    run)."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return pd.DataFrame(
+            {
+                "map_index": (k % 32).astype(np.int64),
+                "country_idx": (1 + k % 7).astype(np.int64),
+            }
+        )
+
+    rows = _mdr_distinct(sf_dir, derive, ["map_index", "country_idx"])
+    rows["name"] = rows["country_idx"].map("X{:d}".format)
+    rows = rows.sort_values(["map_index", "country_idx"]).reset_index(
+        drop=True
+    )
+    rows["mdr14_rec"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    m24 = rows.sort_values(["name", "map_index"]).reset_index(drop=True)
+    m24["mdr24_rec"] = np.arange(1, len(m24) + 1, dtype=np.int64)
+    m24["mdr29_idx"] = (
+        (m24["name"] != m24["name"].shift()).cumsum().astype(np.int64)
+    )
+    m24["mdr29_mdr24"] = (
+        m24.groupby("name")["mdr24_rec"].transform("max").astype(np.int64)
+    )
+    out = m24.sort_values("mdr14_rec").reset_index(drop=True)
+    return out[
+        ["map_index", "country_idx", "name", "mdr14_rec", "mdr24_rec",
+         "mdr29_idx", "mdr29_mdr24"]
+    ]
+
+
+def q_mdr2x_streets(sf_dir: str):
+    """Mdr21 streets-by-region / Mdr22 streets-by-country
+    (``Mdr2x.java`` shared walk; ``Mdr21.java:28-58``/``Mdr22.java:
+    28-62``: sort by (city's region/country sort position =
+    ``Mdr5.calcMdr21SortPos``/``calcMdr22SortPos`` dense rank of the
+    group name, mdr7 street index), keep a record only when the street
+    index CHANGES — the lastIndex check runs across group boundaries —
+    and the group's mdr28/mdr29 value keeps the LAST kept record of its
+    run). Cities with no region are absent from Mdr21 (``Mdr21.java:
+    31-33``). mdr7 index = dense rank of distinct (street, map) as in
+    ``q_mdr20_streets``; ties at (sort pos, index) break by city name
+    (collation order of the mdr7 list)."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        city_num = (k * 7) % 50
+        return pd.DataFrame(
+            {
+                "street": pd.Series((k * 11) % 300).map("S{:03d}".format),
+                "city": pd.Series(city_num).map("C{:02d}".format),
+                "map_index": (k % 16).astype(np.int64),
+                "region_num": (city_num % 7).astype(np.int64),
+                "country": pd.Series(city_num % 3).map("X{:d}".format),
+            }
+        )
+
+    recs = _mdr_distinct(
+        sf_dir, derive,
+        ["street", "city", "map_index", "region_num", "country"],
+    )
+    # mdr7 index: dense rank of distinct (street, map)
+    pairs = recs[["street", "map_index"]].drop_duplicates().sort_values(
+        ["street", "map_index"]
+    )
+    pairs["mdr7_idx"] = np.arange(1, len(pairs) + 1, dtype=np.int64)
+    recs = recs.merge(pairs, on=["street", "map_index"])
+    recs["region"] = recs["region_num"].map("R{:d}".format)
+
+    def walk(sub: pd.DataFrame, grp_col: str, section: int) -> pd.DataFrame:
+        # group sort position = dense rank of the group name
+        pos = sub[grp_col].rank(method="dense").astype(np.int64)
+        sub = sub.assign(pos=pos).sort_values(
+            ["pos", "mdr7_idx", "city", "map_index"]
+        ).reset_index(drop=True)
+        kept = (
+            sub["mdr7_idx"] != sub["mdr7_idx"].shift()
+        ).to_numpy()
+        sub["record"] = np.cumsum(kept).astype(np.int64)
+        sub = sub[kept].copy()
+        sub["grp_val"] = (
+            sub.groupby(grp_col)["record"].transform("max").astype(np.int64)
+        )
+        sub["section"] = np.int64(section)
+        sub["grp"] = sub[grp_col]
+        return sub[
+            ["section", "record", "street", "city", "map_index",
+             "mdr7_idx", "grp", "grp_val"]
+        ]
+
+    m21 = walk(recs[recs["region_num"] > 0].copy(), "region", 21)
+    m22 = walk(recs.copy(), "country", 22)
+    out = pd.concat([m21, m22], ignore_index=True)
+    return out.sort_values(["section", "record"]).reset_index(drop=True)
+
+
+def q_mdr25_cities(sf_dir: str):
+    """Mdr25 cities-sorted-by-country / Mdr27 cities-sorted-by-region
+    (``Mdr25.java:31-66``: sort the global city list by (country name,
+    global index), collapse consecutive equal (name, region) records,
+    the country's mdr29 keeping its FIRST kept record; ``Mdr27.java:
+    30-58``: region-city list sorted by (region name, global index),
+    every record kept, the region's mdr28 keeping the record where its
+    name first appears). Global city list and index are
+    ``q_mdr5_cities``'s collapsed set."""
+    cities = q_mdr5_cities(sf_dir)[
+        ["global_idx", "name", "region", "country"]
+    ].copy()
+
+    m25 = cities.sort_values(["country", "global_idx"]).reset_index(
+        drop=True
+    )
+    prev = m25[["name", "region"]].shift()
+    kept = ~(
+        (m25["name"] == prev["name"]) & (m25["region"] == prev["region"])
+    )
+    m25["record"] = np.cumsum(kept.to_numpy()).astype(np.int64)
+    m25 = m25[kept.to_numpy()].copy()
+    m25["grp"] = m25["country"]
+    m25["grp_val"] = (
+        m25.groupby("country")["record"].transform("min").astype(np.int64)
+    )
+    m25["section"] = np.int64(25)
+
+    m27 = cities.sort_values(["region", "global_idx"]).reset_index(
+        drop=True
+    )
+    m27["record"] = np.arange(1, len(m27) + 1, dtype=np.int64)
+    m27["grp"] = m27["region"]
+    m27["grp_val"] = (
+        m27.groupby("region")["record"].transform("min").astype(np.int64)
+    )
+    m27["section"] = np.int64(27)
+
+    cols = ["section", "record", "global_idx", "name", "region",
+            "country", "grp", "grp_val"]
+    out = pd.concat([m25[cols], m27[cols]], ignore_index=True)
+    return out.sort_values(["section", "record"]).reset_index(drop=True)
+
+
+def q_mdr15_strings(sf_dir: str):
+    """Mdr15 string table (``Mdr15.java:createString``): every name is
+    written once at its FIRST use, offsets are cumulative byte positions
+    (``nextOffset += len + 1`` with a leading NUL so offsets start at 1).
+    ``MDRFile`` creates strings map-major (addCountry/addRegion/addCity/
+    addPoint/addStreet per map, ``MDRFile.java:156-262``); the analogue's
+    insertion order is (map, kind, name) over the distinct per-map record
+    sets."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        m = (k % 32).astype(np.int64)
+        frames = [
+            pd.DataFrame({"map_index": m, "kind": np.int64(0),
+                          "name": pd.Series(k % 3).map("X{:d}".format)}),
+            pd.DataFrame({"map_index": m, "kind": np.int64(1),
+                          "name": pd.Series(k % 7).map("R{:d}".format)}),
+            pd.DataFrame({"map_index": m, "kind": np.int64(2),
+                          "name": pd.Series((k * 7) % 500).map(
+                              "C{:03d}".format)}),
+            pd.DataFrame({"map_index": m, "kind": np.int64(3),
+                          "name": pd.Series((k * 11) % 300).map(
+                              "P{:03d}".format)}),
+            pd.DataFrame({"map_index": m, "kind": np.int64(4),
+                          "name": pd.Series((k * 11) % 300).map(
+                              "S{:03d}".format)}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    rows = _mdr_distinct(sf_dir, derive, ["map_index", "kind", "name"])
+    rows = rows.sort_values(["map_index", "kind", "name"]).reset_index(
+        drop=True
+    )
+    rows["seq"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    firsts = rows.loc[rows.groupby("name")["seq"].idxmin()].sort_values(
+        "seq"
+    ).reset_index(drop=True)
+    lens = firsts["name"].str.len().to_numpy(np.int64)
+    firsts["str_off"] = 1 + np.r_[0, np.cumsum(lens + 1)[:-1]]
+    firsts["str_len"] = lens
+    out = firsts.rename(
+        columns={"map_index": "first_map", "kind": "first_kind"}
+    )
+    return out[
+        ["name", "str_off", "str_len", "first_map", "first_kind"]
+    ].reset_index(drop=True)
+
+
+def q_mdr17_prefix(sf_dir: str):
+    """Mdr17 device prefix indexes (``Mdr17.java``/``PrefixIndex.java:
+    createFromList``): walk a name-sorted record list, emit an index
+    record whenever the length-``p`` prefix advances, pointing at the
+    1-based input record where the run starts. Streets use prefix length
+    4, cities length 2 (``Mdr17.java:20-23``). Street names here carry a
+    W-suffix so the 4-char prefix genuinely groups runs."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        a = (k * 11) % 40
+        b = k % 90
+        return pd.DataFrame(
+            {
+                "street": pd.Series(a * 100 + b).map(
+                    lambda v: "S{:03d}W{:02d}".format(v // 100, v % 100)
+                ),
+                "city": pd.Series((k * 7) % 50).map("C{:02d}".format),
+                "map_index": (k % 16).astype(np.int64),
+            }
+        )
+
+    recs = _mdr_distinct(sf_dir, derive, ["street", "city", "map_index"])
+
+    def prefix_walk(names: pd.DataFrame, col: str, plen: int,
+                    section: int) -> pd.DataFrame:
+        lst = names.sort_values([col, "map_index"]).reset_index(drop=True)
+        lst["in_rec"] = np.arange(1, len(lst) + 1, dtype=np.int64)
+        lst["prefix"] = lst[col].str[:plen]
+        new = (lst["prefix"] != lst["prefix"].shift()).to_numpy()
+        idx = lst[new].copy()
+        idx["out_rec"] = np.arange(1, len(idx) + 1, dtype=np.int64)
+        n = lst.groupby("prefix")["in_rec"].size().rename("n")
+        idx = idx.merge(n, on="prefix")
+        idx["section"] = np.int64(section)
+        return idx[["section", "out_rec", "prefix", "in_rec", "n"]]
+
+    streets = recs[["street", "map_index"]].drop_duplicates()
+    cities = recs[["city", "map_index"]].drop_duplicates()
+    out = pd.concat(
+        [
+            prefix_walk(streets, "street", 4, 0),
+            prefix_walk(cities, "city", 2, 1),
+        ],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["section", "out_rec"]).reset_index(drop=True)
+
+
+def q_mdr19_types(sf_dir: str):
+    """Mdr19 POIs-sorted-by-type + Mdr18 type boundaries (``Mdr19.java:
+    preWriteImpl`` natural-type sort, stable on the mdr11 record order;
+    ``writeSectData``: name-change flag per record, an Mdr18 record at
+    every type change holding the FIRST mdr19 record of the type run;
+    ``MdrUtils.fullTypeToNaturalType``: ``type << 5 | (full & 0x1f)``
+    for extended types)."""
+    rows = _mdr_poi_rows(sf_dir)
+    poi = rows[rows["grp"] > 0].copy()
+    full = poi["full_type"].to_numpy(np.int64)
+    typ = np.where((full & 0xFFF00) > 0, (full >> 8) & 0xFFF, full & 0xFF)
+    sub = np.where((full & ~0xFF) != 0, full & 0x1F, 0)
+    poi["natural_type"] = (typ << 5) | sub
+    poi = poi.sort_values(["natural_type", "mdr11_rec"]).reset_index(
+        drop=True
+    )
+    poi["mdr19_rec"] = np.arange(1, len(poi) + 1, dtype=np.int64)
+    poi["name_flag"] = (
+        poi["name"] != poi["name"].shift()
+    ).astype(np.int64)
+    poi["type_first"] = (
+        poi.groupby("natural_type")["mdr19_rec"].transform("min")
+        .astype(np.int64)
+    )
+    out = poi[
+        ["k", "natural_type", "mdr19_rec", "mdr11_rec", "name_flag",
+         "type_first"]
+    ].rename(columns={"k": "o_orderkey"})
+    return out.astype("int64")
+
+
 def q_installer_ids(sf_dir: str):
     """NSIS registry family ids (``combiners/NsisBuilder.java:55-57``):
     hex of 0x10000|familyId with the low two bytes swapped; the SQL

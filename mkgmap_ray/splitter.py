@@ -94,6 +94,54 @@ def element_stats(kind, n_points):
 STAT_COLS = ("n_pt", "n_ln", "n_sh", "est", "n_split")
 
 
+def predicted_num_points(lat_mu, lon_mu, offsets, resolution: int,
+                         preserved=None):
+    """Vectorized ``PredictFilterPoints.predictedMaxNumPoints``
+    (``filters/PredictFilterPoints.java:18-52``): how many points of each
+    line/shape survive rounding to ``resolution`` — round every map-unit
+    coordinate with the filters' +half-and-mask (``shift = 24 -
+    resolution``; shift 0 keeps all fraction bits), then count the first
+    point plus every point whose rounded position differs from its
+    predecessor; a ``preserved`` point (CoordNode / preserved flag)
+    always counts.
+
+    ``lat_mu``/``lon_mu`` are the FLATTENED map-unit coordinates of a
+    list column, ``offsets`` its int offsets (len = n_rows + 1) — the
+    zero-copy Arrow layout, so one pass serves the whole batch. Returns
+    int64 per-row counts (0 for empty rows)."""
+    lat_mu = np.asarray(lat_mu, np.int64)
+    lon_mu = np.asarray(lon_mu, np.int64)
+    offsets = np.asarray(offsets, np.int64)
+    shift = 24 - resolution
+    if shift <= 0:
+        half, mask = 0, ~np.int64(0)
+    else:
+        half = np.int64(1) << (shift - 1)
+        mask = ~((np.int64(1) << shift) - 1)
+    la = (lat_mu + half) & mask
+    lo = (lon_mu + half) & mask
+    n = len(la)
+    counts = np.zeros(max(len(offsets) - 1, 0), np.int64)
+    if n == 0:
+        return counts
+    changed = np.empty(n, bool)
+    changed[0] = True
+    changed[1:] = (la[1:] != la[:-1]) | (lo[1:] != lo[:-1])
+    if preserved is not None:
+        changed |= np.asarray(preserved, bool)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    # each row's first point always counts (numPoints==0 branch)
+    changed[starts[nonempty]] = True
+    if nonempty.any():
+        # empty rows are zero-width, so consecutive nonempty starts
+        # still partition the flat array into exactly the row ranges
+        counts[nonempty] = np.add.reduceat(
+            changed.astype(np.int64), starts[nonempty]
+        )
+    return counts
+
+
 def decide_split(
     bounds, shift: int, limits: SplitLimits,
     n_pt: int, n_ln: int, est: int, n_split: int,

@@ -66,6 +66,135 @@ class StyleDirLoader:
         (``StyleFileLoader.createStyleLoader``)."""
         return StyleDirLoader(self.root.parent / style_name)
 
+    def list(self) -> list[str]:
+        """Style names under this directory: subdirs holding a
+        ``version`` file, or this directory itself
+        (``DirectoryFileLoader.list``)."""
+        subs = sorted(
+            p.name for p in self.root.iterdir()
+            if p.is_dir() and (p / "version").is_file()
+        )
+        return subs or [self.root.name]
+
+
+class StyleZipLoader:
+    """Opens style files inside a zip archive — the ``JarFileLoader``
+    analogue (jars ARE zips; ``osmstyle/JarFileLoader.java:36-120``).
+    The style's entry prefix is found by searching the archive for
+    ``version`` / ``<name>/version`` (``searchVersion``)."""
+
+    def __init__(self, zip_path: str | Path, name: str | None = None,
+                 prefix: str | None = None, _zf=None):
+        import zipfile
+
+        self.zip_path = Path(zip_path)
+        self._zf = _zf or zipfile.ZipFile(self.zip_path)
+        if prefix is not None:
+            self.prefix = prefix
+        else:
+            self.prefix = self._search_version(name)
+        # include-cycle key base, mirroring StyleDirLoader.root
+        self.root = f"{self.zip_path}!{self.prefix}"
+
+    def _search_version(self, name: str | None) -> str:
+        flat_end = "version" if name is None else f"{name}/version"
+        end = "/" + flat_end
+        for ename in self._zf.namelist():
+            if ename.endswith(end) or ename == flat_end:
+                return ename[: len(ename) - len("version")]
+        raise FileNotFoundError(
+            f"style {name or ''} not found in {self.zip_path}"
+        )
+
+    def open(self, filename: str) -> str:
+        path = self.prefix + filename
+        try:
+            return self._zf.read(path).decode("utf-8")
+        except KeyError:
+            raise FileNotFoundError(
+                f"{filename} not in style zip {self.zip_path}"
+            )
+
+    def sibling(self, style_name: str) -> "StyleZipLoader":
+        """``include ... from 'other'`` within the same archive: the
+        sibling style lives next to this one under the common root."""
+        parent = self.prefix.rstrip("/").rsplit("/", 1)
+        root = parent[0] + "/" if len(parent) == 2 else ""
+        return StyleZipLoader(
+            self.zip_path, prefix=f"{root}{style_name}/", _zf=self._zf
+        )
+
+    def list(self) -> list[str]:
+        """Names of all styles (dirs with a version entry) in the
+        archive (``JarFileLoader.list``)."""
+        out = []
+        for ename in self._zf.namelist():
+            if ename == "version":
+                out.append(self.zip_path.stem)
+            elif ename.endswith("/version"):
+                out.append(ename[: -len("/version")].rsplit("/", 1)[-1])
+        return sorted(set(out))
+
+
+class CombinedStyleLoader:
+    """A single ``.style`` file holding every style file between
+    ``<<<filename>>>`` markers (``CombinedStyleFileLoader.java:
+    40-75``)."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.root = str(self.path)  # include-cycle key base
+        self.files: dict[str, str] = {}
+        current_name = None
+        current: list[str] = []
+        for line in self.path.read_text().splitlines():
+            if line.startswith("<<<"):
+                if current_name is not None:
+                    self.files[current_name] = "\n".join(current) + "\n"
+                current_name = re.sub(r">>>.*", "", line[3:]).strip()
+                current = []
+            else:
+                current.append(line)
+        if current_name is not None:
+            self.files[current_name] = "\n".join(current) + "\n"
+
+    def open(self, filename: str) -> str:
+        if filename not in self.files:
+            raise FileNotFoundError(f"{filename} not in {self.path}")
+        return self.files[filename]
+
+    def sibling(self, style_name: str):
+        raise FileNotFoundError("no sub styles in a simple style file")
+
+    def list(self) -> list[str]:
+        return [self.path.stem]
+
+
+def create_style_loader(loc: str | Path, name: str | None = None):
+    """``StyleFileLoader.createStyleLoader`` dispatch (java:48-97):
+    directory → :class:`StyleDirLoader` (descending into ``name`` when
+    it names a sub-style), ``*.style`` file → combined single-file
+    loader (no sub-styles), any other file → zip archive loader."""
+    p = Path(loc)
+    if p.is_dir():
+        d = p
+        if name is not None:
+            sub = p / name
+            if not sub.exists():
+                raise FileNotFoundError(f"style {name} not found in {sub}")
+            if sub.is_dir():
+                d = sub
+        return StyleDirLoader(d)
+    if p.is_file():
+        if p.suffix.lower() == ".style":
+            if name is not None:
+                raise FileNotFoundError(
+                    "no sub styles in a simple style file"
+                )
+            return CombinedStyleLoader(p)
+        return StyleZipLoader(p, name)
+    raise FileNotFoundError(f"no such file or path: {loc}")
+
 
 def resolve_includes(text: str, loader: StyleDirLoader,
                      _stack: tuple[str, ...] = ()) -> str:
@@ -266,11 +395,13 @@ class StyleDef:
 
 
 def load_style(root: str | Path, name: str | None = None) -> StyleDef:
-    """Load a style directory into a ``StyleDef``: mandatory ``version``
+    """Load a style into a ``StyleDef``: mandatory ``version``
     (``StyleImpl.checkVersion``), optional ``info``/``options``, and each
     rule file passed through include-resolution → line-joining →
-    if-expansion → finalize-split."""
-    loader = StyleDirLoader(root)
+    if-expansion → finalize-split. ``root`` may be a style directory, a
+    zip archive of styles, or a combined ``.style`` file
+    (``create_style_loader`` dispatch)."""
+    loader = create_style_loader(root, name)
     try:
         version = int(loader.open("version").split()[0])
     except FileNotFoundError:

@@ -148,3 +148,81 @@ def test_feature_centers_points_vs_lines():
     )
     assert lat_c.tolist() == [100 << DELTA_SHIFT, 150 << DELTA_SHIFT]
     assert lon_c.tolist() == [50 << DELTA_SHIFT, 100 << DELTA_SHIFT]
+
+
+class TestPredictFilterPoints:
+    """predicted_num_points vs a scalar replay of
+    PredictFilterPoints.predictedMaxNumPoints (java:18-52)."""
+
+    @staticmethod
+    def _scalar(points, resolution, preserved=None):
+        shift = 24 - resolution
+        if shift <= 0:
+            half, mask = 0, ~0
+        else:
+            half, mask = 1 << (shift - 1), ~((1 << shift) - 1)
+        n = 0
+        last = None
+        for i, (la, lo) in enumerate(points):
+            r = ((la + half) & mask, (lo + half) & mask)
+            if n == 0:
+                n = 1
+            elif r != last or (preserved is not None and preserved[i]):
+                n += 1
+            last = r
+        return n
+
+    def test_matches_scalar_oracle_randomized(self):
+        import numpy as np
+
+        from mkgmap_ray.splitter import predicted_num_points
+
+        rng = np.random.default_rng(42)
+        for resolution in (24, 20, 16, 12):
+            lens = rng.integers(0, 12, size=60)
+            offsets = np.r_[0, np.cumsum(lens)]
+            total = int(offsets[-1])
+            # coarse steps so rounding genuinely merges runs
+            lat = rng.integers(0, 1 << 12, size=total) * rng.integers(
+                1, 64, size=total
+            )
+            lon = rng.integers(0, 1 << 12, size=total) * rng.integers(
+                1, 64, size=total
+            )
+            got = predicted_num_points(lat, lon, offsets, resolution)
+            for i in range(len(lens)):
+                pts = list(
+                    zip(
+                        lat[offsets[i]:offsets[i + 1]].tolist(),
+                        lon[offsets[i]:offsets[i + 1]].tolist(),
+                    )
+                )
+                assert got[i] == self._scalar(pts, resolution), (
+                    i, resolution, pts,
+                )
+
+    def test_preserved_points_always_count(self):
+        import numpy as np
+
+        from mkgmap_ray.splitter import predicted_num_points
+
+        # all points round to the same cell; preserved ones still count
+        lat = np.array([0, 1, 2, 3], np.int64)
+        lon = np.array([0, 1, 2, 3], np.int64)
+        offsets = np.array([0, 4], np.int64)
+        assert predicted_num_points(lat, lon, offsets, 16)[0] == 1
+        pres = np.array([False, False, True, False])
+        assert predicted_num_points(
+            lat, lon, offsets, 16, preserved=pres
+        )[0] == 2
+
+    def test_empty_rows(self):
+        import numpy as np
+
+        from mkgmap_ray.splitter import predicted_num_points
+
+        lat = np.array([100, 200], np.int64)
+        lon = np.array([100, 200], np.int64)
+        offsets = np.array([0, 0, 2, 2], np.int64)
+        got = predicted_num_points(lat, lon, offsets, 24)
+        assert got.tolist() == [0, 2, 0]

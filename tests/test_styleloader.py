@@ -230,3 +230,72 @@ WAY 1: Line 0x4, labels=[null, null, null, null], res=24-24 (1/1),(2/2),
 """
         _, diffs = check_style_test(text)
         assert diffs
+
+
+class TestZipAndCombined:
+    def _zip_styles(self, tmp_path):
+        import zipfile
+
+        zp = tmp_path / "styles.zip"
+        with zipfile.ZipFile(zp, "w") as zf:
+            zf.writestr("styles/main/version", "1\n")
+            zf.writestr("styles/main/options", "levels = 0:24, 1:22\n")
+            zf.writestr(
+                "styles/main/lines",
+                "a=1 [0x1]\ninclude 'x' from 'other';\n",
+            )
+            zf.writestr("styles/other/version", "1\n")
+            zf.writestr("styles/other/x", "b=2 [0x2]\n")
+        return zp
+
+    def test_zip_loader_open_and_sibling_include(self, tmp_path):
+        from mkgmap_ray.style.loader import StyleZipLoader
+
+        zp = self._zip_styles(tmp_path)
+        ld = StyleZipLoader(zp, "main")
+        assert ld.open("version").strip() == "1"
+        assert sorted(ld.list()) == ["main", "other"]
+        sib = ld.sibling("other")
+        assert sib.open("x").strip() == "b=2 [0x2]"
+
+    def test_load_style_from_zip_resolves_cross_style_include(
+        self, tmp_path
+    ):
+        zp = self._zip_styles(tmp_path)
+        sd = load_style(zp, "main")
+        lines = [
+            ln for ln in sd.rule_text["lines"].splitlines() if ln.strip()
+        ]
+        assert lines == ["a=1 [0x1]", "b=2 [0x2]"]
+        assert sd.levels == [(0, 24), (1, 22)]
+
+    def test_combined_style_file(self, tmp_path):
+        p = tmp_path / "solo.style"
+        p.write_text(
+            "<<<version>>>\n1\n"
+            "<<<lines>>>\na=1 [0x1]\nc=3 [0x3]\n"
+            "<<<points>>>\nd=4 [0x4]\n"
+        )
+        sd = load_style(p)
+        assert "a=1 [0x1]" in sd.rule_text["lines"]
+        assert "d=4 [0x4]" in sd.rule_text["points"]
+
+    def test_dispatch(self, tmp_path):
+        from mkgmap_ray.style.loader import (
+            CombinedStyleLoader,
+            StyleDirLoader,
+            StyleZipLoader,
+            create_style_loader,
+        )
+
+        d = write_style(tmp_path, "plain", {"version": "1"})
+        assert isinstance(create_style_loader(d), StyleDirLoader)
+        zp = self._zip_styles(tmp_path)
+        assert isinstance(create_style_loader(zp, "main"), StyleZipLoader)
+        p = tmp_path / "one.style"
+        p.write_text("<<<version>>>\n1\n")
+        assert isinstance(create_style_loader(p), CombinedStyleLoader)
+        with pytest.raises(FileNotFoundError, match="no sub styles"):
+            create_style_loader(p, "sub")
+        with pytest.raises(FileNotFoundError):
+            create_style_loader(tmp_path / "missing")
