@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..geom.clip import clip_segments_np
-from ..util import pool_concurrency
+from ..util import pool_concurrency, stateful_map_batches
 from ..stages.ann import topk_dot, quantize
 from ..stages.dedup import (
     MinHashSig,
@@ -152,11 +152,10 @@ def q_pip_regions(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
         add_coords, batch_format="pyarrow", batch_size=None
     )
-    joined = ds.map_batches(
-        PIPJoin,
-        fn_constructor_kwargs=dict(polygons_ref=polys, raster_shift=14),
+    joined = stateful_map_batches(
+        ds, PIPJoin,
+        fn_kwargs=dict(polygons_ref=polys, raster_shift=14),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     out = joined.to_pandas()[["event_id", "boundary_id"]]
     return out.rename(columns={"boundary_id": "region_id"}).astype("int64")

@@ -60,19 +60,17 @@ class TopKDotPartial:
         ids = np.asarray(batch[self.id_col].combine_chunks(), np.int64)
         scores = emb @ self.qt  # n × nq, exact int64
         k = min(self.k, len(ids))
-        out_q, out_id, out_s = [], [], []
-        for qi in range(scores.shape[1]):
-            col = scores[:, qi]
-            # top-k by (score desc, id asc) — deterministic
-            order = np.lexsort((ids, -col))[:k]
-            out_q.append(np.full(k, self.q_ids[qi], np.int64))
-            out_id.append(ids[order])
-            out_s.append(col[order])
+        # all queries at once: per-column top-k by (score desc, id asc)
+        ids_b = np.broadcast_to(ids[:, None], scores.shape)
+        order = np.lexsort((ids_b, -scores), axis=0)[:k]  # (k, nq)
+        out_id = np.take_along_axis(ids_b, order, axis=0).T.ravel()
+        out_s = np.take_along_axis(scores, order, axis=0).T.ravel()
+        out_q = np.repeat(self.q_ids, k)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.int64()),
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
             }
         )
 
@@ -338,23 +336,18 @@ class IVFTopKPartial:
         sims = self.q_mat @ self.centroids.T
         order = np.argsort(-sims, axis=1, kind="stable")
         self.probe = order[:, :nprobe]  # (nq, nprobe)
+        # (n_centroids, nq) membership: probe_lut[c, qi] ⇔ c in probe[qi]
+        nq = len(self.q_ids)
+        self.probe_lut = np.zeros((len(self.centroids), nq), bool)
+        self.probe_lut[
+            self.probe.reshape(-1), np.repeat(np.arange(nq), nprobe)
+        ] = True
+
+    _NEG = np.int64(-(1 << 62))  # invalid-score sentinel (negatable)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].combine_chunks(), np.int64)
-        mat = quantize(_emb_matrix(batch, self.emb_col))
-        # assign batch vectors to their nearest centroid
-        assign = np.argmax(mat @ self.centroids.T, axis=1)
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.q_ids):
-            m = np.isin(assign, self.probe[qi])
-            if not m.any():
-                continue
-            scores = mat[m] @ self.q_mat[qi]
-            sel = np.argsort(-scores, kind="stable")[: self.k]
-            out_q.append(np.full(len(sel), qid, np.int64))
-            out_v.append(ids[m][sel])
-            out_s.append(scores[sel].astype(np.int64))
-        if not out_q:
+        if len(ids) == 0:
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
@@ -362,11 +355,25 @@ class IVFTopKPartial:
                     "score": pa.array([], pa.int64()),
                 }
             )
+        mat = quantize(_emb_matrix(batch, self.emb_col))
+        # assign batch vectors to their nearest centroid
+        assign = np.argmax(mat @ self.centroids.T, axis=1)
+        # all queries at once: mask scores outside each query's probe set,
+        # then a single per-column top-k by (score desc, id asc)
+        valid = self.probe_lut[assign]  # (n, nq)
+        scores = np.where(valid, mat @ self.q_mat.T, self._NEG)
+        k = min(self.k, len(ids))
+        ids_b = np.broadcast_to(ids[:, None], scores.shape)
+        order = np.lexsort((ids_b, -scores), axis=0)[:k]  # (k, nq)
+        out_v = np.take_along_axis(ids_b, order, axis=0).T.ravel()
+        out_s = np.take_along_axis(scores, order, axis=0).T.ravel()
+        out_q = np.repeat(self.q_ids, k)
+        keep = out_s != self._NEG
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "score": pa.array(np.concatenate(out_s), pa.int64()),
+                "query_id": pa.array(out_q[keep], pa.int64()),
+                "vec_id": pa.array(out_v[keep], pa.int64()),
+                "score": pa.array(out_s[keep], pa.int64()),
             }
         )
 

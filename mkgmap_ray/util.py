@@ -52,3 +52,25 @@ def pool_concurrency(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return (lo, max(2, int(cpus * frac)))
+
+
+def stateful_map_batches(ds, cls, fn_kwargs=None, **kw):
+    """``map_batches`` with a stateful class UDF, cluster-size aware.
+
+    Normal clusters get the actor-pool form (setup once per actor in
+    ``__init__``). On a ≤1-CPU cluster an actor pool DEADLOCKS the
+    streaming executor: the pool's actor pins the only CPU while the
+    upstream task operator (e.g. ReadParquet) waits for one, so nothing
+    ever feeds the actor. There we construct the instance once on the
+    driver and pass it as a plain callable — Ray Data runs it in the
+    task pool (the UDF ships to the object store once), and the single
+    CPU time-slices tasks normally."""
+    import ray
+
+    fn_kwargs = fn_kwargs or {}
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if cpus <= 1:
+        kw.pop("concurrency", None)
+        return ds.map_batches(cls(**fn_kwargs), **kw)
+    kw.setdefault("concurrency", pool_concurrency())
+    return ds.map_batches(cls, fn_constructor_kwargs=fn_kwargs, **kw)
