@@ -37,6 +37,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     finding 1)."""
     return {
         # --- new in round 4 ---
+        "mdr4_types": Q.q_mdr4_types,
+        "mdr6_zips": Q.q_mdr6_zips,
+        "mdr12_prefix": Q.q_mdr12_prefix,
+        "mdr26_sort": Q.q_mdr26_sort,
+        "overlay_expand": Q.q_overlay_expand,
+        "cycleway_synth": Q.q_cycleway_synth,
+        "name_finder": Q.q_name_finder,
+        "prefix_suffix": Q.q_prefix_suffix,
+        "round_obsolete": Q.q_round_obsolete,
+        "estimated_sizes": Q.q_estimated_sizes,
         "mdr13_regions": Q.q_mdr13_regions,
         "mdr29_countries": Q.q_mdr29_countries,
         "mdr2x_streets": Q.q_mdr2x_streets,
@@ -1060,6 +1070,199 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(mdr19_rec) OVER (PARTITION BY natural_type)
                         AS BIGINT) AS type_first
             FROM ordered ORDER BY mdr19_rec
+        """,
+        "mdr4_types": """
+            WITH ft AS (
+              SELECT CASE o_orderkey % 6
+                       WHEN 0 THEN 4
+                       WHEN 1 THEN 10752 + o_orderkey % 7
+                       WHEN 2 THEN 11520 + o_orderkey % 4
+                       WHEN 3 THEN 10240
+                       WHEN 4 THEN 25600 + o_orderkey % 5
+                       ELSE 11008 + o_orderkey % 3 END AS f
+              FROM orders
+            ), ts AS (
+              SELECT DISTINCT
+                CASE WHEN f > 255 THEN (f >> 8) & 255 ELSE f END AS type,
+                CASE WHEN f > 255 THEN f & 255 ELSE 0 END AS subtype
+              FROM ft
+            ), keyed AS (
+              SELECT *, ((type << 8) + subtype) & 65535 AS sort_key
+              FROM ts
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sort_key) AS BIGINT)
+                       AS mdr4_rec,
+                   CAST(type AS BIGINT) AS type,
+                   CAST(0 AS BIGINT) AS unknown,
+                   CAST(subtype AS BIGINT) AS subtype,
+                   CAST(sort_key AS BIGINT) AS sort_key,
+                   CAST(3 AS BIGINT) AS item_size
+            FROM keyed ORDER BY sort_key
+        """,
+        "mdr6_zips": """
+            WITH zs AS (
+              SELECT DISTINCT o_orderkey % 24 AS map_index,
+                              (o_orderkey * 13) % 60 AS zip_num
+              FROM orders
+            ), named AS (
+              SELECT map_index, zip_num,
+                     printf('Z%04d', zip_num) AS name,
+                     dense_rank() OVER (PARTITION BY map_index
+                                        ORDER BY zip_num) AS zip_index,
+                     dense_rank() OVER (ORDER BY zip_num) AS name_rank
+              FROM zs
+            )
+            SELECT CAST(row_number() OVER (ORDER BY name, map_index)
+                        AS BIGINT) AS mdr6_rec,
+                   CAST(map_index AS BIGINT) AS map_index,
+                   CAST(zip_index AS BIGINT) AS zip_index,
+                   name,
+                   CAST(1 + 6 * (name_rank - 1) AS BIGINT) AS str_off
+            FROM named ORDER BY name, map_index
+        """,
+        "mdr12_prefix": f"""
+            WITH poi AS ({_MDR_POI_SQL})
+            SELECT substr(name, 1, 4) AS prefix,
+                   CAST(min(mdr11_rec) AS BIGINT) AS first_rec,
+                   CAST(count(*) AS BIGINT) AS n_records
+            FROM poi GROUP BY 1 ORDER BY 1
+        """,
+        "mdr26_sort": """
+            WITH regs AS (
+              SELECT DISTINCT 1 + o_orderkey % 20 AS region_idx
+              FROM orders
+            ), named AS (
+              SELECT region_idx,
+                     printf('R%02d', region_idx) AS name,
+                     printf('X%d', 1 + region_idx % 5) AS country
+              FROM regs
+            ), m28 AS (
+              SELECT *, row_number() OVER (ORDER BY name) AS mdr28_idx
+              FROM named
+            ), m26 AS (
+              SELECT *, row_number() OVER (ORDER BY country, mdr28_idx)
+                            AS mdr26_rec
+              FROM m28
+            )
+            SELECT CAST(mdr26_rec AS BIGINT) AS mdr26_rec,
+                   CAST(mdr28_idx AS BIGINT) AS mdr28_idx,
+                   name, country,
+                   CAST(min(mdr26_rec) OVER (PARTITION BY country)
+                        AS BIGINT) AS mdr29_mdr26
+            FROM m26 ORDER BY mdr26_rec
+        """,
+        "overlay_expand": """
+            WITH t AS (
+              SELECT o_orderkey, 1 + o_orderkey % 8 AS g FROM orders
+            ), fan AS (
+              SELECT o_orderkey, g AS og FROM t WHERE g NOT IN (2, 5)
+              UNION ALL SELECT o_orderkey, 32 FROM t WHERE g = 2
+              UNION ALL SELECT o_orderkey, 33 FROM t WHERE g = 2
+              UNION ALL SELECT o_orderkey, 48 FROM t WHERE g = 5
+              UNION ALL SELECT o_orderkey, 49 FROM t WHERE g = 5
+              UNION ALL SELECT o_orderkey, 50 FROM t WHERE g = 5
+            )
+            SELECT o_orderkey, CAST(og AS BIGINT) AS gtype
+            FROM fan ORDER BY o_orderkey, gtype
+        """,
+        "cycleway_synth": """
+            WITH k AS (SELECT o_orderkey AS w FROM orders),
+            orig AS (
+              SELECT w AS way_id,
+                CASE WHEN w % 4 = 0 THEN 'no'
+                     WHEN w % 7 = 0 THEN 'designated' ELSE '' END AS bicycle,
+                '' AS access,
+                CASE WHEN w % 3 = 0 THEN 'yes' ELSE '' END AS oneway,
+                CASE WHEN w % 5 = 0 THEN 'no' ELSE '' END AS foot,
+                '' AS synthesised
+              FROM k
+            ), synth AS (
+              SELECT w AS way_id, 'yes' AS bicycle, 'no' AS access,
+                     'no' AS oneway, '' AS foot, 'yes' AS synthesised
+              FROM k WHERE w % 4 = 0
+            )
+            SELECT * FROM (
+              SELECT * FROM orig UNION ALL SELECT * FROM synth
+            ) ORDER BY way_id, synthesised
+        """,
+        "name_finder": """
+            SELECT o_orderkey,
+              CASE WHEN o_orderkey % 2 = 0
+                     THEN 'NM' || CAST(o_orderkey % 50 AS VARCHAR)
+                   WHEN o_orderkey % 3 = 0
+                     THEN 'PL' || CAST(o_orderkey % 40 AS VARCHAR)
+                   WHEN o_orderkey % 5 = 0
+                     THEN 'LC' || CAST(o_orderkey % 30 AS VARCHAR)
+                   ELSE '' END AS label
+            FROM orders ORDER BY o_orderkey
+        """,
+        "prefix_suffix": """
+            SELECT o_orderkey,
+              CASE o_orderkey % 6
+                WHEN 0 THEN 'Rue de la Paix' WHEN 1 THEN 'Avenue Foch'
+                WHEN 2 THEN 'The Mall' WHEN 3 THEN 'Baker Street'
+                WHEN 4 THEN 'Hauptstrasse' ELSE 'Am Ring' END AS label,
+              CASE o_orderkey % 6
+                WHEN 0 THEN 'FRA' WHEN 1 THEN 'FRA' WHEN 2 THEN 'GBR'
+                WHEN 3 THEN 'GBR' WHEN 4 THEN 'DEU' ELSE 'DEU' END
+                  AS country,
+              CASE o_orderkey % 6
+                WHEN 0 THEN 'Rue de la' || chr(30) || 'Paix'
+                WHEN 1 THEN 'Avenue' || chr(30) || 'Foch'
+                WHEN 2 THEN 'The' || chr(30) || 'Mall'
+                WHEN 3 THEN 'Baker' || chr(31) || 'Street'
+                WHEN 4 THEN 'Haupt' || chr(28) || 'strasse'
+                ELSE 'Am' || chr(30) || 'Ring' END AS filtered
+            FROM orders ORDER BY o_orderkey
+        """,
+        "round_obsolete": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderkey % 12 AS s FROM orders
+            ), p AS (
+              SELECT o_orderkey, s, u.j FROM t,
+                LATERAL unnest(range(0, 5)) AS u(j)
+            ), q AS (
+              SELECT *, 2 * (s % 7 + 1) AS x1, 2 * (s % 5 + 1) AS y1,
+                     s % 6 + 1 AS e, -(s % 4 + 1) AS f,
+                     s % 5 + 1 AS g, s % 3 + 1 AS h2
+              FROM p
+            )
+            SELECT o_orderkey, CAST(j AS BIGINT) AS j,
+              CAST(CASE j WHEN 0 THEN 0 WHEN 1 THEN y1
+                   WHEN 2 THEN y1 + f WHEN 3 THEN y1 + 2*f
+                   ELSE y1 + 2*f + 2*h2 END AS BIGINT) AS lat_mu,
+              CAST(CASE j WHEN 0 THEN 0 WHEN 1 THEN x1
+                   WHEN 2 THEN x1 + e + (s % 2) WHEN 3 THEN x1 + 2*e
+                   ELSE x1 + 2*e + 2*g END AS BIGINT) AS lon_mu,
+              CAST(CASE WHEN j = 2 AND s % 2 = 0 THEN 0 ELSE 1 END
+                   AS BIGINT) AS keep
+            FROM q ORDER BY o_orderkey, j
+        """,
+        "estimated_sizes": """
+            WITH t AS (
+              SELECT o_orderkey, o_orderkey % 3 AS kind,
+                CASE WHEN o_orderkey % 3 = 0 THEN 1
+                     ELSE 2 + o_orderkey % 497 END AS npts
+              FROM orders
+            ), s AS (
+              SELECT *, 1 + (npts - 1) // 250 AS ne,
+                (kind = 1 AND npts > 1) AS ln_active,
+                (kind = 2 AND npts > 3) AS sh_active
+              FROM t
+            )
+            SELECT o_orderkey, CAST(kind AS BIGINT) AS kind,
+              CAST(npts AS BIGINT) AS n_points,
+              CAST(CASE WHEN kind = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_pt,
+              CAST(CASE WHEN ln_active THEN ne ELSE 0 END AS BIGINT)
+                  AS n_ln,
+              CAST(CASE WHEN sh_active THEN ne ELSE 0 END AS BIGINT)
+                  AS n_sh,
+              CAST(CASE WHEN kind = 0 THEN 9
+                   WHEN ln_active OR sh_active THEN ne * 11 + npts * 4
+                   ELSE 0 END AS BIGINT) AS est_bytes,
+              CAST(CASE WHEN kind = 2 THEN 2 ELSE 1 END AS BIGINT)
+                  AS n_split
+            FROM s ORDER BY o_orderkey
         """,
         "ann_ivf": _ann_exact_topk_sql(),
         "rgn_bitstream": """

@@ -123,9 +123,27 @@ QUERY_NAMES = [
     "phash_cluster",
     "mdr9_groups",
     "mdr1_reverse",
+    "mdr4_types",
+    "mdr6_zips",
+    "mdr12_prefix",
+    "mdr26_sort",
+    "overlay_expand",
+    "cycleway_synth",
+    "name_finder",
+    "prefix_suffix",
+    "round_obsolete",
+    "estimated_sizes",
     "house_repair",
     "sea_gaps",
     "label_cp932",
+    "mdr13_regions",
+    "mdr29_countries",
+    "mdr2x_streets",
+    "mdr25_cities",
+    "mdr15_strings",
+    "mdr17_prefix",
+    "mdr19_types",
+    "predict_points",
 ]
 
 
@@ -227,6 +245,19 @@ def run_full(
         ray.init(
             address="local", num_cpus=num_cpus, include_dashboard=False,
             logging_level="ERROR",
+        )
+    # 24 MiB blocks (vs Ray's 128 MiB default): plasma writes of 128 MB
+    # objects do NOT scale across workers on this host (304 MB/s
+    # aggregate at 4 workers vs 2.5 GB/s with 16 MB objects — the kernel
+    # serializes large-object page faults), and >32 MB buffers also fall
+    # off glibc's mmap-threshold fast path. Small blocks restore
+    # parallel plasma writes; see the round-4 block study in BASELINE.md.
+    blk_mb = os.environ.get("MKGMAP_BLOCK_MB", "24")
+    if blk_mb:
+        from ray.data import DataContext
+
+        DataContext.get_current().target_max_block_size = (
+            int(blk_mb) * 1024 * 1024
         )
     from mkgmap_ray.pipelines import queries as Q
 

@@ -29,8 +29,12 @@ Engine form, group-local per tile:
   (that would merge roundabout exits), and roundabout points are never
   removed. 2-point ways likewise never merge to a single point.
 
-Still out of scope vs the reference: the overlap/spike extra pass and
-the restriction-relation bookkeeping.
+Also covered: the spike/overlap extra pass (``WrongAngleFixer.java:
+730-734`` extra remove; ``:996-1009`` extra move) — an interior point
+whose neighbours round to the same Garmin position is removed when
+unshared, else collapsed onto the duplicated position unless the pair
+is a bad-merge candidate. Still out of scope: the restriction-relation
+bookkeeping.
 """
 
 from __future__ import annotations
@@ -191,6 +195,39 @@ def fix_wrong_angles(lines_hp, shift_bits: int = 6, roundabout=None,
                     changed = True
                 else:
                     i += 1
+        if not changed:
+            break
+
+    # spike / overlap extra pass (``WrongAngleFixer.java:730-734``
+    # extra remove in the obsolete-points walk — runs for every way,
+    # not only bearing-bad ones; ``:996-1009`` extra move): an interior
+    # point whose two neighbours round to the SAME Garmin position
+    # forms a zero-width spike — remove it when unshared, else collapse
+    # it onto the duplicated neighbour position unless that pair is a
+    # bad-merge candidate. Collapses can expose new spikes: fixpoint.
+    for _ in range(MAX_PASS):
+        changed = False
+        for li, pts in enumerate(lines):
+            i = 1
+            while i < len(pts) - 1:
+                p = pts[i]
+                prev_p, next_p = pts[i - 1], pts[i + 1]
+                if pos[prev_p] != pos[next_p] or pos[p] == pos[prev_p]:
+                    i += 1
+                    continue
+                if use.get(p, 0) <= 1 and p not in no_remove:
+                    del pts[i]
+                    use[p] -= 1
+                    changed = True
+                    continue
+                if (
+                    frozenset((p, prev_p)) not in bad_merge
+                    and frozenset((p, next_p)) not in bad_merge
+                    and p not in no_remove
+                ):
+                    pos[p] = pos[prev_p]
+                    changed = True
+                i += 1
         if not changed:
             break
 

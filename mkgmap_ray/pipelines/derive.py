@@ -220,27 +220,42 @@ def features_dataset(sf_dir: str, repeat: int = 1):
     ``repeat`` > 1 deterministically replicates each source row into
     ``repeat`` distinct features (salted keys) — used by the scaling
     benchmark to reach a compute-dominant input size from small testdata.
+
+    Read blocks are sized by OUTPUT rows (source rows × ``repeat``), not
+    source bytes: downstream map tasks (assign/clip) are one task per
+    block, so without this a high ``repeat`` leaves a handful of huge,
+    skewed tasks (round-4 measurement: 24 clip tasks, max 31 s vs mean
+    2.6 s — utilization ~25%). ``MKGMAP_FEATURE_BLOCK_ROWS`` sets the
+    target output rows per block (default 150k).
     """
     import functools
+    import os
 
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id"]
-    ).map_batches(
+    target = int(os.environ.get("MKGMAP_FEATURE_BLOCK_ROWS", 150_000))
+
+    def _read(name: str, columns, fan: int):
+        path = f"{sf_dir}/{name}.parquet"
+        rows = pq.ParquetFile(path).metadata.num_rows * repeat * fan
+        n_blocks = max(4, min(1024, rows // max(target, 1)))
+        return rd.read_parquet(
+            path, columns=columns, override_num_blocks=n_blocks
+        )
+
+    ev = _read("events", ["event_id"], 1).map_batches(
         functools.partial(_events_to_features, repeat=repeat),
         batch_format="pyarrow", batch_size=None,
     )
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    li = _read(
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"], 1,
     ).map_batches(
         functools.partial(_lineitem_to_features, repeat=repeat),
         batch_format="pyarrow", batch_size=None,
     )
-    od = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
-    ).map_batches(
+    od = _read("orders", ["o_orderkey"], 1).map_batches(
         functools.partial(_orders_to_features, repeat=repeat),
         batch_format="pyarrow", batch_size=None,
     )

@@ -5082,6 +5082,358 @@ def q_mdr19_types(sf_dir: str):
     return out.astype("int64")
 
 
+def q_mdr4_types(sf_dir: str):
+    """Mdr4 POI-type list (``imgfmt/app/mdr/Mdr4.java:37-49``: distinct
+    (type, unknown=0, subtype) triples sorted by ``Mdr4Record.compareTo``
+    = ``((type<<8)+subtype) & 0xffff``, 3 bytes per record). Fixture:
+    full types with a subtype spread so the distinct set exercises both
+    simple (< 0x100, subtype 0) and extended types."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = k % 6
+        full = np.select(
+            [sel == 0, sel == 1, sel == 2, sel == 3, sel == 4],
+            [0x04, 0x2A00 + (k % 7), 0x2D00 + (k % 4), 0x2800,
+             0x6400 + (k % 5)],
+            0x2B00 + (k % 3),
+        )
+        typ = np.where(full > 0xFF, (full >> 8) & 0xFF, full)
+        sub = np.where(full > 0xFF, full & 0xFF, 0)
+        return pd.DataFrame({"type": typ, "subtype": sub})
+
+    rows = _mdr_distinct(sf_dir, derive, ["type", "subtype"])
+    rows["sort_key"] = (
+        ((rows["type"].to_numpy(np.int64) << 8)
+         + rows["subtype"].to_numpy(np.int64)) & 0xFFFF
+    )
+    rows = rows.sort_values("sort_key").reset_index(drop=True)
+    rows["mdr4_rec"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    rows["unknown"] = np.int64(0)
+    rows["item_size"] = np.int64(3)
+    return rows[
+        ["mdr4_rec", "type", "unknown", "subtype", "sort_key", "item_size"]
+    ].astype("int64")
+
+
+def q_mdr6_zips(sf_dir: str):
+    """Mdr6 zip-code section (``imgfmt/app/mdr/Mdr6.java:40-64``: one
+    record per (map, zip) = map index + per-map LBL zip index + Mdr15
+    string offset, records name-sorted via ``MdrUtils.sortList``).
+    Per-map zip index = the LBL creation rank (codes sorted within the
+    map); every name is 5 chars so the zip string sub-table offsets are
+    ``1 + 6*(name_rank-1)`` (len+1 per string, table starts with a
+    NUL — ``Mdr15.java`` nextOffset convention)."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return pd.DataFrame(
+            {
+                "map_index": (k % 24).astype(np.int64),
+                "zip_num": ((k * 13) % 60).astype(np.int64),
+            }
+        )
+
+    rows = _mdr_distinct(sf_dir, derive, ["map_index", "zip_num"])
+    rows["name"] = rows["zip_num"].map("Z{:04d}".format)
+    rows["zip_index"] = (
+        rows.groupby("map_index")["zip_num"].rank(method="dense")
+        .astype(np.int64)
+    )
+    rows = rows.sort_values(["name", "map_index"]).reset_index(drop=True)
+    rows["mdr6_rec"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    name_rank = rows["name"].rank(method="dense").astype(np.int64)
+    rows["str_off"] = 1 + 6 * (name_rank - 1)
+    return rows[
+        ["mdr6_rec", "map_index", "zip_index", "name", "str_off"]
+    ].reset_index(drop=True)
+
+
+def q_mdr12_prefix(sf_dir: str):
+    """Mdr12 POI-name prefix index (``imgfmt/app/mdr/Mdr12.java``:
+    ``Mdr8`` over the mdr11 POI list — each 4-byte name prefix maps to
+    the FIRST mdr11 record of its run plus the record count; the
+    associated size is the POI pointer size)."""
+    rows = _mdr_poi_rows(sf_dir)
+    rows["prefix"] = rows["name"].str[:4]
+    g = rows.groupby("prefix", sort=True)
+    out = pd.DataFrame(
+        {
+            "first_rec": g["mdr11_rec"].min().astype(np.int64),
+            "n_records": g.size().astype(np.int64),
+        }
+    ).reset_index()
+    return out[["prefix", "first_rec", "n_records"]]
+
+
+def q_mdr26_sort(sf_dir: str):
+    """Mdr26 regions-sorted-by-country (``imgfmt/app/mdr/Mdr26.java:
+    35-67``: the Mdr28 region-name records re-ordered by their Mdr14
+    country name with the mdr28 record number as tiebreak; each new
+    country name stamps its Mdr29 record with the FIRST mdr26 position
+    of the run). Fixture = the ``q_mdr13_regions`` universe, where each
+    distinct region name maps to one country."""
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return pd.DataFrame(
+            {"region_idx": (1 + k % 20).astype(np.int64)}
+        )
+
+    regs = _mdr_distinct(sf_dir, derive, ["region_idx"])
+    regs["name"] = regs["region_idx"].map("R{:02d}".format)
+    regs["country"] = (1 + regs["region_idx"] % 5).map("X{:d}".format)
+    # mdr28 record order: the (name)-sorted walk of q_mdr13_regions
+    regs = regs.sort_values("name").reset_index(drop=True)
+    regs["mdr28_idx"] = np.arange(1, len(regs) + 1, dtype=np.int64)
+    m26 = regs.sort_values(["country", "mdr28_idx"]).reset_index(drop=True)
+    m26["mdr26_rec"] = np.arange(1, len(m26) + 1, dtype=np.int64)
+    m26["mdr29_mdr26"] = (
+        m26.groupby("country")["mdr26_rec"].transform("min")
+        .astype(np.int64)
+    )
+    return m26[
+        ["mdr26_rec", "mdr28_idx", "name", "country", "mdr29_mdr26"]
+    ].reset_index(drop=True)
+
+
+def q_overlay_expand(sf_dir: str):
+    """``OverlayReader`` 1→N flat-map (``osmstyle/OverlayReader.java``:
+    a styled element whose type has an overlay list is replaced by one
+    element per overlaid type, in list order) — the vectorized
+    ``apply_overlays`` stage over a closed-form gtype fixture."""
+    from ..stages.stylestage import apply_overlays
+
+    OVERLAYS = {2: (0x20, 0x21), 5: (0x30, 0x31, 0x32)}
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "gtype": pa.array((1 + k % 8).astype(np.int32), pa.int32()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+    out = apply_overlays(ds, OVERLAYS).to_pandas()
+    out["gtype"] = out["gtype"].astype("int64")
+    return out.sort_values(["o_orderkey", "gtype"]).reset_index(drop=True)
+
+
+def q_cycleway_synth(sf_dir: str):
+    """``makeCycleWay`` 1→2 flat-map (``StyledConverter.java:352-357,
+    549-571``): ways tagged ``mkgmap:make-cycle-way=yes`` emit a
+    synthesized copy (access=no, bicycle=yes, oneway=no,
+    mkgmap:synthesised=yes, explicit access tags stripped) while the
+    original gets bicycle=no and loses the trigger tag."""
+    from ..stages.stylestage import make_cycle_ways
+
+    def derive(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        df = pd.DataFrame({"way_id": k})
+        df["mkgmap:make-cycle-way"] = np.where(k % 4 == 0, "yes", None)
+        df["oneway"] = np.where(k % 3 == 0, "yes", None)
+        df["foot"] = np.where(k % 5 == 0, "no", None)
+        df["bicycle"] = np.where(k % 7 == 0, "designated", None)
+        return df
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(derive, batch_format="pyarrow", batch_size=None)
+        .map_batches(make_cycle_ways, batch_format="pandas",
+                     batch_size=None)
+        .to_pandas()
+    )
+    cols = ["bicycle", "access", "oneway", "foot", "mkgmap:synthesised"]
+    for c in cols:
+        if c not in out.columns:
+            out[c] = pd.NA
+        out[c] = out[c].astype(object).where(out[c].notna(), "")
+    out = out[["way_id"] + cols].rename(
+        columns={"mkgmap:synthesised": "synthesised"}
+    )
+    out["way_id"] = out["way_id"].astype("int64")
+    return out.sort_values(["way_id", "synthesised"]).reset_index(drop=True)
+
+
+def q_name_finder(sf_dir: str):
+    """``NameFinder`` label priority (``osmstyle/NameFinder.java``): the
+    label is the first present tag of the ``name-tag-list`` — vectorized
+    coalesce over closed-form tag columns."""
+    from ..style.rules import finder_name
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        n = len(k)
+        tags = {
+            "name": pd.Series(
+                np.where(k % 2 == 0, np.char.add("NM", (k % 50).astype(str)),
+                         None), dtype="string"),
+            "place_name": pd.Series(
+                np.where(k % 3 == 0, np.char.add("PL", (k % 40).astype(str)),
+                         None), dtype="string"),
+            "loc_name": pd.Series(
+                np.where(k % 5 == 0, np.char.add("LC", (k % 30).astype(str)),
+                         None), dtype="string"),
+        }
+        lbl = finder_name(tags, n)
+        return pd.DataFrame(
+            {
+                "o_orderkey": k,
+                "label": lbl.astype(object).where(lbl.notna(), ""),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_prefix_suffix(sf_dir: str):
+    """``PrefixSuffixFilter`` Garmin road-label separators
+    (``osmstyle/PrefixSuffixFilter.java:205-265``): a known prefix
+    ending in a blank replaces the blank with 0x1e (else 0x1b after
+    it); a known suffix starting with a blank replaces it with 0x1f
+    (else 0x1c before it). Labels are dictionary-distinct per batch —
+    the filter runs once per distinct (label, country), the row stream
+    indexes the result (the label-dedup scale shape)."""
+    from ..stages.labelenc import prefix_suffix_filter
+
+    LABELS = [
+        ("Rue de la Paix", "FRA"),
+        ("Avenue Foch", "FRA"),
+        ("The Mall", "GBR"),
+        ("Baker Street", "GBR"),
+        ("Hauptstrasse", "DEU"),
+        ("Am Ring", "DEU"),
+    ]
+    FILTERED = np.asarray(
+        [prefix_suffix_filter(lb, co) for lb, co in LABELS], object
+    )
+    RAW = np.asarray([lb for lb, _ in LABELS], object)
+    CTY = np.asarray([co for _, co in LABELS], object)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        sel = k % 6
+        return pd.DataFrame(
+            {
+                "o_orderkey": k,
+                "label": RAW[sel],
+                "country": CTY[sel],
+                "filtered": FILTERED[sel],
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_round_obsolete(sf_dir: str):
+    """``RoundCoordsFilter`` + ``RemoveObsoletePointsFilter``
+    (``filters/RoundCoordsFilter.java`` +half-and-mask snap;
+    ``RemoveObsoletePointsFilter.java`` collinear-middle removal): each
+    order carries a 5-point polyline whose hp coords are grid values
+    plus a sub-half jitter (rounds back exactly), with point j=2 the
+    EXACT midpoint of its neighbours when the shape index is even —
+    collinear, removed — and nudged off the line when odd — kept. The
+    12 distinct shapes are filtered once per batch through the real
+    engine filters and indexed per row (label-dedup scale shape)."""
+    from ..geom.coords import DELTA_SHIFT
+    from ..geom.polyfilters import remove_obsolete_points, round_coords
+
+    def shape_points(s: int):
+        x1 = 2 * (s % 7 + 1)
+        y1 = 2 * (s % 5 + 1)
+        e = s % 6 + 1
+        f = -(s % 4 + 1)
+        g = s % 5 + 1
+        h2 = s % 3 + 1
+        xs = [0, x1, x1 + e, x1 + 2 * e, x1 + 2 * e + 2 * g]
+        ys = [0, y1, y1 + f, y1 + 2 * f, y1 + 2 * f + 2 * h2]
+        if s % 2 == 1:
+            xs[2] += 1  # off the line: nothing is obsolete
+        return np.asarray(ys, np.int64), np.asarray(xs, np.int64)
+
+    # the engine filters run once per distinct shape
+    SHAPES = []
+    for s in range(12):
+        la, lo = shape_points(s)
+        jit = np.int64((s * 17) % 53 - 26)  # |jit| < half(=32): snaps back
+        rla, rlo = round_coords((la << DELTA_SHIFT) + jit,
+                                (lo << DELTA_SHIFT) + jit, 0)
+        keep = remove_obsolete_points(rla, rlo)
+        SHAPES.append((rla >> DELTA_SHIFT, rlo >> DELTA_SHIFT,
+                       keep.astype(np.int64)))
+    LAT = np.stack([t[0] for t in SHAPES])  # (12, 5)
+    LON = np.stack([t[1] for t in SHAPES])
+    KEEP = np.stack([t[2] for t in SHAPES])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        s = k % 12
+        n = len(k)
+        j = np.tile(np.arange(5, dtype=np.int64), n)
+        kk = np.repeat(k, 5)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kk, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "lat_mu": pa.array(LAT[s].ravel(), pa.int64()),
+                "lon_mu": pa.array(LON[s].ravel(), pa.int64()),
+                "keep": pa.array(KEEP[s].ravel(), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_estimated_sizes(sf_dir: str):
+    """``MapArea.addSize`` byte estimates (``MapArea.java:555-613``):
+    point → 9 bytes; line with >1 point / shape with >3 points →
+    ``numElements*11 + numPoints*4`` with ``numElements =
+    1+(numPoints-1)//250`` (post-split element counts); shapes count
+    twice toward the splittable total. The vectorized ``element_stats``
+    drives the MapSplitter refinement loop — this is its SQL face."""
+    from ..splitter import element_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
+        kind = k % 3
+        n_points = np.where(kind == 0, 1, 2 + k % 497)
+        n_pt, n_ln, n_sh, est, n_split = element_stats(kind, n_points)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "kind": pa.array(kind, pa.int64()),
+                "n_points": pa.array(n_points, pa.int64()),
+                "n_pt": pa.array(n_pt, pa.int64()),
+                "n_ln": pa.array(n_ln, pa.int64()),
+                "n_sh": pa.array(n_sh, pa.int64()),
+                "est_bytes": pa.array(est, pa.int64()),
+                "n_split": pa.array(n_split, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_installer_ids(sf_dir: str):
     """NSIS registry family ids (``combiners/NsisBuilder.java:55-57``):
     hex of 0x10000|familyId with the low two bytes swapped; the SQL

@@ -45,7 +45,7 @@ def build_tiles(
 
         assigned = assigned.map_batches(
             ClipToCell(cell_bounds_hp(tree)), batch_format="pyarrow",
-            batch_size=int(_os.environ.get("MKGMAP_ASSIGN_BATCH", 500_000)),
+            batch_size=int(_os.environ.get("MKGMAP_ASSIGN_BATCH", 100_000)),
         )
     return assigned, meta, tree
 
@@ -261,12 +261,16 @@ def write_tiles(
     to_write = to_write.map_batches(
         _drop_cell, batch_format="pyarrow", batch_size=None
     )
-    # push-based shuffle pipelines the sort's map and reduce halves —
-    # the plain sort barrier left the 8-cpu leg at ~50% CPU utilization
-    # (write phase 151 s → 114 s at repeat=96; see BASELINE.md round 3)
+    # Round 3 enabled push-based shuffle (it pipelined the sort against
+    # huge 128 MiB blocks). With the round-4 small-block config the
+    # classic pull-based sort is 3× faster on the isolated clone
+    # (11.7 s vs 34 s, 20M rows / 136 blocks / 8 cpus), so pull is now
+    # the default; MKGMAP_PUSH_SHUFFLE=1 re-enables push.
     from ray.data import DataContext
 
-    DataContext.get_current().use_push_based_shuffle = True
+    DataContext.get_current().use_push_based_shuffle = (
+        os.environ.get("MKGMAP_PUSH_SHUFFLE", "0") == "1"
+    )
     parts = to_write.sort("tile_id").map_batches(
         BlockTileWriter(out_dir, count_kind_stats, stat_ops),
         batch_format="pyarrow", batch_size=None,

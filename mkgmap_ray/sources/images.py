@@ -273,3 +273,37 @@ def images_dataset(n: int, bbox=(0.0, 0.0, 1.0, 1.0), rows_per_block: int = 500)
     return rd.range(n, override_num_blocks=n_blocks).map_batches(
         gen, batch_format="pyarrow", batch_size=None
     )
+
+
+# the BASELINE.json input_hint column contract
+IMAGE_TABLE_COLUMNS = (
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+)
+
+
+def read_images_table(path: str, columns=None):
+    """Read a stored image+caption table per the input_hint contract
+    (``image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64``): ``ray.data.read_lance`` when the
+    ``lance`` package is installed, parquet otherwise — identical
+    downstream schema either way. ``columns`` prunes at the read (the
+    coordinate-only tree scans must never load ``bytes``)."""
+    import ray.data as rd
+
+    try:
+        import lance  # noqa: F401
+
+        ds = rd.read_lance(path, columns=list(columns) if columns else None)
+    except ImportError:
+        ds = rd.read_parquet(
+            path, columns=list(columns) if columns else None
+        )
+    want = set(columns) if columns else set(IMAGE_TABLE_COLUMNS)
+    have = set(ds.schema().names)
+    missing = want - have
+    if missing:
+        raise ValueError(
+            f"image table at {path} is missing input_hint columns: "
+            f"{sorted(missing)}"
+        )
+    return ds

@@ -189,7 +189,7 @@ def build_split_tree(
     shift: int,
     limits: SplitLimits = SplitLimits(),
     bounds: Area | None = None,
-    levels_per_round: int = 6,
+    levels_per_round: int = int(os.environ.get("MKGMAP_REFINE_LEVELS", 4)),
     max_rounds: int = 16,
 ) -> SplitTree:
     """Run the MapSplitter refinement against a Ray Dataset of narrow
@@ -319,7 +319,7 @@ def refine_tree(
     narrow_ds,
     tree: SplitTree,
     limits: SplitLimits = SplitLimits(),
-    levels_per_round: int = 6,
+    levels_per_round: int = int(os.environ.get("MKGMAP_REFINE_LEVELS", 4)),
     max_rounds: int = 16,
 ) -> None:
     """The round-based distributed refinement loop, operating IN PLACE on
@@ -401,7 +401,15 @@ def refine_tree(
         # streaming fixed-size batches lets the allocator REUSE pages
         # across batches. Cell partials stay bounded: cells-per-batch ≤
         # min(batch rows, 2^levels × active leaves).
-        scan_rows = int(os.environ.get("MKGMAP_REFINE_BATCH", 2_000_000))
+        # 400k rows ≈ 3 MB int32 temporaries per scan batch: far enough
+        # under the 32 MB glibc mmap threshold that every per-batch numpy
+        # intermediate reuses already-faulted heap pages. On this host
+        # page faults cost ~20× the copy and SERIALIZE across workers
+        # (round-4 measurement: fresh-alloc 0.6 GB/s vs 11.4 GB/s
+        # pre-touched; 4-proc aggregate no better than 1), so staying on
+        # the fast allocation path is what makes scan time scale with
+        # CPUs (round-2 scans 31 s → 6.5 s at 4 cpus, repeat=24).
+        scan_rows = int(os.environ.get("MKGMAP_REFINE_BATCH", 400_000))
 
         def merge_partials(batch: pa.Table) -> pa.Table:
             # second-level combine: bounded scan batches each emit their
@@ -439,9 +447,14 @@ def refine_tree(
         # where the whole input is a handful of scan batches)
         nrows = getattr(narrow_ds, "_mkgmap_nrows", None)
         if nrows is None or nrows > 4 * scan_rows:
+            # slice size ~1M: several parallel combine tasks with
+            # sub-mmap-threshold temporaries (an 8M-row slice was ONE
+            # ~450 MB serial task on this host's slow-fault kernel)
             parts_ds = parts_ds.map_batches(
                 merge_partials, batch_format="pyarrow",
-                batch_size=8_000_000,
+                batch_size=int(
+                    os.environ.get("MKGMAP_MERGE_BATCH", 1_000_000)
+                ),
             )
         for b in parts_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             for c in acc:
@@ -519,7 +532,7 @@ def continue_split_tree(
     parent_tree: SplitTree,
     shift: int,
     limits: SplitLimits = SplitLimits(),
-    levels_per_round: int = 6,
+    levels_per_round: int = int(os.environ.get("MKGMAP_REFINE_LEVELS", 4)),
     max_rounds: int = 16,
 ) -> SplitTree:
     """One zoom level's subdivision derived from the PARENT level's areas
@@ -602,7 +615,7 @@ def assign_cells(features_ds, tree: SplitTree):
     # of intermediates per task on this box (see BASELINE.md)
     ds = features_ds.map_batches(
         CellAssigner(packed, leaf_rank), batch_format="pyarrow",
-        batch_size=int(os.environ.get("MKGMAP_ASSIGN_BATCH", 500_000)),
+        batch_size=int(os.environ.get("MKGMAP_ASSIGN_BATCH", 100_000)),
     )
     meta = pa.table(
         {

@@ -310,6 +310,31 @@ def test_wrong_angle_wiggle_move():
             assert (cla == y0).all() and (clo == 3 * np.arange(m)).all()
 
 
+def test_spike_overlap_extra_pass():
+    """WrongAngleFixer spike/overlap extra pass (WrongAngleFixer.java:
+    730-734 extra remove, :996-1009 extra move): an interior point whose
+    neighbours round to the SAME Garmin position is removed when
+    unshared; a shared one collapses onto the duplicated position
+    consistently across every line through it."""
+    import numpy as np
+
+    from mkgmap_ray.geom.anglefix import fix_wrong_angles
+
+    D = 6
+    s = 1 << D
+    spike = (
+        np.asarray([0, 5 * s, 10]),  # both ends round to (0, 0)
+        np.asarray([0, 5 * s, 10]),
+    )
+    (rla, rlo), = fix_wrong_angles([spike], D)
+    assert (5, 5) not in set(zip(rla.tolist(), rlo.tolist()))
+    # shared middle point: collapses onto the duplicated position, and
+    # the other line through it sees the same move
+    other = (np.asarray([5 * s, 20 * s]), np.asarray([5 * s, 0]))
+    o1, o2 = fix_wrong_angles([spike, other], D)
+    assert (int(o2[0][0]), int(o2[1][0])) == (0, 0)
+
+
 def test_label_multibyte_cp932():
     """AnyCharsetEncoder with a multibyte codepage (CodeFunctions
     cp932/ms932 dispatch): katakana encode as 2 bytes, unmappable é

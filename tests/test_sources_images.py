@@ -115,3 +115,35 @@ class TestGenerate:
     def test_unsupported_format_raises(self):
         with pytest.raises(NotImplementedError):
             decode_image(b"xxxx", "jpeg")
+
+
+class TestReadImagesTable:
+    def test_parquet_roundtrip_with_pruning(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mkgmap_ray.sources.images import (
+            generate_images, read_images_table,
+        )
+
+        t = generate_images(40)
+        pq.write_table(t, str(tmp_path / "imgs.parquet"))
+        ds = read_images_table(str(tmp_path / "imgs.parquet"))
+        assert ds.count() == 40
+        # column pruning: the coordinate-only projection never loads bytes
+        narrow = read_images_table(
+            str(tmp_path / "imgs.parquet"), columns=["image_id", "phash"]
+        )
+        assert set(narrow.schema().names) == {"image_id", "phash"}
+
+    def test_missing_columns_rejected(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mkgmap_ray.sources.images import read_images_table
+
+        pq.write_table(
+            pa.table({"image_id": pa.array(["a"], pa.string())}),
+            str(tmp_path / "bad.parquet"),
+        )
+        with pytest.raises(ValueError, match="input_hint"):
+            read_images_table(str(tmp_path / "bad.parquet"))
