@@ -207,7 +207,9 @@ def run_headline(sf_dir: str, repeat: int = 1, num_cpus: int = 32) -> dict:
         t_w = time.perf_counter()
     # the benched pipeline IS the writing pipeline: partitioned tile
     # output + manifest, summary derived from the written files
-    wstats = write_tiles(assigned, meta, tree, out_dir, resume=False)
+    wstats = write_tiles(
+        assigned, meta, tree, out_dir, resume=False, rows_hint=n_features
+    )
     if phases:
         print(f"[phase] write_tiles {time.perf_counter()-t_w:.1f}s",
               file=sys.stderr)

@@ -152,9 +152,12 @@ def q_pip_regions(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
         add_coords, batch_format="pyarrow", batch_size=None
     )
-    joined = stateful_map_batches(
-        ds, PIPJoin,
-        fn_kwargs=dict(polygons_ref=polys, raster_shift=14),
+    # instance (task) mode: the 3-polygon index builds once on the
+    # driver and ships by closure — actor-pool spin-up cost 2-4 s per
+    # run while the state is trivially small (hook_chain lesson), and a
+    # 1-CPU cluster can't host an actor pool at all (BASELINE.md r4)
+    joined = ds.map_batches(
+        PIPJoin(polygons_ref=polys, raster_shift=14),
         batch_format="pyarrow", batch_size=None,
     )
     out = joined.to_pandas()[["event_id", "boundary_id"]]

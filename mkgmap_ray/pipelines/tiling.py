@@ -197,6 +197,7 @@ def write_tiles(
     out_dir: str,
     resume: bool = True,
     input_desc: str = "",
+    rows_hint: int | None = None,
 ) -> dict:
     """Write tile-range parquet files with lineage manifest + resume.
 
@@ -261,19 +262,28 @@ def write_tiles(
     to_write = to_write.map_batches(
         _drop_cell, batch_format="pyarrow", batch_size=None
     )
-    # Round 3 enabled push-based shuffle (it pipelined the sort against
-    # huge 128 MiB blocks). With the round-4 small-block config the
-    # classic pull-based sort is 3× faster on the isolated clone
-    # (11.7 s vs 34 s, 20M rows / 136 blocks / 8 cpus), so pull is now
-    # the default; MKGMAP_PUSH_SHUFFLE=1 re-enables push.
+    # The sort's reduce side fetches O(maps × reducers) slices, so its
+    # cost explodes with input block count (write phase 553-572 s at
+    # 81.8M rows / ~550 blocks, under EITHER shuffle mode, with only
+    # ~68 s of sort compute). Cap the fan with a minimal-movement
+    # coalesce (repartition(shuffle=False)) to ~640k-row blocks before
+    # sorting; pull-based sort then stays in its fast regime (11.7 s
+    # for 20M rows / 136 blocks on the isolated clone).
+    # MKGMAP_PUSH_SHUFFLE=1 re-enables the push-based shuffle.
     from ray.data import DataContext
 
     DataContext.get_current().use_push_based_shuffle = (
         os.environ.get("MKGMAP_PUSH_SHUFFLE", "0") == "1"
     )
-    parts = to_write.sort("tile_id").map_batches(
-        BlockTileWriter(out_dir, count_kind_stats, stat_ops),
-        batch_format="pyarrow", batch_size=None,
+    est_rows = rows_hint if rows_hint else meta.num_rows * 150
+    n_sort_blocks = int(max(16, min(512, est_rows // 640_000 + 1)))
+    parts = (
+        to_write.repartition(n_sort_blocks)
+        .sort("tile_id")
+        .map_batches(
+            BlockTileWriter(out_dir, count_kind_stats, stat_ops),
+            batch_format="pyarrow", batch_size=None,
+        )
     )
     # lineage markers are written by the writer tasks themselves (one per
     # range file, in parallel); the driver only combines the summary

@@ -273,6 +273,12 @@ def _spill_narrow(ds, n_blocks: int):
     # dataset's lifetime is the refinement loop, which has no close hook)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     ds.write_parquet(d)
+    # size-based split (not one block per CPU): re-scan blocks must stay
+    # in the small-object regime where plasma writes scale (r4)
+    total = sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+    )
+    n_blocks = max(n_blocks, total // (24 * 1024 * 1024) + 1)
     out = ray.data.read_parquet(d, override_num_blocks=n_blocks)
     out._mkgmap_spill_dir = d
     return out
@@ -289,9 +295,13 @@ def prepare_narrow(narrow_ds):
     0 to force the spill path with NO transient materialization at all
     (the projection is streamed straight to parquet).
 
-    One block per CPU either way: per-round partial aggregates duplicate
-    each occupied cell once per block, so fewer/larger blocks keep the
-    driver-side combine linear in cell count, not block count."""
+    Blocks stay SMALL (the map outputs, ~target_max_block_size each):
+    round 3 repartitioned to one block per CPU, but at repeat=96 that
+    makes ~600 MB plasma objects — the object-size regime where this
+    host's store writes stop scaling across workers (BASELINE.md r4) —
+    and caps scan-task parallelism at the block count. The driver-side
+    combine stays bounded by the second-level ``merge_partials`` pass,
+    not by block count, so the repartition bought nothing."""
     import ray
 
     if getattr(narrow_ds, "_mkgmap_prepared", False):
@@ -302,7 +312,7 @@ def prepare_narrow(narrow_ds):
     if spill_bytes == 0:
         out = _spill_narrow(narrow_ds, n_blocks)
     else:
-        mat = narrow_ds.repartition(n_blocks).materialize()
+        mat = narrow_ds.materialize()
         if (mat.size_bytes() or 0) > spill_bytes:
             out = _spill_narrow(mat, n_blocks)
         else:
@@ -463,19 +473,63 @@ def refine_tree(
             _t1 = _t.perf_counter()
         if not acc["key"] or sum(len(a) for a in acc["key"]) == 0:
             break
-        key = np.concatenate(acc["key"])
-        order = np.argsort(key, kind="stable")
-        key = key[order]
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        firsts = order[starts]
-        all_leaf = np.concatenate(acc["leaf"])
-        cell_leaf = all_leaf[firsts]
-        lat_mu = np.concatenate(acc["lat_r"])[firsts] >> DELTA_SHIFT
-        lon_mu = np.concatenate(acc["lon_r"])[firsts] >> DELTA_SHIFT
-        cols = {
-            c: np.add.reduceat(np.concatenate(acc[c])[order], starts)
-            for c in STAT_COLS
-        }
+        # streaming per-slice combine into a running unique-key table.
+        # The round-3 form concatenated ALL collected partials (31M rows
+        # ≈ 2.2 GB at repeat=96) then argsorted — a serial driver term
+        # of 35-110 s dominated by large fresh allocations on this
+        # host's slow-fault kernel. Here every allocation is bounded by
+        # the DISTINCT cell count (≤ active × 2^levels), and slices
+        # fold in one at a time. leaf/lat_r/lon_r are functions of the
+        # key, so any occurrence is representative.
+        n_collected = 0
+        run_key = None
+        run_first: dict[str, np.ndarray] = {}
+        run_stats: dict[str, np.ndarray] = {}
+        for si in range(len(acc["key"])):
+            k = acc["key"][si]
+            if len(k) == 0:
+                continue
+            n_collected += len(k)
+            u, first, inv = np.unique(
+                k, return_index=True, return_inverse=True
+            )
+            sl_first = {c: acc[c][si][first] for c in ("leaf", "lat_r", "lon_r")}
+            sl_stats = {
+                c: np.bincount(
+                    inv, weights=acc[c][si], minlength=len(u)
+                ).astype(np.int64)
+                for c in STAT_COLS
+            }
+            if run_key is None:
+                run_key = u
+                run_first = sl_first
+                run_stats = sl_stats
+                continue
+            pos = np.searchsorted(run_key, u)
+            pos_c = np.minimum(pos, len(run_key) - 1)
+            exists = run_key[pos_c] == u
+            for c in STAT_COLS:
+                np.add.at(run_stats[c], pos_c[exists], sl_stats[c][exists])
+            new = ~exists
+            if new.any():
+                merged = np.concatenate([run_key, u[new]])
+                order = np.argsort(merged, kind="stable")
+                run_key = merged[order]
+                for c in ("leaf", "lat_r", "lon_r"):
+                    run_first[c] = np.concatenate(
+                        [run_first[c], sl_first[c][new]]
+                    )[order]
+                for c in STAT_COLS:
+                    run_stats[c] = np.concatenate(
+                        [run_stats[c], sl_stats[c][new]]
+                    )[order]
+        if run_key is None:
+            break
+        key = run_key
+        cell_leaf = run_first["leaf"]
+        lat_mu = run_first["lat_r"] >> DELTA_SHIFT
+        lon_mu = run_first["lon_r"] >> DELTA_SHIFT
+        cols = run_stats
 
         # group cell indices by their active leaf
         order = np.argsort(cell_leaf, kind="stable")
