@@ -275,8 +275,13 @@ def write_tiles(
     DataContext.get_current().use_push_based_shuffle = (
         os.environ.get("MKGMAP_PUSH_SHUFFLE", "0") == "1"
     )
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
     est_rows = rows_hint if rows_hint else meta.num_rows * 150
-    n_sort_blocks = int(max(16, min(512, est_rows // 640_000 + 1)))
+    n_sort_blocks = int(
+        max(16, 2 * cpus, min(512, est_rows // 640_000 + 1))
+    )
     parts = (
         to_write.repartition(n_sort_blocks)
         .sort("tile_id")
