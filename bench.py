@@ -254,13 +254,12 @@ def run_full(
     # serializes large-object page faults), and >32 MB buffers also fall
     # off glibc's mmap-threshold fast path. Small blocks restore
     # parallel plasma writes; see the round-4 block study in BASELINE.md.
-    blk_mb = os.environ.get("MKGMAP_BLOCK_MB", "24")
-    if blk_mb:
+    # MKGMAP_BLOCK_MB="" or "0" both mean "leave Ray's default block size"
+    blk_mb = int(os.environ.get("MKGMAP_BLOCK_MB", "24") or 0)
+    if blk_mb > 0:
         from ray.data import DataContext
 
-        DataContext.get_current().target_max_block_size = (
-            int(blk_mb) * 1024 * 1024
-        )
+        DataContext.get_current().target_max_block_size = blk_mb * 1024 * 1024
     from mkgmap_ray.pipelines import queries as Q
 
     head = run_headline(sf_dir, repeat=repeat, num_cpus=num_cpus)

@@ -63,6 +63,31 @@ def _bear(p, q) -> float:
     return float(np.degrees(np.arctan2(q[1] - p[1], q[0] - p[0])))
 
 
+def _alt_positions(p, cur, shift_bits: int):
+    """``Coord.getAlternativePositions`` (``Coord.java:714-745``): the
+    neighbour grid positions that are also acceptable roundings of the hp
+    coordinate ``p`` given its current rounded position ``cur`` — each
+    axis offers the adjacent map unit only when the rounding residual
+    exceeds ``MAX_DELTA = 1 << (DELTA_SHIFT - 2)`` (``Coord.java:57``)."""
+    max_delta = 1 << (shift_bits - 2)
+    dlat = (cur[0] << shift_bits) - p[0]
+    dlon = (cur[1] << shift_bits) - p[1]
+    mlat = cur[0] - 1 if dlat > max_delta else (
+        cur[0] + 1 if dlat < -max_delta else cur[0]
+    )
+    mlon = cur[1] - 1 if dlon > max_delta else (
+        cur[1] + 1 if dlon < -max_delta else cur[1]
+    )
+    alts = []
+    if mlat != cur[0]:
+        if mlon != cur[1]:
+            alts.append((mlat, mlon))
+        alts.append((mlat, cur[1]))
+    if mlon != cur[1]:
+        alts.append((cur[0], mlon))
+    return alts
+
+
 def fix_wrong_angles(lines_hp, shift_bits: int = 6, roundabout=None,
                      max_pass: int = MAX_PASS):
     """``lines_hp``: list of (lat_hp, lon_hp) int arrays (hp = map units
@@ -224,7 +249,14 @@ def fix_wrong_angles(lines_hp, shift_bits: int = 6, roundabout=None,
                     frozenset((p, prev_p)) not in bad_merge
                     and frozenset((p, next_p)) not in bad_merge
                     and p not in no_remove
+                    and pos[prev_p] in _alt_positions(p, pos[p], shift_bits)
                 ):
+                    # the reference only moves the centre when the
+                    # duplicated position is among its ALTERNATIVE rounded
+                    # positions (``WrongAngleFixer.java:1000-1008`` →
+                    # ``Coord.getAlternativePositions``): a long shared
+                    # spike keeps its tip instead of being relocated
+                    # arbitrarily far
                     pos[p] = pos[prev_p]
                     changed = True
                 i += 1

@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..geom.clip import clip_segments_np
-from ..util import pool_concurrency, stateful_map_batches
+from ..util import stateful_map_batches
 from ..stages.ann import topk_dot, quantize
 from ..stages.dedup import (
     MinHashSig,
@@ -190,11 +190,9 @@ def q_knn_join(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         add_coords, batch_format="pyarrow", batch_size=None
     )
-    joined = ds.map_batches(
-        KnnJoin,
-        fn_constructor_kwargs=dict(ref=ref),
+    joined = stateful_map_batches(
+        ds, KnnJoin, fn_kwargs=dict(ref=ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     out = joined.to_pandas()[["c_custkey", "nn_id", "nn_dist2"]]
     return out.rename(columns={"nn_id": "road_id", "nn_dist2": "dist2"}).astype(
@@ -274,11 +272,9 @@ def q_raster_sample(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
         add_coords, batch_format="pyarrow", batch_size=None
     )
-    sampled = ds.map_batches(
-        RasterSampler,
-        fn_constructor_kwargs=dict(raster_ref=ref),
+    sampled = stateful_map_batches(
+        ds, RasterSampler, fn_kwargs=dict(raster_ref=ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     out = sampled.to_pandas()[["event_id", "height"]]
     out["height16"] = (out["height"] * 16).round().astype("int64")
@@ -637,9 +633,8 @@ def q_top_users(sf_dir: str):
 
 def q_doc_stats(sf_dir: str):
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(
-        TextStats, batch_format="pandas",
-        concurrency=pool_concurrency(), batch_size=None
+    out = stateful_map_batches(
+        ds, TextStats, batch_format="pandas", batch_size=None
     ).to_pandas()
     return out[["doc_id", "n_chars_calc", "n_tokens", "n_punct"]].astype("int64")
 
@@ -709,18 +704,16 @@ def q_simhash_sig(sf_dir: str):
 
 def q_langid(sf_dir: str):
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(
-        TextStats, batch_format="pandas",
-        concurrency=pool_concurrency(), batch_size=None
+    out = stateful_map_batches(
+        ds, TextStats, batch_format="pandas", batch_size=None
     ).to_pandas()
     return out[["doc_id", "lang_pred"]]
 
 
 def q_doc_fingerprint(sf_dir: str):
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(
-        TextStats, batch_format="pandas",
-        concurrency=pool_concurrency(), batch_size=None
+    out = stateful_map_batches(
+        ds, TextStats, batch_format="pandas", batch_size=None
     ).to_pandas()
     return out[["doc_id", "fingerprint"]].astype("int64")
 
@@ -1060,11 +1053,9 @@ def q_way_assembly(sf_dir: str):
     refs = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
         to_refs, batch_format="pyarrow", batch_size=None
     )
-    joined = refs.map_batches(
-        NodeJoin,
-        fn_constructor_kwargs=dict(index_ref=ref),
+    joined = stateful_map_batches(
+        refs, NodeJoin, fn_kwargs=dict(index_ref=ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     from ..stages.combine import combine_partials
 
@@ -1522,7 +1513,6 @@ def q_border_nodes(sf_dir: str):
     import ray as _ray
 
     from ..stages.borders import BorderNodeCheck
-    from ..util import pool_concurrency
 
     borders = [
         (np.array([0, 100000], np.int64), np.array([50, 50], np.int64)),
@@ -1546,14 +1536,13 @@ def q_border_nodes(sf_dir: str):
         )
 
     out = (
-        _read(sf_dir, "orders", ["o_orderkey"])
-        .map_batches(to_roads, batch_format="pyarrow", batch_size=None)
-        .map_batches(
+        stateful_map_batches(
+            _read(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(to_roads, batch_format="pyarrow", batch_size=None),
             BorderNodeCheck,
-            fn_constructor_kwargs=dict(borders_ref=ref),
+            fn_kwargs=dict(borders_ref=ref),
             batch_format="pyarrow",
             batch_size=None,
-            concurrency=pool_concurrency(),
         )
         .to_pandas()
     )
@@ -3311,11 +3300,10 @@ def q_sea_background(sf_dir: str):
                 }
             )
 
-    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
-        SeaBackground,
-        fn_constructor_kwargs=dict(state_ref=ref),
+    return stateful_map_batches(
+        _read(sf_dir, "orders", ["o_orderkey"]), SeaBackground,
+        fn_kwargs=dict(state_ref=ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
 
 
@@ -3454,11 +3442,10 @@ def q_sea_lookup(sf_dir: str):
 
     from ..stages.combine import combine_partials
 
-    parts = _read(sf_dir, "events", ["event_id"]).map_batches(
-        SeaLookup,
-        fn_constructor_kwargs=dict(state_ref=ref),
+    parts = stateful_map_batches(
+        _read(sf_dir, "events", ["event_id"]), SeaLookup,
+        fn_kwargs=dict(state_ref=ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     c = combine_partials(parts, "state", ["n"])
     return pd.DataFrame(c).astype("int64")
@@ -3663,11 +3650,10 @@ def q_house_intervals(sf_dir: str):
                 }
             )
 
-    parts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        HouseIntervals,
-        fn_constructor_kwargs=dict(ref=ref),
+    parts = stateful_map_batches(
+        _read(sf_dir, "customer", ["c_custkey"]), HouseIntervals,
+        fn_kwargs=dict(ref=ref),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     # min/max combine (not sums) — vectorized reduceat over the streamed
     # partials (bounded by keys × blocks)
@@ -3740,12 +3726,11 @@ def q_house_numbers(sf_dir: str):
             )
 
     out = (
-        _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(
+        stateful_map_batches(
+            _read(sf_dir, "customer", ["c_custkey"]),
             MatchHouses,
-            fn_constructor_kwargs=dict(ref=ref),
+            fn_kwargs=dict(ref=ref),
             batch_format="pyarrow", batch_size=None,
-            concurrency=pool_concurrency(),
         )
         .groupby("part")
         .map_groups(fill_numbers_part, batch_format="pandas")
@@ -4384,11 +4369,10 @@ def q_bnd_roundtrip(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
         add_coords, batch_format="pyarrow", batch_size=None
     )
-    joined = ds.map_batches(
-        LazyPIPJoin,
-        fn_constructor_kwargs=dict(artifact_dir=art, raster_shift=14),
+    joined = stateful_map_batches(
+        ds, LazyPIPJoin,
+        fn_kwargs=dict(artifact_dir=art, raster_shift=14),
         batch_format="pyarrow", batch_size=None,
-        concurrency=pool_concurrency(),
     )
     out = joined.to_pandas()[["event_id", "boundary_id"]]
     return out.rename(columns={"boundary_id": "region_id"}).astype("int64")
@@ -5534,13 +5518,10 @@ def q_image_transform(sf_dir: str):
     n = 2000  # fixed fleet like images_tiles: payload, not row count,
     # is the cost driver
     ds = images_dataset(n)
-    out = ds.map_batches(
-        ImageTransform,
-        fn_constructor_kwargs=dict(
-            ops=[("crop", 48, 40), ("resize", 16, 16)]
-        ),
+    out = stateful_map_batches(
+        ds, ImageTransform,
+        fn_kwargs=dict(ops=[("crop", 48, 40), ("resize", 16, 16)]),
         batch_format="pyarrow", batch_size=200,
-        concurrency=pool_concurrency(),
     )
     df = out.to_pandas()[["image_id", "w", "h", "phash", "caption"]]
     df["w"] = df["w"].astype("int64")

@@ -272,9 +272,23 @@ def write_tiles(
     # MKGMAP_PUSH_SHUFFLE=1 re-enables the push-based shuffle.
     from ray.data import DataContext
 
-    DataContext.get_current().use_push_based_shuffle = (
-        os.environ.get("MKGMAP_PUSH_SHUFFLE", "0") == "1"
-    )
+    _push = os.environ.get("MKGMAP_PUSH_SHUFFLE", "0") == "1"
+    _ctx = DataContext.get_current()
+    if hasattr(_ctx, "shuffle_strategy"):
+        # Ray ≥2.4x spells it shuffle_strategy; the use_push_based_shuffle
+        # alias is deprecated and will vanish
+        try:
+            from ray.data.context import ShuffleStrategy
+
+            _ctx.shuffle_strategy = (
+                ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+                if _push
+                else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+            )
+        except ImportError:
+            _ctx.use_push_based_shuffle = _push
+    else:
+        _ctx.use_push_based_shuffle = _push
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))

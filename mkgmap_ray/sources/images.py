@@ -288,13 +288,27 @@ def read_images_table(path: str, columns=None):
     ``lance`` package is installed, parquet otherwise — identical
     downstream schema either way. ``columns`` prunes at the read (the
     coordinate-only tree scans must never load ``bytes``)."""
+    import os
+
     import ray.data as rd
 
-    try:
-        import lance  # noqa: F401
-
+    # dispatch on what the path IS, not on which readers import: a Lance
+    # dataset is a directory ending in .lance (or containing _versions/);
+    # anything else is parquet. Keying off `import lance` would break
+    # working parquet inputs the moment the optional package appears.
+    looks_lance = path.rstrip("/").endswith(".lance") or (
+        os.path.isdir(path) and os.path.isdir(os.path.join(path, "_versions"))
+    )
+    if looks_lance:
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                f"{path} looks like a Lance dataset but the 'lance' "
+                "package is not installed"
+            ) from e
         ds = rd.read_lance(path, columns=list(columns) if columns else None)
-    except ImportError:
+    else:
         ds = rd.read_parquet(
             path, columns=list(columns) if columns else None
         )

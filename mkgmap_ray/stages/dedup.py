@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..util import pool_concurrency
 import pandas as pd
 
 def text_hash64(s: pd.Series) -> pd.Series:

@@ -62,11 +62,10 @@ class DecodeVerify:
 
 
 def decode_verify(ds, **kw):
-    from ..util import pool_concurrency
+    from ..util import stateful_map_batches
 
-    kw.setdefault("concurrency", pool_concurrency())
-    return ds.map_batches(
-        DecodeVerify, batch_format="pyarrow", batch_size=None, **kw
+    return stateful_map_batches(
+        ds, DecodeVerify, batch_format="pyarrow", batch_size=None, **kw
     )
 
 
@@ -244,11 +243,10 @@ def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
     output rows. Returns one row per distinct signature: (phash,
     keep_img = smallest member, n_members, cluster = smallest keep_img
     among signatures linked transitively at ≤ max_hamming)."""
-    from ..util import pool_concurrency
+    from ..util import stateful_map_batches
 
-    parts = ds.map_batches(
-        DecodePhash, batch_format="pyarrow", batch_size=200,
-        concurrency=pool_concurrency(),
+    parts = stateful_map_batches(
+        ds, DecodePhash, batch_format="pyarrow", batch_size=200,
     )
     reps_ds = phash_rep_groups(parts, n_parts=n_parts)
     pairs = phash_near_pairs(reps_ds, max_hamming=max_hamming).to_pandas()

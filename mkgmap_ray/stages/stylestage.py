@@ -147,12 +147,11 @@ class StyleApply:
 def apply_style(ds, style_text: str, tag_columns: dict[str, str],
                 keep: list[str] | None = None,
                 name_tag_list: tuple[str, ...] | None = None, **kw):
-    from ..util import pool_concurrency
+    from ..util import stateful_map_batches
 
-    kw.setdefault("concurrency", pool_concurrency())
-    return ds.map_batches(
-        StyleApply,
-        fn_constructor_kwargs=dict(
+    return stateful_map_batches(
+        ds, StyleApply,
+        fn_kwargs=dict(
             style_text=style_text, tag_columns=tag_columns, keep=keep,
             name_tag_list=name_tag_list,
         ),

@@ -15,7 +15,6 @@ import re
 
 import numpy as np
 
-from ..util import pool_concurrency
 import pandas as pd
 
 PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"  # explicit ASCII set
@@ -100,7 +99,9 @@ class TextStats:
 
 
 def text_stats(ds, **kw):
-    return ds.map_batches(TextStats, batch_format="pandas", concurrency=pool_concurrency(), **kw)
+    from ..util import stateful_map_batches
+
+    return stateful_map_batches(ds, TextStats, batch_format="pandas", **kw)
 
 
 # --- BPE-ish token counting ---------------------------------------------------

@@ -57,6 +57,12 @@ def pool_concurrency(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
 def stateful_map_batches(ds, cls, fn_kwargs=None, **kw):
     """``map_batches`` with a stateful class UDF, cluster-size aware.
 
+    This is THE routing helper for every stateful stage in the engine —
+    all actor-pool call sites (queries, text stats, style apply, image
+    decode) go through it rather than passing ``fn_constructor_kwargs``
+    + ``concurrency`` directly, so the 1-CPU fallback below applies
+    everywhere.
+
     Normal clusters get the actor-pool form (setup once per actor in
     ``__init__``). On a ≤1-CPU cluster an actor pool DEADLOCKS the
     streaming executor: the pool's actor pins the only CPU while the

@@ -328,11 +328,22 @@ def test_spike_overlap_extra_pass():
     )
     (rla, rlo), = fix_wrong_angles([spike], D)
     assert (5, 5) not in set(zip(rla.tolist(), rlo.tolist()))
-    # shared middle point: collapses onto the duplicated position, and
-    # the other line through it sees the same move
+    # shared FAR spike: the tip is 5 Garmin units from the duplicated
+    # position, which is NOT among its alternative rounded positions
+    # (Coord.getAlternativePositions) — the reference keeps it
+    # (WrongAngleFixer.java:1000-1008), so must we
     other = (np.asarray([5 * s, 20 * s]), np.asarray([5 * s, 0]))
     o1, o2 = fix_wrong_angles([spike, other], D)
-    assert (int(o2[0][0]), int(o2[1][0])) == (0, 0)
+    assert (int(o2[0][0]), int(o2[1][0])) == (5, 5)
+    # shared NEAR spike: tip hp (47, 47) rounds to (1, 1) with residual
+    # 17 > MAX_DELTA=16 on both axes, so (0, 0) IS an alternative rounded
+    # position — the extra move collapses it onto the duplicated
+    # neighbour position, consistently across both lines through it
+    near = (np.asarray([0, 47, 10]), np.asarray([0, 47, 10]))
+    thru = (np.asarray([47, 20 * s]), np.asarray([47, 0]))
+    n1, n2 = fix_wrong_angles([near, thru], D)
+    assert (int(n2[0][0]), int(n2[1][0])) == (0, 0)
+    assert (1, 1) not in set(zip(n1[0].tolist(), n1[1].tolist()))
 
 
 def test_label_multibyte_cp932():
