@@ -239,10 +239,18 @@ def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
 
     Scale shape: no stage holds all signatures in one place — exact
     collapse and pair generation are hash-partitioned; the driver sees
-    only true near-dup pairs (sparse on a real corpus) and the final
-    output rows. Returns one row per distinct signature: (phash,
-    keep_img = smallest member, n_members, cluster = smallest keep_img
-    among signatures linked transitively at ≤ max_hamming)."""
+    only true near-dup pairs (sparse on a real corpus). The union-find
+    runs on the driver over the PAIRS alone, and the resulting sparse
+    label map (only ids that appear in a pair — everything else labels
+    itself) is broadcast once via ``ray.put`` and applied inside a
+    ``map_batches`` over the representatives: distinct signatures are
+    never materialized on the driver (on a web corpus distinct phashes
+    ≈ image count). Returns a lazy Dataset, one row per distinct
+    signature: (phash, keep_img = smallest member, n_members, cluster =
+    smallest keep_img among signatures linked transitively at ≤
+    max_hamming)."""
+    import ray
+
     from ..util import stateful_map_batches
 
     parts = stateful_map_batches(
@@ -250,9 +258,28 @@ def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
     )
     reps_ds = phash_rep_groups(parts, n_parts=n_parts)
     pairs = phash_near_pairs(reps_ds, max_hamming=max_hamming).to_pandas()
-    reps = reps_ds.to_pandas().sort_values("keep_img").reset_index(drop=True)
-    keep = reps["keep_img"].to_numpy(np.int64)
-    reps["cluster"] = cluster_pairs(
-        keep, pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)
+    a = pairs["a"].to_numpy(np.int64)
+    b = pairs["b"].to_numpy(np.int64)
+    linked = np.unique(np.concatenate([a, b]))
+    labels = cluster_pairs(linked, a, b)
+    label_ref = ray.put((linked, labels))
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        ids, labs = ray.get(label_ref)
+        keep = np.asarray(batch["keep_img"].combine_chunks(), np.int64)
+        cluster = keep.copy()  # unlinked signatures label themselves
+        if len(ids):
+            pos = np.searchsorted(ids, keep)
+            pos_ok = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos_ok] == keep
+            cluster[hit] = labs[pos_ok[hit]]
+        out = {
+            c: batch[c].combine_chunks().cast(pa.int64())
+            for c in ("phash", "keep_img", "n_members")
+        }
+        out["cluster"] = pa.array(cluster, pa.int64())
+        return pa.table(out)
+
+    return reps_ds.map_batches(
+        add_cluster, batch_format="pyarrow", batch_size=None
     )
-    return reps.astype("int64")
