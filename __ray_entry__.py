@@ -31,11 +31,24 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering contract: the driver's correctness gate checks only the
-    FIRST 50 entries, so (a) queries that have never had a driver-green
-    CORRECTNESS row and (b) everything new this round come first;
-    long-stable hash-exact evergreens rotate to the tail (round-2 VERDICT
-    finding 1)."""
+    FIRST 50 entries. Order: (a) the queries that had never had a
+    driver-green CORRECTNESS row through round 4 — including the flagship
+    ``tile_refine`` — come FIRST (round-4 VERDICT finding 1: four of them
+    graduated to full SQL oracles this round; the rest are rows-only by
+    design and sit in the window so the driver records their true
+    status), then (b) everything new or changed this round, then (c)
+    prior rounds' entries; long-stable hash-exact evergreens rotate to
+    the tail (replica-checkable via scripts/check_oracles.py)."""
     return {
+        # --- never driver-green through r4 (VERDICT r4 finding 1) ---
+        "tile_refine": Q.q_tile_refine,      # flagship; SQL oracle NEW
+        "level_refine": Q.q_level_refine,    # SQL oracle NEW
+        "images_tiles": Q.q_images_tiles,    # SQL oracle NEW
+        "simplify_dp": Q.q_simplify_dp,      # SQL oracle NEW
+        "ann_cosine_pairs": Q.q_ann_cosine_pairs,
+        "dem_streams": Q.q_dem_streams,      # rows-only by design
+        "image_transform": Q.q_image_transform,   # rows-only by design
+        "image_phash_dedup": Q.q_image_phash_dedup,  # rows-only by design
         # --- new in round 4 ---
         "mdr4_types": Q.q_mdr4_types,
         "mdr6_zips": Q.q_mdr6_zips,
@@ -94,8 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdr5_cities": Q.q_mdr5_cities,
         "mdr10_pois": Q.q_mdr10_pois,
         "installer_ids": Q.q_installer_ids,
-        "dem_streams": Q.q_dem_streams,
-        "image_transform": Q.q_image_transform,
         # --- new this round: training-data ops + SQL graduations ---
         "dedup_ngram": Q.q_dedup_ngram,
         "dedup_embed": Q.q_dedup_embed,
@@ -103,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": Q.q_langid,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "style_file": Q.q_style_file,
-        "image_phash_dedup": Q.q_image_phash_dedup,
         "mdr20_streets": Q.q_mdr20_streets,
         "audio_features": Q.q_audio_features,
         "video_frames": Q.q_video_frames,
@@ -116,18 +126,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_segments": Q.q_clip_segments,
         "pip_regions": Q.q_pip_regions,
         "knn_join": Q.q_knn_join,
-        "tile_refine": Q.q_tile_refine,
-        "level_refine": Q.q_level_refine,
         "raster_sample": Q.q_raster_sample,
-        "simplify_dp": Q.q_simplify_dp,
-        "images_tiles": Q.q_images_tiles,
         # --- documents / training-data operators ---
         "dedup_exact": Q.q_dedup_exact,
         "minhash_sig": Q.q_minhash_sig,
         "simhash_sig": Q.q_simhash_sig,
         # --- embeddings ---
         "ann_topk_dot": Q.q_ann_topk_dot,
-        "ann_cosine_pairs": Q.q_ann_cosine_pairs,
         # --- OSM model / style / merges ---
         "way_assembly": Q.q_way_assembly,
         "overview_grid": Q.q_overview_grid,
@@ -470,6 +475,181 @@ def _ann_exact_topk_sql() -> str:
         """
 
 
+_JD2 = (
+    "(CASE WHEN ({s}) < 0 THEN -((-({s})) // 2) ELSE ({s}) // 2 END)"
+)
+
+
+def _refine_feats_sql() -> str:
+    """The derived-features face shared by tile_refine / level_refine:
+    centers (``MapLine.getLocation`` bbox-midpoint with Java truncating
+    division) + ``MapArea.addSize`` stats per feature, closed-form from
+    the TPC-H-ish tables (``pipelines/derive.py``): events → points
+    (est 9), lineitem → 2-point lines (est 11+8=19), orders → triangles
+    (3 points: below the shape-size threshold, est 0, splittable 2)."""
+    jd2y = _JD2.format(s="ymin + ymax")
+    jd2x = _JD2.format(s="xmin + xmax")
+    return f"""
+  SELECT (event_id * 48271) % 65536 AS lat_c,
+         (event_id * 16807) % 65536 AS lon_c,
+         0 AS kind, 1 AS n_pt, 0 AS n_ln, 9 AS est, 1 AS n_split
+  FROM events
+  UNION ALL
+  SELECT {jd2y}, {jd2x}, 1, 0, 1, 19, 1
+  FROM (
+    SELECT least(y0, y1) AS ymin, greatest(y0, y1) AS ymax,
+           least(x0, x1) AS xmin, greatest(x0, x1) AS xmax
+    FROM (
+      SELECT (l_orderkey * 48271 + l_linenumber * 977) % 65536 AS y0,
+             (l_orderkey * 16807 + l_linenumber * 661) % 65536 AS x0,
+             (l_orderkey * 48271 + l_linenumber * 977) % 65536
+               + (l_partkey % 8192) - 4096 AS y1,
+             (l_orderkey * 16807 + l_linenumber * 661) % 65536
+               + ((l_suppkey * 131) % 8192) - 4096 AS x1
+      FROM lineitem))
+  UNION ALL
+  SELECT (o_orderkey * 48271) % 65536, (o_orderkey * 16807) % 65536,
+         2, 0, 0, 0, 2
+  FROM orders
+"""
+
+
+def _simplify_dp_sql() -> str:
+    """DuckDB mirror of ``q_simplify_dp`` (graduates it from rows-only):
+    the 5-point zigzag admits a closed-form Douglas-Peucker recursion —
+    the reference's high-to-low tie-break picks p3 against the p0–p4
+    chord (d(p1)=d(p3)), then p2 against p0–p3, then p1 against p0–p2 —
+    so ``n_kept = CASE`` over three interior-point distances. Distances
+    replay ``Coord.shortestDistToLineSegment`` (flat-earth metres +
+    Heron, ``Coord.java:806-871``) in float64 with numpy's association
+    order; the decision margins are ≳0.2 m per amp step, far above any
+    last-ulp libm divergence."""
+    import numpy as np
+
+    C1 = repr(360.0 / (1 << 30))              # _DEG_PER_HP
+    HC1 = repr(0.5 * (360.0 / (1 << 30)))     # lat-mean factor
+    P180 = repr(np.pi / 180.0)
+    U360 = repr(6378137.0 * 2 * np.pi / 360.0)
+
+    def dist(l1, o1, l2, o2):
+        latd = f"(abs(({l1}) - ({l2})) * {C1})"
+        lond = f"(abs(({o1}) - ({o2})) * {C1})"
+        scaled = (f"({lond} * cos({P180} * ((({l1}) + ({l2}))"
+                  f" * {HC1})))")
+        return f"({U360} * sqrt({latd} * {latd} + {scaled} * {scaled}))"
+
+    def interior(pl, po, al, ao, bl, bo):
+        ap = dist(al, ao, pl, po)
+        bp = dist(bl, bo, pl, po)
+        ab = dist(al, ao, bl, bo)
+        s = f"(({ab} + {ap} + {bp}) / 2.0)"
+        arg = (f"greatest({s} * ({s} - {ab}) * ({s} - {ap})"
+               f" * ({s} - {bp}), 0.0)")
+        return f"((2.0 * sqrt({arg})) / {ab})"
+
+    d_out = interior("ya", "x3", "y0", "x0", "y0", "x4")
+    d_in = interior("y0", "x2", "y0", "x0", "ya", "x3")
+    d_p1 = interior("ya", "x1", "y0", "x0", "y0", "x2")
+    return f"""
+        WITH src AS (
+          SELECT o_orderkey AS k,
+                 CAST(((o_orderkey * 48271) % 65536) * 64 AS DOUBLE) AS y0,
+                 CAST(((o_orderkey * 48271) % 65536) * 64
+                      + (16 + o_orderkey % 512) * 64 AS DOUBLE) AS ya,
+                 CAST(((o_orderkey * 16807) % 65536) * 64 AS DOUBLE) AS x0,
+                 CAST(((o_orderkey * 16807) % 65536 + 1024) * 64
+                      AS DOUBLE) AS x1,
+                 CAST(((o_orderkey * 16807) % 65536 + 2048) * 64
+                      AS DOUBLE) AS x2,
+                 CAST(((o_orderkey * 16807) % 65536 + 3072) * 64
+                      AS DOUBLE) AS x3,
+                 CAST(((o_orderkey * 16807) % 65536 + 4096) * 64
+                      AS DOUBLE) AS x4
+          FROM orders)
+        SELECT k AS o_orderkey,
+               CAST(CASE WHEN {d_out} <= 43.2 THEN 2
+                         WHEN {d_in} <= 43.2 THEN 3
+                         WHEN {d_p1} > 43.2 THEN 5
+                         ELSE 4 END AS BIGINT) AS n_kept
+        FROM src ORDER BY o_orderkey
+    """
+
+
+def _ann_cosine_pairs_sql(dim: int = 64, n_bits: int = 12, n_bands: int = 8,
+                          seed: int = 42, thr2_bp: int = 1225) -> str:
+    """DuckDB mirror of ``lsh_bucketed_cosine_pairs`` (graduates
+    ann_cosine_pairs from rows-only): the Rademacher hyperplanes are
+    splitmix64-derived (``stages.ann.rademacher_planes``) and replayed in
+    HUGEINT; buckets are the sign bits of integer dot products of the
+    quantized vectors; candidates share any band bucket; the verify is
+    the same int64 cosine test as ``_dedup_embed_sql``. The engine's
+    ``max_bucket`` cap (512) is not modeled — at gate scale every bucket
+    is far below it (500 vectors over 2^12 buckets × 8 bands)."""
+    from mkgmap_ray.pipelines.refine_sql import _mulmod64, _ux
+
+    n_planes = n_bands * n_bits
+    salt = seed * 0x9E3779B9
+    st0 = _mulmod64(f"CAST(j * {dim} + d + {salt} AS HUGEINT)",
+                    "CAST('11400714819323198485' AS HUGEINT)")
+    st1 = _ux("x0", "x0 // 1073741824")
+    st2 = _mulmod64("x1", "CAST('13787848793156543929' AS HUGEINT)")
+    st3 = _ux("x2", "x2 // 134217728")
+    st4 = _mulmod64("x3", "CAST('10723151780598845931' AS HUGEINT)")
+    st5 = _ux("x4", "x4 // 2147483648")
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))
+                 AS v
+          FROM embeddings),
+        vals AS MATERIALIZED (
+          SELECT vec_id, t.i - 1 AS d, v[t.i] AS val
+          FROM e, LATERAL unnest(range(1, {dim + 1})) t(i)),
+        pl0 AS MATERIALIZED (
+          SELECT t1.j, t2.d, {st0} AS x0
+          FROM range(0, {n_planes}) t1(j), range(0, {dim}) t2(d)),
+        pl1 AS MATERIALIZED (SELECT *, {st1} AS x1 FROM pl0),
+        pl2 AS MATERIALIZED (SELECT *, {st2} AS x2 FROM pl1),
+        pl3 AS MATERIALIZED (SELECT *, {st3} AS x3 FROM pl2),
+        pl4 AS MATERIALIZED (SELECT *, {st4} AS x4 FROM pl3),
+        pl5 AS MATERIALIZED (SELECT *, {st5} AS x5 FROM pl4),
+        planes AS MATERIALIZED (
+          SELECT j, d,
+                 CASE WHEN x5 >= CAST('9223372036854775808' AS HUGEINT)
+                      THEN 1 ELSE -1 END AS sgn
+          FROM pl5),
+        dots AS MATERIALIZED (
+          SELECT vec_id, j, sum(val * sgn) AS dj
+          FROM vals JOIN planes USING (d) GROUP BY vec_id, j),
+        bucks AS MATERIALIZED (
+          SELECT vec_id, j // {n_bits} AS band,
+                 sum(CASE WHEN dj > 0
+                          THEN 1 << (j % {n_bits}) ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, j // {n_bits}),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM bucks x JOIN bucks y
+            ON x.band = y.band AND x.bucket = y.bucket
+           AND x.vec_id < y.vec_id),
+        n AS MATERIALIZED (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                   AS n2
+          FROM e),
+        ver AS (
+          SELECT c.a, c.b,
+                 CAST(list_sum(list_transform(list_zip(xa.v, xb.v),
+                                              p -> p[1] * p[2]))
+                      AS BIGINT) AS dot,
+                 xa.n2 AS na2, xb.n2 AS nb2
+          FROM cand c JOIN n xa ON xa.vec_id = c.a
+                      JOIN n xb ON xb.vec_id = c.b)
+        SELECT a, b FROM ver
+        WHERE dot > 0 AND dot * dot * 10000 >= {thr2_bp} * na2 * nb2
+        ORDER BY a, b
+    """
+
+
 _MDR_POI_SQL = """
   SELECT k, name, map_index, full_type,
          CASE WHEN full_type <= 15 THEN 1
@@ -500,10 +680,27 @@ _MDR_POI_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from mkgmap_ray.pipelines import refine_sql
+
     pip_parts = " UNION ALL ".join(
         _pip_region_sql(rid, pts) for rid, pts in Q.PIP_REGIONS
     )
     return {
+        # the flagship MapSplitter refinement, fully replayed in SQL
+        # (unrolled levels; see refine_sql.py docstring)
+        "tile_refine": refine_sql.tile_refine_sql(
+            _refine_feats_sql(), shift=0, levels=26
+        ),
+        "level_refine": refine_sql.level_refine_sql(_refine_feats_sql()),
+        "images_tiles": refine_sql.tile_refine_sql(
+            refine_sql.images_geo_sql(2000, bbox=(0.0, 0.0, 1.4, 1.4)),
+            shift=0, levels=20, summary_only=True,
+        ),
+        "simplify_dp": _simplify_dp_sql(),
+        "ann_cosine_pairs": _ann_cosine_pairs_sql(
+            dim=64, n_bits=12, n_bands=8, seed=42,
+            thr2_bp=int(round(0.35 * 0.35 * 10_000)),
+        ),
         "phash_cluster": """
             WITH RECURSIVE src AS (
               SELECT o_orderkey AS img_num, o_orderkey // 3 AS j

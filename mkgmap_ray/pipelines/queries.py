@@ -973,22 +973,35 @@ def q_emb_label_sums(sf_dir: str):
 
 
 def q_images_tiles(sf_dir: str):
-    """The image+caption flagship slice: generate the deterministic images
-    table, make point features, tile-assign with refinement, verify pixel /
-    caption invariants on a sample, return per-tile counts."""
+    """The image+caption flagship slice: stream the deterministic images
+    table (block-independent closed-form geo tags — the splitmix chain the
+    DuckDB oracle mirrors in HUGEINT), make point features, tile-assign
+    with refinement, verify pixel / caption invariants on a sample, return
+    per-tile counts. SQL-exact: the oracle replays the geo derivation, the
+    splitMaxSize grid and the full refinement fixpoint
+    (``refine_sql.tile_refine_sql``)."""
     from ..sources.geo import features_from_images
-    from ..sources.images import decode_image, generate_images, phash64, hamming64
+    from ..sources.images import (
+        decode_image,
+        generate_batch,
+        hamming64,
+        images_dataset,
+        phash64,
+    )
     from .tiling import build_tiles, tile_summary
 
     n = 2000
-    images = generate_images(n, bbox=(0.0, 0.0, 1.4, 1.4))
+    bbox = (0.0, 0.0, 1.4, 1.4)
     # row-level invariants on a deterministic sample
-    for i in range(0, n, 251):
-        rgb = decode_image(images["bytes"][i].as_py(), images["fmt"][i].as_py())
-        assert rgb.shape[0] == images["h"][i].as_py()
-        assert hamming64(phash64(rgb), images["phash"][i].as_py()) <= 4
-    feats = features_from_images(images)
-    ds = _rd().from_arrow(feats)
+    sample = generate_batch(np.arange(0, n, 251, dtype=np.int64), bbox)
+    for i in range(sample.num_rows):
+        rgb = decode_image(sample["bytes"][i].as_py(), sample["fmt"][i].as_py())
+        assert rgb.shape[0] == sample["h"][i].as_py()
+        assert hamming64(phash64(rgb), sample["phash"][i].as_py()) <= 4
+    ds = images_dataset(n, bbox=bbox).map_batches(
+        lambda b: features_from_images(b), batch_format="pyarrow",
+        batch_size=None,
+    )
     assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
     out = tile_summary(assigned).to_pandas()
     return out.astype("int64")

@@ -94,44 +94,68 @@ def topk_dot(ds, q_ids, q_mat, k: int = 10, id_col="vec_id", emb_col="embedding"
     return res[["query_id", "rank", "vec_id", "score"]]
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 (the same mixing chain as
+    ``sources.images._hash01``, mirrorable in DuckDB HUGEINT)."""
+    x = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """(dim, n_planes) ±1 int64 hyperplanes from splitmix64 of the flat
+    plane/dim index — sign-random-projection with Rademacher vectors
+    (Achlioptas-style sparse projections; the LSH guarantees only need
+    symmetric ±1 signs). Integer planes make the whole LSH pipeline
+    int64-exact and SQL-mirrorable, unlike float Gaussian draws."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(
+        seed
+    ) * np.uint64(0x9E3779B9)
+    top = (_splitmix64(idx) >> np.uint64(63)).astype(np.int64)
+    return (2 * top - 1).reshape(n_planes, dim).T.copy()
+
+
 class RandomHyperplaneSigner:
     """map_batches: one row per (vector, band) with the band's LSH bucket
-    (sign bits of ``n_bits`` random projections). Multiple independent
-    bands give recall (a near-dup pair only needs ONE band to agree);
-    ``n_bits`` per band keeps buckets small so in-bucket work stays far
-    from O(n²)."""
+    (sign bits of ``n_bits`` ±1-plane projections of the QUANTIZED int64
+    vector — norms are positive so skipping unit normalization never
+    changes a sign). Multiple independent bands give recall (a near-dup
+    pair only needs ONE band to agree); ``n_bits`` per band keeps buckets
+    small so in-bucket work stays far from O(n²). Everything downstream
+    is integer-exact: the quantized vector rides the shuffle and the
+    in-bucket verify is the same int64 cosine test as
+    ``CosinePairsPartial`` — which is what lets ``ann_cosine_pairs``
+    carry a bit-exact DuckDB oracle."""
 
     def __init__(self, dim: int, n_bits: int = 12, n_bands: int = 8,
                  seed: int = 42, id_col="vec_id", emb_col="embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_bands * n_bits))
+        self.planes = rademacher_planes(dim, n_bands * n_bits, seed)
         self.n_bits = n_bits
         self.n_bands = n_bands
         self.id_col = id_col
         self.emb_col = emb_col
 
-    def buckets(self, unit: np.ndarray) -> np.ndarray:
-        """(n, n_bands) int64 bucket keys from unit vectors."""
-        bits = (unit @ self.planes) > 0
-        bits = bits.reshape(len(unit), self.n_bands, self.n_bits)
+    def buckets(self, q: np.ndarray) -> np.ndarray:
+        """(n, n_bands) int64 bucket keys from quantized int64 vectors."""
+        bits = (q @ self.planes) > 0
+        bits = bits.reshape(len(q), self.n_bands, self.n_bits)
         return (
             bits.astype(np.int64) << np.arange(self.n_bits)[None, None, :]
         ).sum(axis=2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _emb_matrix(batch, self.emb_col)
-        norms = np.linalg.norm(emb, axis=1)
-        norms[norms == 0] = 1
-        unit = emb / norms[:, None]
-        buckets = self.buckets(unit)
+        q = quantize(_emb_matrix(batch, self.emb_col))
+        buckets = self.buckets(q)
         ids = np.asarray(batch[self.id_col].combine_chunks(), np.int64)
         n = len(ids)
-        flat_unit = np.repeat(
-            unit.astype(np.float32), self.n_bands, axis=0
-        )
+        flat_q = np.repeat(q, self.n_bands, axis=0)
         offsets = pa.array(
-            np.arange(0, (n * self.n_bands + 1) * unit.shape[1],
-                      unit.shape[1], dtype=np.int32)
+            np.arange(0, (n * self.n_bands + 1) * q.shape[1],
+                      q.shape[1], dtype=np.int32)
         )
         return pa.table(
             {
@@ -141,8 +165,8 @@ class RandomHyperplaneSigner:
                 ),
                 "lsh_bucket": pa.array(buckets.reshape(-1), pa.int64()),
                 self.id_col: pa.array(np.repeat(ids, self.n_bands), pa.int64()),
-                "unit": pa.ListArray.from_arrays(
-                    offsets, pa.array(flat_unit.reshape(-1), pa.float32())
+                "qvec": pa.ListArray.from_arrays(
+                    offsets, pa.array(flat_q.reshape(-1), pa.int64())
                 ),
             }
         )
@@ -155,16 +179,19 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
     """Near-duplicate pairs by cosine ≥ threshold: banded random-hyperplane
     LSH (``n_bands`` independent ``n_bits``-bit signatures; a pair is a
     candidate if ANY band agrees), buckets hash-partitioned into bounded
-    groups, per-bucket exact cosine verification vectorized, membership
-    capped at ``max_bucket`` (deterministic smallest-ids) so a dense
-    cluster cannot go O(n²). Cross-band dedupe shuffles only the (tiny)
-    candidate-pairs table (``unique_pairs``) — round 2's local
+    groups, per-bucket INT64-exact cosine verification (``dot > 0 AND
+    dot² · 10⁴ ≥ round(t²·10⁴) · |a|² · |b|²`` over quantized vectors —
+    no float anywhere, so the DuckDB oracle matches bit-for-bit),
+    membership capped at ``max_bucket`` (deterministic smallest-ids) so a
+    dense cluster cannot go O(n²). Cross-band dedupe shuffles only the
+    (tiny) candidate-pairs table (``unique_pairs``) — round 2's local
     canonical-band rule could permanently drop a pair whose first
-    co-bucketing band was capped. Only unit vectors shuffle as band rows,
-    never raw embeddings; payload per row is dim × float32."""
+    co-bucketing band was capped. Only quantized vectors shuffle as band
+    rows, never raw embeddings; payload per row is dim × int64."""
     signer = RandomHyperplaneSigner(dim, n_bits, n_bands, seed, id_col,
                                     emb_col)
     signed = ds.map_batches(signer, batch_format="pyarrow", batch_size=None)
+    thr2_bp = int(round(threshold * threshold * 10_000))
 
     N_PARTS = 64
 
@@ -179,8 +206,8 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         from .dedup import _bucket_pairs
 
-        empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-            {"a": np.int64, "b": np.int64, "cosine": np.float64}
+        empty = pd.DataFrame({"a": [], "b": [], "dot_q": []}).astype(
+            {"a": np.int64, "b": np.int64, "dot_q": np.int64}
         )
         if not len(g):
             return empty
@@ -193,11 +220,15 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
         iu, ju = _bucket_pairs(gid, max_bucket)
         if not len(iu):
             return empty
-        unit = np.stack(g["unit"].to_numpy()[order]).astype(np.float64)
-        sim = np.einsum("ij,ij->i", unit[iu], unit[ju])
-        keep = sim >= threshold
+        q = np.stack(g["qvec"].to_numpy()[order]).astype(np.int64)
+        n2 = np.einsum("ij,ij->i", q, q)
+        dots = np.einsum("ij,ij->i", q[iu], q[ju])
+        keep = (dots > 0) & (
+            dots * dots * np.int64(10_000)
+            >= np.int64(thr2_bp) * n2[iu] * n2[ju]
+        )
         out = pd.DataFrame(
-            {"a": ids[iu[keep]], "b": ids[ju[keep]], "cosine": sim[keep]}
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "dot_q": dots[keep]}
         )
         return out.drop_duplicates(["a", "b"])
 
@@ -208,7 +239,7 @@ def lsh_bucketed_cosine_pairs(ds, dim: int, threshold: float = 0.9,
     )
     from .dedup import unique_pairs
 
-    return unique_pairs(pairs, ("cosine",))
+    return unique_pairs(pairs, ("dot_q",))
 
 
 def assign_centroids(ds, centroids, emb_col="embedding"):
