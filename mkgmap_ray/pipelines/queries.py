@@ -825,7 +825,10 @@ def q_image_phash_dedup(sf_dir: str):
     from ..sources.images import images_dataset
     from ..stages.imagestage import phash_dedup
 
-    return phash_dedup(images_dataset(2000), max_hamming=4)
+    # 125 rows/block → 16 generate+decode tasks (500/block capped the
+    # fused gen→decode stage at 4-way parallelism, VERDICT r4 finding 4)
+    return phash_dedup(images_dataset(2000, rows_per_block=125),
+                       max_hamming=4)
 
 
 def _phash_synth(k: np.ndarray) -> np.ndarray:
@@ -870,7 +873,8 @@ def q_phash_cluster(sf_dir: str):
     ds = _read_split(sf_dir, "orders", ["o_orderkey"]).map_batches(
         fn, batch_format="pyarrow", batch_size=None
     )
-    reps_ds = phash_rep_groups(ds)
+    # reps is consumed twice (pairs + output) — materialize in plasma
+    reps_ds = phash_rep_groups(ds).materialize()
     pairs = phash_near_pairs(reps_ds, max_hamming=4).to_pandas()
     reps = reps_ds.to_pandas().sort_values("keep_img").reset_index(drop=True)
     reps["cluster"] = cluster_pairs(
@@ -998,7 +1002,7 @@ def q_images_tiles(sf_dir: str):
         rgb = decode_image(sample["bytes"][i].as_py(), sample["fmt"][i].as_py())
         assert rgb.shape[0] == sample["h"][i].as_py()
         assert hamming64(phash64(rgb), sample["phash"][i].as_py()) <= 4
-    ds = images_dataset(n, bbox=bbox).map_batches(
+    ds = images_dataset(n, bbox=bbox, rows_per_block=125).map_batches(
         lambda b: features_from_images(b), batch_format="pyarrow",
         batch_size=None,
     )
@@ -5530,7 +5534,7 @@ def q_image_transform(sf_dir: str):
 
     n = 2000  # fixed fleet like images_tiles: payload, not row count,
     # is the cost driver
-    ds = images_dataset(n)
+    ds = images_dataset(n, rows_per_block=125)
     out = stateful_map_batches(
         ds, ImageTransform,
         fn_kwargs=dict(ops=[("crop", 48, 40), ("resize", 16, 16)]),

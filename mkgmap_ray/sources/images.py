@@ -51,6 +51,31 @@ def decode_qraw(data: bytes) -> np.ndarray:
     return ((q << 3) | 4).astype(np.uint8)  # dequantize to bin center
 
 
+def decode_stack(datas, fmts, w: int, h: int) -> np.ndarray:
+    """Decode same-shape images into an (m, h, w, 3) uint8 stack. The
+    entropy step (zlib) is per-row C calls; everything after is one
+    vectorized pass (the png filter-0 unfilter is a reshape; qraw
+    dequantization runs over the whole stack)."""
+    m = len(datas)
+    out = np.empty((m, h, w, 3), np.uint8)
+    qraw_idx = []
+    for i, (data, fmt) in enumerate(zip(datas, fmts)):
+        if fmt == "png":
+            out[i] = decode_png(data)
+        elif fmt == "qraw":
+            assert data[:4] == b"QRAW"
+            out[i] = np.frombuffer(
+                zlib.decompress(data[12:]), dtype=np.uint8
+            ).reshape(h, w, 3)
+            qraw_idx.append(i)
+        else:
+            raise NotImplementedError(f"format {fmt!r}")
+    if qraw_idx:
+        q = out[qraw_idx]
+        out[qraw_idx] = (q << 3) | 4  # dequantize to bin center
+    return out
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
@@ -66,13 +91,23 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_PHASH_WEIGHTS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
 def phash64(rgb: np.ndarray) -> int:
     """64-bit average hash: 8×8 block means of grayscale, bit set where the
-    block exceeds the global mean. Bit-stable across lossless round-trips;
-    lossy round-trips may flip a few borderline-block bits (the pipeline
-    invariant is Hamming distance ≤ 4, see tests)."""
+    block exceeds the mean of block means. Bit-stable across lossless
+    round-trips; lossy round-trips may flip a few borderline-block bits
+    (the pipeline invariant is Hamming distance ≤ 4, see tests).
+
+    When both dimensions divide by 8 (every engine fixture shape) the
+    comparison runs in EXACT integers — ``S_block * 64 > sum(S)`` over
+    channel-sum blocks — which is also what lets ``phash64_batch``
+    vectorize whole same-shape stacks with identical bits."""
+    h, w = rgb.shape[:2]
+    if h % 8 == 0 and w % 8 == 0:
+        return int(phash64_batch(rgb[None])[0])
     gray = rgb.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
     blocks = np.empty((8, 8))
@@ -86,20 +121,66 @@ def phash64(rgb: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized ``phash64`` over an (m, h, w, 3) uint8 stack with h, w
+    divisible by 8: integer block sums (uint8 channel sums fit int64),
+    exact integer comparison ``S_block * 64 > total`` (equal-size blocks
+    make the mean-of-block-means the global mean), MSB-first bit pack."""
+    m, h, w = stack.shape[:3]
+    assert h % 8 == 0 and w % 8 == 0
+    g3 = stack.astype(np.int64).sum(axis=3)  # 3×gray per pixel, exact
+    s = g3.reshape(m, 8, h // 8, 8, w // 8).sum(axis=(2, 4))  # (m, 8, 8)
+    total = s.sum(axis=(1, 2))
+    bits = (s.reshape(m, 64) * 64) > total[:, None]
+    packed = (bits.astype(np.uint64) * _PHASH_WEIGHTS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return packed.view(np.int64)
+
+
+_BASE_CACHE: dict = {}
+
+
+def _gradient_base(w: int, h: int) -> np.ndarray:
+    """The per-shape gradient term of ``make_pixels`` — row-independent,
+    cached (the per-row cost is then just the seeded noise draw)."""
+    key = (w, h)
+    base = _BASE_CACHE.get(key)
+    if base is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [
+                (xx * 255 / max(w - 1, 1)),
+                (yy * 255 / max(h - 1, 1)),
+                ((xx + yy) * 255 / max(w + h - 2, 1)),
+            ],
+            axis=2,
+        )
+        _BASE_CACHE[key] = base
+    return base
+
+
 def make_pixels(row: int, w: int, h: int) -> np.ndarray:
     """Seeded RGB gradient+noise image, deterministic per row index."""
     rng = np.random.default_rng(42 + row)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 / max(w - 1, 1)),
-            (yy * 255 / max(h - 1, 1)),
-            ((xx + yy) * 255 / max(w + h - 2, 1)),
-        ],
-        axis=2,
-    )
     noise = rng.integers(0, 32, size=(h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    return np.clip(_gradient_base(w, h) + noise, 0, 255).astype(np.uint8)
+
+
+def make_pixels_batch(rows: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(m, h, w, 3) uint8 stack of ``make_pixels`` for same-shape rows:
+    the gradient base is computed once; only the seeded per-row noise
+    draws loop (each row's PCG64 stream must match the scalar path
+    bit-for-bit)."""
+    m = len(rows)
+    noise = np.empty((m, h, w, 3), np.int64)
+    for i, row in enumerate(rows):
+        noise[i] = np.random.default_rng(42 + int(row)).integers(
+            0, 32, size=(h, w, 3)
+        )
+    return np.clip(
+        _gradient_base(w, h)[None] + noise, 0, 255
+    ).astype(np.uint8)
 
 
 _WORDS = (

@@ -45,6 +45,13 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     stride = w * bpp
+    # fast path: every scanline filter byte is 0 (this encoder always
+    # writes filter 0) — the unfilter is a single strided view, no
+    # per-scanline Python loop
+    if len(raw) == h * (stride + 1):
+        rows = raw.reshape(h, stride + 1)
+        if not rows[:, 0].any():
+            return np.ascontiguousarray(rows[:, 1:])
     out = np.zeros((h, stride), dtype=np.int64)
     pos = 0
     for y in range(h):

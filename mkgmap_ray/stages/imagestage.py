@@ -15,10 +15,13 @@ import pyarrow as pa
 
 from ..sources.images import (
     decode_image,
+    decode_stack,
     hamming64,
     make_caption,
     make_pixels,
+    make_pixels_batch,
     phash64,
+    phash64_batch,
 )
 
 
@@ -29,31 +32,61 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0 * 255.0 / mse))
 
 
+def shape_groups(ws, hs):
+    """Row-index groups by (w, h) — the vectorization unit for every
+    pixel stage (same-shape rows stack into one (m, h, w, 3) array)."""
+    key = np.asarray(ws, np.int64) * (1 << 20) + np.asarray(hs, np.int64)
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    ends = np.r_[starts[1:], len(sk)]
+    return [(order[s:e]) for s, e in zip(starts, ends)]
+
+
 class DecodeVerify:
     """Actor: decode every image, recompute phash, check caption equality
     and PSNR against the deterministic source pixels. Appends
     ``psnr_centi_db`` (int32; 9999 = lossless/∞), ``phash_dist`` (int32),
     ``caption_ok`` (int8). Rows are NEVER silently dropped — downstream
-    aggregates assert the invariants."""
+    aggregates assert the invariants. Pixel math is vectorized per shape
+    group (decode stack → batch phash → batch PSNR); only the zlib
+    entropy step and caption compare run per row."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         data = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         caps = batch["caption"].to_pylist()
-        ph = batch["phash"].to_pylist()
+        ph = np.asarray(batch["phash"].combine_chunks(), np.int64)
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
         n = batch.num_rows
+        rows = np.array([int(i[3:]) for i in ids], np.int64)
         psnr_c = np.empty(n, np.int32)
         pdist = np.empty(n, np.int32)
-        cap_ok = np.empty(n, np.int8)
-        for i in range(n):
-            row = int(ids[i][3:])
-            rgb = decode_image(data[i], fmts[i])
-            src = make_pixels(row, rgb.shape[1], rgb.shape[0])
-            p = psnr_db(src, rgb)
-            psnr_c[i] = 9999 if p == float("inf") else int(p * 100)
-            pdist[i] = hamming64(phash64(rgb), int(ph[i]))
-            cap_ok[i] = int(caps[i] == make_caption(row))
+        cap_ok = np.array(
+            [int(caps[i] == make_caption(int(rows[i]))) for i in range(n)],
+            np.int8,
+        )
+        for idx in shape_groups(ws, hs):
+            w, h = int(ws[idx[0]]), int(hs[idx[0]])
+            rgb = decode_stack([data[i] for i in idx],
+                               [fmts[i] for i in idx], w, h)
+            src = make_pixels_batch(rows[idx], w, h)
+            diff = src.astype(np.float64) - rgb.astype(np.float64)
+            mse = np.einsum("mijk,mijk->m", diff, diff) / (h * w * 3)
+            with np.errstate(divide="ignore"):
+                p = 10.0 * np.log10(255.0 * 255.0 / mse)
+            psnr_c[idx] = np.where(
+                mse == 0, 9999, (p * 100).astype(np.int64)
+            ).astype(np.int32)
+            got = phash64_batch(rgb) if (h % 8 == 0 and w % 8 == 0) else (
+                np.array([phash64(g) for g in rgb], np.int64)
+            )
+            x = (got ^ ph[idx]).view(np.uint64)
+            pdist[idx] = np.array(
+                [bin(int(v)).count("1") for v in x], np.int32
+            )
         batch = batch.append_column(
             "psnr_centi_db", pa.array(psnr_c, pa.int32())
         )
@@ -75,18 +108,27 @@ def decode_verify(ds, **kw):
 class DecodePhash:
     """Actor: decode every image payload and recompute its 64-bit
     perceptual hash from PIXELS (not the stored column — the decode path
-    is part of what's being verified). Emits (img_num, phash)."""
+    is part of what's being verified). Emits (img_num, phash). Decode +
+    hash run vectorized per shape group (``decode_stack`` →
+    ``phash64_batch``); only the zlib entropy step is per row."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         data = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
         n = batch.num_rows
-        nums = np.empty(n, np.int64)
+        nums = np.array([int(i[3:]) for i in ids], np.int64)
         ph = np.empty(n, np.int64)
-        for i in range(n):
-            nums[i] = int(ids[i][3:])
-            ph[i] = phash64(decode_image(data[i], fmts[i]))
+        for idx in shape_groups(ws, hs):
+            w, h = int(ws[idx[0]]), int(hs[idx[0]])
+            rgb = decode_stack([data[i] for i in idx],
+                               [fmts[i] for i in idx], w, h)
+            if h % 8 == 0 and w % 8 == 0:
+                ph[idx] = phash64_batch(rgb)
+            else:
+                ph[idx] = [phash64(g) for g in rgb]
         return pa.table(
             {
                 "img_num": pa.array(nums, pa.int64()),
@@ -256,7 +298,11 @@ def phash_dedup(ds, max_hamming: int = 4, n_parts: int = 64):
     parts = stateful_map_batches(
         ds, DecodePhash, batch_format="pyarrow", batch_size=200,
     )
-    reps_ds = phash_rep_groups(parts, n_parts=n_parts)
+    # reps is consumed TWICE (pair generation + label join-back):
+    # materialize the collapsed signature table in the OBJECT STORE
+    # (distributed blocks of 3 int64 columns, never the driver) so the
+    # decode chain doesn't recompute once per consumer
+    reps_ds = phash_rep_groups(parts, n_parts=n_parts).materialize()
     pairs = phash_near_pairs(reps_ds, max_hamming=max_hamming).to_pandas()
     a = pairs["a"].to_numpy(np.int64)
     b = pairs["b"].to_numpy(np.int64)
