@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_streams": Q.q_dem_streams,      # rows-only by design
         "image_transform": Q.q_image_transform,   # rows-only by design
         "image_phash_dedup": Q.q_image_phash_dedup,  # rows-only by design
+        # --- new in round 5 ---
+        "overview_features": Q.q_overview_features,
         # --- new in round 4 ---
         "mdr4_types": Q.q_mdr4_types,
         "mdr6_zips": Q.q_mdr6_zips,
@@ -575,6 +577,124 @@ def _simplify_dp_sql() -> str:
     """
 
 
+def _rnd16(v: str) -> str:
+    """Round map units to resolution 16 — the filters' +half-and-mask
+    (``(v + 128) & ~255``). The two's-complement mask FLOORS negatives,
+    but DuckDB ``//`` truncates toward zero, so the floor-multiple uses
+    the positive-mod identity instead."""
+    w = f"(({v}) + 128)"
+    return f"({w} - ((({w}) % 256 + 256) % 256))"
+
+
+def _overview_feats_sql() -> str:
+    """``_refine_feats_sql`` plus the per-feature overview columns:
+    ov_keep (survives the reference's degenerate check after rounding to
+    resolution 16 — points always, lines ≥2 distinct rounded points,
+    shapes ≥3) and ov_csum (rounded-coordinate checksum, 0 when
+    dropped)."""
+    jd2y = _JD2.format(s="ymin + ymax")
+    jd2x = _JD2.format(s="xmin + xmax")
+    return f"""
+  SELECT (event_id * 48271) % 65536 AS lat_c,
+         (event_id * 16807) % 65536 AS lon_c,
+         0 AS kind, 1 AS n_pt, 0 AS n_ln, 9 AS est, 1 AS n_split,
+         1 AS ov_keep,
+         {_rnd16("(event_id * 48271) % 65536")}
+           + {_rnd16("(event_id * 16807) % 65536")} AS ov_csum
+  FROM events
+  UNION ALL
+  SELECT {jd2y}, {jd2x}, 1, 0, 1, 19, 1, ov_keep,
+         CASE WHEN ov_keep = 1
+              THEN {_rnd16("y0")} + {_rnd16("x0")}
+                   + {_rnd16("y1")} + {_rnd16("x1")}
+              ELSE 0 END AS ov_csum
+  FROM (
+    SELECT *,
+           least(y0, y1) AS ymin, greatest(y0, y1) AS ymax,
+           least(x0, x1) AS xmin, greatest(x0, x1) AS xmax,
+           CASE WHEN {_rnd16("y0")} <> {_rnd16("y1")}
+                  OR {_rnd16("x0")} <> {_rnd16("x1")}
+                THEN 1 ELSE 0 END AS ov_keep
+    FROM (
+      SELECT (l_orderkey * 48271 + l_linenumber * 977) % 65536 AS y0,
+             (l_orderkey * 16807 + l_linenumber * 661) % 65536 AS x0,
+             (l_orderkey * 48271 + l_linenumber * 977) % 65536
+               + (l_partkey % 8192) - 4096 AS y1,
+             (l_orderkey * 16807 + l_linenumber * 661) % 65536
+               + ((l_suppkey * 131) % 8192) - 4096 AS x1
+      FROM lineitem))
+  UNION ALL
+  SELECT cy, cx, 2, 0, 0, 0, 2, ov_keep,
+         CASE WHEN ov_keep = 1
+              THEN {_rnd16("cy + r")} + {_rnd16("cx")}
+                   + {_rnd16("cy - r")} + {_rnd16("cx + r")}
+                   + {_rnd16("cy - r")} + {_rnd16("cx - r")}
+              ELSE 0 END AS ov_csum
+  FROM (
+    SELECT *,
+           CASE WHEN ({_rnd16("cy + r")} <> {_rnd16("cy - r")}
+                      OR {_rnd16("cx")} <> {_rnd16("cx + r")})
+                 AND ({_rnd16("cx + r")} <> {_rnd16("cx - r")})
+                THEN 1 ELSE 0 END AS ov_keep
+    FROM (
+      SELECT (o_orderkey * 48271) % 65536 AS cy,
+             (o_orderkey * 16807) % 65536 AS cx,
+             256 + o_orderkey % 1024 AS r
+      FROM orders))
+"""
+
+
+def _overview_final_sql() -> str:
+    """Epilogue over the refinement's final assignment/leaf tables (the
+    {{a}}/{{nodes}} placeholders of ``tile_refine_sql``): per-tile
+    coverage bounds + surviving low-res counts + checksums, the
+    background row, and calcLevels' resolution CASE chain."""
+    res_case = " ".join(
+        f"WHEN md <= {0xFFFF << (24 - r)} THEN {r}"
+        for r in range(16, 0, -1)
+    )
+    return f"""leaves AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY node_id) - 1 AS tile_id,
+                 node_id, ymin, xmin, ymax, xmax
+          FROM {{nodes}}),
+        ovagg AS MATERIALIZED (
+          SELECT node_id,
+            sum(CASE WHEN kind = 0 AND ov_keep = 1 THEN 1 ELSE 0 END)
+                AS np,
+            sum(CASE WHEN kind = 1 AND ov_keep = 1 THEN 1 ELSE 0 END)
+                AS nl,
+            sum(CASE WHEN kind = 2 AND ov_keep = 1 THEN 1 ELSE 0 END)
+                AS ns,
+            sum(ov_csum) AS cs
+          FROM {{a}} GROUP BY node_id),
+        base AS MATERIALIZED (
+          SELECT l.tile_id, l.ymin AS min_lat, l.xmin AS min_lon,
+                 l.ymax AS max_lat, l.xmax AS max_lon,
+                 coalesce(o.np, 0) AS n_points,
+                 coalesce(o.nl, 0) AS n_lines,
+                 coalesce(o.ns, 0) AS n_shapes,
+                 coalesce(o.cs, 0) AS coord_sum
+          FROM leaves l LEFT JOIN ovagg o USING (node_id)),
+        mr AS MATERIALIZED (
+          SELECT CASE {res_case} ELSE 0 END AS max_res
+          FROM (SELECT max(greatest(max_lat - min_lat,
+                                    max_lon - min_lon)) AS md FROM base)),
+        allr AS (
+          SELECT CAST(-1 AS BIGINT) AS tile_id,
+                 min(min_lat) AS min_lat, min(min_lon) AS min_lon,
+                 max(max_lat) AS max_lat, max(max_lon) AS max_lon,
+                 CAST(0 AS BIGINT) AS n_points, CAST(0 AS BIGINT) AS n_lines,
+                 CAST(0 AS BIGINT) AS n_shapes,
+                 CAST(0 AS BIGINT) AS coord_sum
+          FROM base
+          UNION ALL
+          SELECT tile_id, min_lat, min_lon, max_lat, max_lon,
+                 CAST(n_points AS BIGINT), CAST(n_lines AS BIGINT),
+                 CAST(n_shapes AS BIGINT), CAST(coord_sum AS BIGINT)
+          FROM base)
+        SELECT a.*, mr.max_res FROM allr a, mr ORDER BY tile_id"""
+
+
 def _ann_cosine_pairs_sql(dim: int = 64, n_bits: int = 12, n_bands: int = 8,
                           seed: int = 42, thr2_bp: int = 1225) -> str:
     """DuckDB mirror of ``lsh_bucketed_cosine_pairs`` (graduates
@@ -692,6 +812,11 @@ def oracle_sql() -> dict[str, str]:
             _refine_feats_sql(), shift=0, levels=26
         ),
         "level_refine": refine_sql.level_refine_sql(_refine_feats_sql()),
+        "overview_features": refine_sql.tile_refine_sql(
+            _overview_feats_sql(), shift=0, levels=26,
+            extra_cols=("ov_keep", "ov_csum"),
+            final_select=_overview_final_sql(),
+        ),
         "images_tiles": refine_sql.tile_refine_sql(
             refine_sql.images_geo_sql(2000, bbox=(0.0, 0.0, 1.4, 1.4)),
             shift=0, levels=20, summary_only=True,

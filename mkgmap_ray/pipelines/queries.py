@@ -217,6 +217,21 @@ def q_tile_refine(sf_dir: str):
     return out
 
 
+def q_overview_features(sf_dir: str):
+    """OverviewBuilder feature merge (``combiners/OverviewBuilder.java:
+    88-407``): full tile refinement, then the overview content — per-tile
+    coverage polygons (0x4a), low-res merged feature counts + rounded
+    coordinate checksums at resolution 16, the background 0x4b row and
+    the calcLevels max-resolution rule. SQL-exact: the oracle replays the
+    refinement (``refine_sql``) and the rounding/degenerate arithmetic."""
+    from .derive import features_dataset
+    from .tiling import build_tiles, overview_features
+
+    ds = features_dataset(sf_dir)
+    assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
+    return overview_features(assigned, meta, resolution=16)
+
+
 def q_level_refine(sf_dir: str):
     """Per-zoom subdivision quadtree (``MapBuilder.makeMapAreas``,
     levels 4:16 … 0:24): each level's tree continues the parent level's

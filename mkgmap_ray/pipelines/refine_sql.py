@@ -45,21 +45,29 @@ def _decide(shift: int) -> str:
 
 
 def _round_pof2(expr: str, shift: int) -> str:
-    """``Area.roundPof2`` — floor-shift arithmetic, valid for negative
-    values too (DuckDB ``//`` floors like numpy ``>>``)."""
+    """``Area.roundPof2`` — floor to a multiple of ``2**shift`` after
+    adding half. DuckDB ``//`` TRUNCATES toward zero on negatives (numpy
+    ``>>`` floors), so the floor-multiple is computed with the
+    positive-mod identity ``v - ((v % m + m) % m)`` instead."""
     if shift <= 0:
         return expr
-    return f"((({expr}) + {1 << (shift - 1)}) // {1 << shift}) * {1 << shift}"
+    m = 1 << shift
+    v = f"(({expr}) + {1 << (shift - 1)})"
+    return f"({v} - ((({v}) % {m} + {m}) % {m}))"
+
+
+FEAT_COLS = ("lat_c", "lon_c", "kind", "n_pt", "n_ln", "est", "n_split")
 
 
 def _level(k: str, nk: str, shift: int, a_prev: str, nodes_prev: str,
-           tot_prev: str):
+           tot_prev: str, extra_cols: tuple = ()):
     """One unrolled refinement level (tag ``k`` → tag ``nk``): returns
     (sql_ctes, a_nk, nodes_nk, tot_nk) names. Handles cut-alignment
     collapse (split attempt fails → node stays a leaf, ``Area.split``
     returning None)."""
     cut_x = _round_pof2("xmin + (xmax - xmin) // 2", shift)
     cut_y = _round_pof2("ymin + (ymax - ymin) // 2", shift)
+    carry = ", ".join(f"a.{c}" for c in (*FEAT_COLS, *extra_cols))
     sql = f"""
         s_{k} AS MATERIALIZED (
           SELECT node_id, sum(n_pt) AS sp, sum(n_ln) AS sl,
@@ -104,8 +112,7 @@ def _level(k: str, nk: str, shift: int, a_prev: str, nodes_prev: str,
           SELECT tot + (SELECT count(*) FROM ch_{k}) AS tot
           FROM {tot_prev}),
         a_{nk} AS MATERIALIZED (
-          SELECT a.lat_c, a.lon_c, a.kind, a.n_pt, a.n_ln, a.est,
-                 a.n_split,
+          SELECT {carry},
                  CASE WHEN s.node_id IS NULL THEN a.node_id
                       WHEN (s.wide AND a.lon_c >= s.cut)
                         OR (NOT s.wide AND a.lat_c >= s.cut)
@@ -181,12 +188,13 @@ def _initial_grid(shift: int) -> str:
           FROM feats f, g)"""
 
 
-def _initial_grid_assign() -> str:
+def _initial_grid_assign(extra_cols: tuple = ()) -> str:
     """a_0 with pickArea grid arithmetic: xcell = clip((lon - xbase) //
     dx, 0, nx-1) with dx = FIRST column extent (``MapArea.pickArea``,
     ``MapArea.java:770-800``) — NOT containment: with uneven column
     widths the two can disagree, and the engine follows pickArea."""
-    return """
+    carry = ", ".join(f"f.{c}" for c in (*FEAT_COLS, *extra_cols))
+    return f"""
         dxy AS MATERIALIZED (
           SELECT g.nx, g.ny, g.bx0, g.by0,
                  coalesce((SELECT xs FROM xb WHERE j = 1), g.bx1) - g.bx0
@@ -195,8 +203,7 @@ def _initial_grid_assign() -> str:
                    AS dy
           FROM g),
         a_0 AS MATERIALIZED (
-          SELECT f.lat_c, f.lon_c, f.kind, f.n_pt, f.n_ln, f.est,
-                 f.n_split,
+          SELECT {carry},
             CASE WHEN d.nx * d.ny = 1 THEN 0
                  ELSE 1
                    + least(greatest((f.lon_c - d.bx0) // d.dx, 0),
@@ -209,7 +216,9 @@ def _initial_grid_assign() -> str:
 
 def tile_refine_sql(feats_sql: str, shift: int = 0, levels: int = 26,
                     with_meta: bool = True,
-                    summary_only: bool = False) -> str:
+                    summary_only: bool = False,
+                    extra_cols: tuple = (),
+                    final_select: str | None = None) -> str:
     """Full oracle: feats CTE → initial grid → ``levels`` unrolled
     refinement levels → tile meta + per-tile kind counts.
 
@@ -222,14 +231,20 @@ def tile_refine_sql(feats_sql: str, shift: int = 0, levels: int = 26,
     their rank but produce no row)."""
     grid = _initial_grid(shift)
     # drop the placeholder a_0 from _initial_grid, use the assign variant
-    grid = grid[: grid.index("a_0 AS")] + _initial_grid_assign().lstrip()
+    grid = (grid[: grid.index("a_0 AS")]
+            + _initial_grid_assign(extra_cols).lstrip())
 
     parts = [f"WITH feats AS ({feats_sql}),", grid.rstrip().rstrip(",")]
     a, nodes, tot = "a_0", "nodes_0", "tot_0"
     for k in range(levels):
-        sql, a, nodes, tot = _level(str(k), str(k + 1), shift, a, nodes, tot)
+        sql, a, nodes, tot = _level(str(k), str(k + 1), shift, a, nodes,
+                                    tot, extra_cols)
         parts.append("," + sql)
-    if summary_only:
+    if final_select is not None:
+        # caller-provided epilogue over the final assignment/leaf tables
+        # (placeholders {a} and {nodes})
+        final = "\n        , " + final_select.format(a=a, nodes=nodes)
+    elif summary_only:
         final = f"""
         , leaves AS MATERIALIZED (
           SELECT row_number() OVER (ORDER BY node_id) - 1 AS tile_id,

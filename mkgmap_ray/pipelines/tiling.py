@@ -333,6 +333,125 @@ def simplify_levels(assigned_ds, levels=((0, 24), (1, 22), (2, 20), (3, 18), (4,
     return out
 
 
+def overview_features(assigned_ds, meta: pa.Table, resolution: int = 16):
+    """The OverviewBuilder FEATURE MERGE
+    (``combiners/OverviewBuilder.java:88-407``): build the overview map's
+    content from the per-tile outputs —
+
+    - one coverage polygon per tile (the 0x4a analogue,
+      ``addMapCoverageArea``: the tile bbox);
+    - the low-res feature merge (``readPoints/readLines/readShapes``):
+      every feature rounded to the overview ``resolution`` (the filters'
+      +half-and-mask), kept iff its surviving point count passes the
+      reference's degenerate checks — points always, lines need ≥2
+      distinct rounded points, shapes ≥3;
+    - a background row (0x4b analogue, ``addBackground`` when
+      ``hasBackground`` is false): the overall bounds, ``tile_id = -1``;
+    - ``calcLevels``'s max-resolution rule: start at 16 and decrement
+      while any coverage polygon's max dimension exceeds
+      ``0xffff << (24 - res)``.
+
+    Partial-aggregated per batch (survivor counts + rounded-coordinate
+    checksums per tile); only per-tile rows reach the driver. Returns an
+    int64 pandas DataFrame (tile_id, bounds, n_points, n_lines,
+    n_shapes, coord_sum, max_res)."""
+    import pandas as pd
+
+    from ..geom.coords import DELTA_SHIFT
+    from ..splitter import predicted_num_points
+    from ..util import list_column_parts
+
+    shift = 24 - resolution
+    half = np.int64(1 << (shift - 1)) if shift > 0 else np.int64(0)
+    mask = ~np.int64((1 << shift) - 1) if shift > 0 else ~np.int64(0)
+    min_pts = np.array([1, 2, 3], np.int64)  # by kind
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tile = _tile_ids_np(batch)
+        kind = np.asarray(batch["kind"].combine_chunks(), np.int64)
+        lat, lat_off = list_column_parts(batch["lat_hp"])
+        lon, _ = list_column_parts(batch["lon_hp"])
+        lat_mu = np.asarray(lat, np.int64) >> DELTA_SHIFT
+        lon_mu = np.asarray(lon, np.int64) >> DELTA_SHIFT
+        off = np.asarray(lat_off, np.int64)
+        n_pred = predicted_num_points(lat_mu, lon_mu, off, resolution)
+        keep = n_pred >= min_pts[kind]
+        rsum_flat = ((lat_mu + half) & mask) + ((lon_mu + half) & mask)
+        if len(rsum_flat):
+            idx = np.minimum(off[:-1], len(rsum_flat) - 1)
+            csum_rows = np.where(
+                np.diff(off) > 0, np.add.reduceat(rsum_flat, idx), 0
+            )
+        else:
+            csum_rows = np.zeros(len(tile), np.int64)
+        uniq, inv = np.unique(tile, return_inverse=True)
+        out = {"tile_id": pa.array(uniq, pa.int64())}
+        for k, name in ((0, "n_points"), (1, "n_lines"), (2, "n_shapes")):
+            out[name] = pa.array(
+                np.bincount(
+                    inv, weights=keep & (kind == k), minlength=len(uniq)
+                ).astype(np.int64),
+                pa.int64(),
+            )
+        out["coord_sum"] = pa.array(
+            np.bincount(
+                inv, weights=np.where(keep, csum_rows, 0),
+                minlength=len(uniq),
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(out)
+
+    parts = assigned_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    cols = {c: [] for c in ("tile_id", "n_points", "n_lines", "n_shapes",
+                            "coord_sum")}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c in cols:
+            cols[c].append(np.asarray(b[c].combine_chunks(), np.int64))
+    meta_pd = meta.to_pandas()
+    if cols["tile_id"] and sum(len(a) for a in cols["tile_id"]):
+        tid = np.concatenate(cols["tile_id"])
+        order = np.argsort(tid, kind="stable")
+        tid = tid[order]
+        starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+        agg = pd.DataFrame({"tile_id": tid[starts]})
+        for c in ("n_points", "n_lines", "n_shapes", "coord_sum"):
+            v = np.concatenate(cols[c])[order]
+            agg[c] = np.add.reduceat(v, starts)
+    else:
+        agg = pd.DataFrame(
+            {c: np.empty(0, np.int64) for c in cols}
+        )
+    out = meta_pd[["tile_id", "min_lat", "min_lon", "max_lat", "max_lon"]]
+    out = out.merge(agg, on="tile_id", how="left").fillna(0)
+    # calcLevels (OverviewBuilder.java:117-143): the 0x4a coverage dims
+    # bound the writable top resolution
+    dims = np.maximum(
+        out["max_lat"].to_numpy(np.int64) - out["min_lat"].to_numpy(np.int64),
+        out["max_lon"].to_numpy(np.int64) - out["min_lon"].to_numpy(np.int64),
+    )
+    max_dim = int(dims.max(initial=0))
+    max_res = resolution
+    while max_dim > (0xFFFF << (24 - max_res)):
+        max_res -= 1
+    # background 0x4b over the overall bounds (addBackground)
+    bg = pd.DataFrame(
+        [{
+            "tile_id": -1,
+            "min_lat": int(out["min_lat"].min()),
+            "min_lon": int(out["min_lon"].min()),
+            "max_lat": int(out["max_lat"].max()),
+            "max_lon": int(out["max_lon"].max()),
+            "n_points": 0, "n_lines": 0, "n_shapes": 0, "coord_sum": 0,
+        }]
+    )
+    out = pd.concat([bg, out], ignore_index=True)
+    out["max_res"] = max_res
+    return out.astype("int64")
+
+
 def overview_from_tiles(out_dir: str):
     """The combiner pass (``combiners/OverviewBuilder.java:88-393``): a
     SECOND-stage Dataset over the per-tile parquet outputs of a finished

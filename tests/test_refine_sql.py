@@ -39,6 +39,23 @@ class TestRefineSqlOracle:
         exp = exp.reset_index(drop=True).astype("int64")
         pd.testing.assert_frame_equal(got, exp[got.columns])
 
+    def test_overview_features_matches_engine(self, ray_session):
+        import __ray_entry__ as E
+        from mkgmap_ray.pipelines.queries import q_overview_features
+
+        got = q_overview_features(SF).sort_values("tile_id").reset_index(
+            drop=True
+        )
+        exp = _con().execute(E.oracle_sql()["overview_features"]).df()
+        exp = exp.sort_values("tile_id").reset_index(drop=True).astype(
+            "int64"
+        )
+        pd.testing.assert_frame_equal(got, exp[got.columns])
+        # the OverviewBuilder invariants: one coverage row per tile plus
+        # the background row; calcLevels keeps res 16 for sub-planet maps
+        assert (got["tile_id"] == -1).sum() == 1
+        assert (got["max_res"] == 16).all()
+
     def test_images_tiles_matches_engine(self, ray_session):
         import __ray_entry__ as E
         from mkgmap_ray.pipelines.queries import q_images_tiles
