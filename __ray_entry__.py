@@ -695,6 +695,153 @@ def _overview_final_sql() -> str:
         SELECT a.*, mr.max_res FROM allr a, mr ORDER BY tile_id"""
 
 
+def _house_repair_sql(passes: int = 3) -> str:
+    """DuckDB mirror of the FULL ExtNumbers plausibility loop
+    (``ExtNumbers.java:394-427``), unrolled ``passes`` times: per pass,
+    compute each (road, part, side) interval's style/range, flag
+    implausible (road, part) composites (``Numbers.isPlausible``:
+    > MAX_DELTA spans, wrong-parity EVEN/ODD styles, overlapping
+    same-style side pairs), split every bad part at the largest position
+    gap (first on ties; parts without a positive gap stay — the
+    reference gives up on them), then renumber parts densely by minimum
+    position and emit the final fillNumbers records. The fixture's
+    road%4==3 family needs TWO passes (first split leaves a >MAX_DELTA
+    part); extra passes are no-ops at the fixpoint."""
+    fixture = """
+        src AS MATERIALIZED (
+          SELECT o_orderkey AS k, o_orderkey // 37 AS h
+          FROM orders WHERE o_orderkey % 37 = 0
+        ), seq AS MATERIALIZED (
+          SELECT k, h // 12 AS road, h % 12 AS j, (h // 12) % 4 AS v
+          FROM src
+        ), hs AS MATERIALIZED (
+          SELECT k AS house, road,
+            CASE WHEN v = 1 AND j >= 6 THEN 1 ELSE -1 END AS side,
+            CASE WHEN v = 0 THEN 2*j + 1
+                 WHEN v = 1 AND j < 6 THEN 10 + j
+                 WHEN v = 1 THEN 8 + j
+                 WHEN v = 3 AND j < 4 THEN 2*j + 2
+                 WHEN v = 3 AND j < 8 THEN 300000 + 2*j
+                 WHEN v = 3 THEN 600000 + 2*j
+                 WHEN j < 6 THEN j + 1
+                 ELSE 200000 + j END AS num,
+            CASE WHEN v = 1 AND j >= 6 THEN 500 + j*10
+                 WHEN v = 2 AND j >= 6 THEN 700 + j*10
+                 WHEN v = 3 AND j >= 8 THEN 1500 + j*10
+                 WHEN v = 3 AND j >= 4 THEN 1000 + j*10
+                 ELSE j*10 END AS pos
+          FROM seq
+        ), h_0 AS MATERIALIZED (
+          SELECT house, road, side, num, pos, 0 AS part FROM hs
+        )"""
+    parts = ["WITH " + fixture.strip()]
+    for p in range(passes):
+        parts.append(f"""
+        , iv_{p} AS MATERIALIZED (
+          SELECT road, part, side, min(num) AS lo, max(num) AS hi,
+                 max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END) AS he,
+                 max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END) AS ho
+          FROM h_{p} GROUP BY road, part, side
+        ), ivs_{p} AS MATERIALIZED (
+          SELECT *, CASE WHEN he = 1 AND ho = 1 THEN 3
+                         WHEN he = 1 THEN 2 ELSE 1 END AS style
+          FROM iv_{p}
+        ), agg_{p} AS MATERIALIZED (
+          SELECT road, part,
+            max(CASE WHEN hi - lo > 131071
+                      OR (style = 2 AND (lo % 2 != 0 OR hi % 2 != 0))
+                      OR (style = 1 AND (lo % 2 = 0 OR hi % 2 = 0))
+                 THEN 1 ELSE 0 END) AS sb,
+            count(*) AS n_sides,
+            first(lo ORDER BY side) AS lo1, first(hi ORDER BY side) AS hi1,
+            last(lo ORDER BY side) AS lo2, last(hi ORDER BY side) AS hi2,
+            first(style ORDER BY side) AS s1,
+            last(style ORDER BY side) AS s2
+          FROM ivs_{p} GROUP BY road, part
+        ), bad_{p} AS MATERIALIZED (
+          SELECT road, part FROM agg_{p}
+          WHERE sb = 1 OR (n_sides >= 2
+            AND (s1 = s2 OR s1 = 3 OR s2 = 3)
+            AND NOT (lo2 > hi1 OR hi2 < lo1)
+            AND NOT (lo1 = hi1 AND lo2 = hi2 AND lo1 = lo2))
+        ), gaps_{p} AS MATERIALIZED (
+          SELECT h.road, h.part, pos, house,
+                 pos - lag(pos) OVER
+                   (PARTITION BY h.road, h.part
+                    ORDER BY pos, house) AS gap
+          FROM h_{p} h JOIN bad_{p} USING (road, part)
+        ), split_{p} AS MATERIALIZED (
+          SELECT road, part, pos FROM (
+            SELECT road, part, pos, gap,
+                   row_number() OVER (PARTITION BY road, part
+                     ORDER BY gap DESC NULLS LAST, pos, house) AS rn
+            FROM gaps_{p}
+          ) WHERE rn = 1 AND gap > 0
+        ), h_{p + 1} AS MATERIALIZED (
+          SELECT h.house, h.road, h.side, h.num, h.pos,
+                 h.part * 2 + CASE WHEN s.pos IS NOT NULL
+                                    AND h.pos >= s.pos
+                                   THEN 1 ELSE 0 END AS part
+          FROM h_{p} h LEFT JOIN split_{p} s USING (road, part)
+        )""")
+    hN = f"h_{passes}"
+    parts.append(f"""
+        , w AS MATERIALIZED (
+          SELECT road, part, side, num, pos, house,
+                 num - lag(num) OVER
+                   (PARTITION BY road, part, side
+                    ORDER BY pos, house) AS dstep
+          FROM {hN}
+        ), agg AS MATERIALIZED (
+          SELECT road, part, side,
+                 count(*) AS n,
+                 min(num) AS lo, max(num) AS hi,
+                 count(DISTINCT num) AS nd,
+                 max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END) AS has_even,
+                 max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END) AS has_odd,
+                 max(CASE WHEN dstep > 0 THEN 1 ELSE 0 END) AS inc,
+                 max(CASE WHEN dstep < 0 THEN 1 ELSE 0 END) AS dec,
+                 first(num ORDER BY pos, house) AS fn,
+                 last(num ORDER BY pos, house) AS ln
+          FROM w GROUP BY road, part, side
+        ), f AS MATERIALIZED (
+          SELECT *,
+                 CASE WHEN has_even = 1 AND has_odd = 1 THEN 3
+                      WHEN has_even = 1 THEN 2 ELSE 1 END AS style,
+                 ((fn <> hi AND fn <> lo) OR (ln <> hi AND ln <> lo))
+                   AS not_ext,
+                 (fn = ln AND hi <> lo) AS case1
+          FROM agg
+        ), g AS MATERIALIZED (
+          SELECT *,
+                 CASE WHEN case1 THEN true
+                      WHEN not_ext THEN fn <= ln
+                      ELSE fn < ln END AS increasing
+          FROM f
+        ), ranks AS MATERIALIZED (
+          SELECT road, part,
+                 dense_rank() OVER (PARTITION BY road ORDER BY mp) - 1
+                   AS dense_part
+          FROM (SELECT road, part, min(pos) AS mp FROM {hN}
+                GROUP BY road, part)
+        )
+        SELECT g.road, r.dense_part AS part, g.side,
+               CAST(style AS BIGINT) AS style,
+               CASE WHEN increasing THEN lo ELSE hi END AS start_num,
+               CASE WHEN increasing THEN hi ELSE lo END AS end_num,
+               n,
+               CAST(CASE WHEN (inc = 1 AND dec = 1)
+                              OR (NOT case1 AND not_ext)
+                         THEN 1 ELSE 0 END AS BIGINT) AS not_in_order,
+               CAST(CASE WHEN hi > lo AND
+                         (hi - lo) // (CASE WHEN style = 3
+                                            THEN 1 ELSE 2 END) - 1 > nd - 2
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_gaps
+        FROM g JOIN ranks r USING (road, part)
+        ORDER BY g.road, r.dense_part, g.side""")
+    return "\n".join(parts)
+
+
 def _ann_cosine_pairs_sql(dim: int = 64, n_bits: int = 12, n_bands: int = 8,
                           seed: int = 42, thr2_bp: int = 1225) -> str:
     """DuckDB mirror of ``lsh_bucketed_cosine_pairs`` (graduates
@@ -903,114 +1050,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 16 = 7
             ORDER BY o_orderkey
         """,
-        "house_repair": """
-            WITH src AS (
-              SELECT o_orderkey AS k, o_orderkey // 37 AS h
-              FROM orders WHERE o_orderkey % 37 = 0
-            ), seq AS (
-              SELECT k, h // 12 AS road, h % 12 AS j, (h // 12) % 3 AS v
-              FROM src
-            ), hs AS (
-              SELECT k AS house, road,
-                CASE WHEN v = 1 AND j >= 6 THEN 1 ELSE -1 END AS side,
-                CASE WHEN v = 0 THEN 2*j + 1
-                     WHEN v = 1 AND j < 6 THEN 10 + j
-                     WHEN v = 1 THEN 8 + j
-                     WHEN j < 6 THEN j + 1
-                     ELSE 200000 + j END AS num,
-                CASE WHEN v = 1 AND j >= 6 THEN 500 + j*10
-                     WHEN v = 2 AND j >= 6 THEN 700 + j*10
-                     ELSE j*10 END AS pos
-              FROM seq
-            ), iv0 AS (
-              SELECT road, side, min(num) AS lo, max(num) AS hi,
-                     max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END) AS he,
-                     max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END) AS ho
-              FROM hs GROUP BY road, side
-            ), ivs AS (
-              SELECT *, CASE WHEN he = 1 AND ho = 1 THEN 3
-                             WHEN he = 1 THEN 2 ELSE 1 END AS style
-              FROM iv0
-            ), roadbad AS (
-              SELECT road,
-                max(CASE WHEN hi - lo > 131071
-                          OR (style = 2 AND (lo % 2 != 0 OR hi % 2 != 0))
-                          OR (style = 1 AND (lo % 2 = 0 OR hi % 2 = 0))
-                     THEN 1 ELSE 0 END) AS sb,
-                count(*) AS n_sides,
-                first(lo ORDER BY side) AS lo1, first(hi ORDER BY side) AS hi1,
-                last(lo ORDER BY side) AS lo2, last(hi ORDER BY side) AS hi2,
-                first(style ORDER BY side) AS s1,
-                last(style ORDER BY side) AS s2
-              FROM ivs GROUP BY road
-            ), bad AS (
-              SELECT road FROM roadbad
-              WHERE sb = 1 OR (n_sides >= 2
-                AND (s1 = s2 OR s1 = 3 OR s2 = 3)
-                AND NOT (lo2 > hi1 OR hi2 < lo1)
-                AND NOT (lo1 = hi1 AND lo2 = hi2 AND lo1 = lo2))
-            ), gaps AS (
-              SELECT hs.road, pos, house,
-                     pos - lag(pos) OVER
-                       (PARTITION BY hs.road ORDER BY pos, house) AS gap
-              FROM hs JOIN bad USING (road)
-            ), split AS (
-              SELECT road, pos FROM (
-                SELECT road, pos, gap,
-                       row_number() OVER (PARTITION BY road
-                         ORDER BY gap DESC NULLS LAST, pos, house) AS rn
-                FROM gaps
-              ) WHERE rn = 1 AND gap > 0
-            ), parts AS (
-              SELECT hs.*, CASE WHEN s.pos IS NOT NULL AND hs.pos >= s.pos
-                                THEN 1 ELSE 0 END AS part
-              FROM hs LEFT JOIN split s USING (road)
-            ), w AS (
-              SELECT road, part, side, num, pos, house,
-                     num - lag(num) OVER
-                       (PARTITION BY road, part, side
-                        ORDER BY pos, house) AS dstep
-              FROM parts
-            ), agg AS (
-              SELECT road, part, side,
-                     count(*) AS n,
-                     min(num) AS lo, max(num) AS hi,
-                     count(DISTINCT num) AS nd,
-                     max(CASE WHEN num % 2 = 0 THEN 1 ELSE 0 END) AS has_even,
-                     max(CASE WHEN num % 2 = 1 THEN 1 ELSE 0 END) AS has_odd,
-                     max(CASE WHEN dstep > 0 THEN 1 ELSE 0 END) AS inc,
-                     max(CASE WHEN dstep < 0 THEN 1 ELSE 0 END) AS dec,
-                     first(num ORDER BY pos, house) AS fn,
-                     last(num ORDER BY pos, house) AS ln
-              FROM w GROUP BY road, part, side
-            ), f AS (
-              SELECT *,
-                     CASE WHEN has_even = 1 AND has_odd = 1 THEN 3
-                          WHEN has_even = 1 THEN 2 ELSE 1 END AS style,
-                     ((fn <> hi AND fn <> lo) OR (ln <> hi AND ln <> lo))
-                       AS not_ext,
-                     (fn = ln AND hi <> lo) AS case1
-              FROM agg
-            ), g AS (
-              SELECT *,
-                     CASE WHEN case1 THEN true
-                          WHEN not_ext THEN fn <= ln
-                          ELSE fn < ln END AS increasing
-              FROM f
-            )
-            SELECT road, part, side, CAST(style AS BIGINT) AS style,
-                   CASE WHEN increasing THEN lo ELSE hi END AS start_num,
-                   CASE WHEN increasing THEN hi ELSE lo END AS end_num,
-                   n,
-                   CAST(CASE WHEN (inc = 1 AND dec = 1)
-                                  OR (NOT case1 AND not_ext)
-                             THEN 1 ELSE 0 END AS BIGINT) AS not_in_order,
-                   CAST(CASE WHEN hi > lo AND
-                             (hi - lo) // (CASE WHEN style = 3
-                                                THEN 1 ELSE 2 END) - 1 > nd - 2
-                             THEN 1 ELSE 0 END AS BIGINT) AS has_gaps
-            FROM g ORDER BY road, part, side
-        """,
+        "house_repair": _house_repair_sql(),
         "mdr9_groups": f"""
             WITH poi AS ({_MDR_POI_SQL}),
             sub AS (

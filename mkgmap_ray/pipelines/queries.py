@@ -3778,10 +3778,12 @@ def q_house_repair(sf_dir: str):
     plausibility loop + ``Numbers.isPlausible``, Numbers.java:299-353):
     a deliberately-dirty housenumber fixture — overlapping left/right
     ranges on one road family, a > MAX_DELTA span on another, clean
-    roads on the third — is split at the largest position gap until
-    every (road, part, side) Numbers record is plausible. The fixture
-    converges in one split, so the DuckDB oracle mirrors the repair
-    closed-form; the engine runs the general iterative loop
+    roads on a third, and a TWO-JUMP family (road % 4 == 3) whose first
+    split leaves a still-implausible part so the loop must run a second
+    pass — split at the largest position gap until every (road, part,
+    side) Numbers record is plausible. The DuckDB oracle replays the
+    same loop with unrolled passes (``_house_repair_sql``); the engine
+    runs the general iterative loop
     (``stages/housenum.py::repair_intervals_part``).
 
     Scale: compact (road, side, pos, house, num) rows hash-partition by
@@ -3793,16 +3795,19 @@ def q_house_repair(sf_dir: str):
         k = k[k % 37 == 0]
         h = k // 37
         road, j = h // 12, h % 12
-        v = road % 3
+        v = road % 4
         side = np.where((v == 1) & (j >= 6), 1, -1)
         num = np.select(
-            [v == 0, (v == 1) & (j < 6), v == 1, j < 6],
-            [2 * j + 1, 10 + j, 8 + j, j + 1],
+            [v == 0, (v == 1) & (j < 6), v == 1,
+             (v == 3) & (j < 4), (v == 3) & (j < 8), v == 3, j < 6],
+            [2 * j + 1, 10 + j, 8 + j,
+             2 * j + 2, 300000 + 2 * j, 600000 + 2 * j, j + 1],
             200000 + j,
         )
         pos = np.select(
-            [(v == 1) & (j >= 6), (v == 2) & (j >= 6)],
-            [500 + j * 10, 700 + j * 10],
+            [(v == 1) & (j >= 6), (v == 2) & (j >= 6),
+             (v == 3) & (j >= 8), (v == 3) & (j >= 4)],
+            [500 + j * 10, 700 + j * 10, 1500 + j * 10, 1000 + j * 10],
             j * 10,
         )
         return pa.table(

@@ -386,6 +386,34 @@ class TestHouseRepair:
         iv = out.rename(columns={"part": "ipart"})
         assert len(_implausible_keys(iv)) == 0
 
+    def test_repair_needs_two_passes(self):
+        """The ExtNumbers loop must iterate: a two-jump road's first
+        split leaves a still->MAX_DELTA part; only the second pass
+        (splitting the remainder at ITS largest gap) reaches the
+        fixpoint (ExtNumbers.java:394-427 while-loop semantics)."""
+        import pandas as pd
+
+        from mkgmap_ray.stages.housenum import (
+            MAX_DELTA,
+            repair_intervals_part,
+        )
+
+        j = np.arange(12)
+        g = pd.DataFrame({
+            "road": np.full(12, 3), "side": np.full(12, -1),
+            "num": np.select([j < 4, j < 8],
+                             [2 * j + 2, 300000 + 2 * j], 600000 + 2 * j),
+            "pos": np.select([j >= 8, j >= 4],
+                             [1500 + j * 10, 1000 + j * 10], j * 10),
+            "house": j,
+        })
+        out = repair_intervals_part(g)
+        assert len(out) == 3
+        assert (np.abs(out["start_num"] - out["end_num"]) <= MAX_DELTA).all()
+        # one pass is NOT enough — the iterative loop is load-bearing
+        one = repair_intervals_part(g, max_rounds=1)
+        assert (np.abs(one["start_num"] - one["end_num"]) > MAX_DELTA).any()
+
     def test_unsplittable_interval_kept(self):
         import pandas as pd
 
