@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdr1_reverse": Q.q_mdr1_reverse,
         "house_repair": Q.q_house_repair,
         "sea_gaps": Q.q_sea_gaps,
-        "label_cp932": Q.q_label_cp932,
+        "label_multibyte": Q.q_label_multibyte,
         # --- never driver-verified (shipped round 2 past the 50-cap) ---
         "routing_graph": Q.q_routing_graph,
         "locator_normalize": Q.q_locator_normalize,
@@ -1072,13 +1072,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM reach GROUP BY a) c USING (keep_img)
             ORDER BY keep_img
         """,
-        "label_cp932": """
+        "label_multibyte": """
             SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 4 = 0 THEN 7 ELSE 6 END
-                     AS n_bytes,
-                   467 + o_orderkey % 50 + (o_orderkey * 7) % 50
-                   + CASE WHEN o_orderkey % 4 = 0 THEN 101 ELSE 0 END
-                     AS byte_sum
+                   CASE WHEN o_orderkey % 3 = 0 THEN 936 ELSE 932 END
+                     AS codepage,
+                   6 + CASE WHEN o_orderkey % 4 = 0
+                            THEN CASE WHEN o_orderkey % 3 = 0
+                                      THEN 2 ELSE 1 END
+                            ELSE 0 END AS n_bytes,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 729 ELSE 467 END
+                   + o_orderkey % 50 + (o_orderkey * 7) % 50
+                   + CASE WHEN o_orderkey % 4 = 0
+                          THEN CASE WHEN o_orderkey % 3 = 0
+                                    THEN 334 ELSE 101 END
+                          ELSE 0 END AS byte_sum
             FROM orders ORDER BY o_orderkey
         """,
         "sea_gaps": """

@@ -3003,21 +3003,30 @@ def q_wrong_angle(sf_dir: str):
     )
 
 
-def q_label_cp932(sf_dir: str):
-    """Multibyte label encoding (``labelenc/AnyCharsetEncoder.java`` +
-    ``CodeFunctions.java:101-105`` cp932/ms932): labels mixing ASCII,
-    two katakana (2 bytes each in cp932 — the block is contiguous, so
-    byte sums are 196+i closed form) and, on every 4th key, an é that
-    cp932 cannot represent and must transliterate to 'e'. NUL
-    terminator included in the byte count."""
+def q_label_multibyte(sf_dir: str):
+    """Multibyte label encoding across the CODEPAGE FAMILY
+    (``labelenc/AnyCharsetEncoder.java`` + the ``CodeFunctions.
+    createEncoderForLBL`` dispatch, ``CodeFunctions.java:73-112``):
+    every 3rd key encodes in cp936 (GBK — katakana row 0xA5, é
+    representable at 0xA8A6), the rest in cp932 (Shift-JIS — katakana
+    row 0x83, é unmappable and transliterated to 'e'). Labels mix
+    ASCII, two katakana (2 bytes each; both blocks are contiguous over
+    the fixture range so byte sums are closed form) and, on every 4th
+    key, the é. NUL terminator included in the byte count. Adding a
+    codepage is a dispatch-table addition — this query pins two members
+    of the family at once."""
     from ..stages.labelenc import code_functions
 
-    fmt, cp, enc = code_functions("cp932")
-    assert (fmt, cp) == (9, 932)
+    encoders = {}
+    for cs, cp_want in (("cp932", 932), ("cp936", 936)):
+        fmt, cp, enc = code_functions(cs)
+        assert (fmt, cp) == (9, cp_want)
+        encoders[cp_want] = enc
 
     def fn(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch["o_orderkey"].combine_chunks(), np.int64)
         n = len(k)
+        cps = np.where(k % 3 == 0, 936, 932)
         n_bytes = np.empty(n, np.int64)
         byte_sum = np.empty(n, np.int64)
         for i, ok in enumerate(k):
@@ -3025,12 +3034,13 @@ def q_label_cp932(sf_dir: str):
             label = "K" + chr(0x30A2 + ok % 50) + chr(0x30A2 + (ok * 7) % 50)
             if ok % 4 == 0:
                 label += "é"
-            b = enc(label)
+            b = encoders[int(cps[i])](label)
             n_bytes[i] = len(b)
             byte_sum[i] = sum(b)
         return pa.table(
             {
                 "o_orderkey": pa.array(k, pa.int64()),
+                "codepage": pa.array(cps.astype(np.int64), pa.int64()),
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "byte_sum": pa.array(byte_sum, pa.int64()),
             }

@@ -198,6 +198,7 @@ def write_tiles(
     resume: bool = True,
     input_desc: str = "",
     rows_hint: int | None = None,
+    keep_going: bool = False,
 ) -> dict:
     """Write tile-range parquet files with lineage manifest + resume.
 
@@ -222,6 +223,10 @@ def write_tiles(
     if resume and prev and prev.get("tree_digest") == digest:
         done = man.completed_tiles()
     done = clean_stale_partitions(out_dir, done, man)
+    # tiles quarantined by a PREVIOUS run are being retried now — drop
+    # their stale lineage entries (entries present after the write then
+    # unambiguously belong to this run's failures)
+    man.clear_quarantine(set(man.quarantined_tiles()) - done)
     if not resume:
         import shutil
 
@@ -296,11 +301,18 @@ def write_tiles(
     n_sort_blocks = int(
         max(16, 2 * cpus, min(512, est_rows // 640_000 + 1))
     )
+    writer = BlockTileWriter(out_dir, count_kind_stats, stat_ops)
+    if keep_going:
+        # --keep-going (main/Main.java:566-575): a failing tile is
+        # quarantined in the manifest and the run completes without it
+        from ..stages.tilewriter import QuarantineGuard
+
+        writer = QuarantineGuard(writer, out_dir)
     parts = (
         to_write.repartition(n_sort_blocks)
         .sort("tile_id")
         .map_batches(
-            BlockTileWriter(out_dir, count_kind_stats, stat_ops),
+            writer,
             batch_format="pyarrow", batch_size=None,
         )
     )
@@ -310,6 +322,14 @@ def write_tiles(
         parts.iter_batches(batch_size=None, batch_format="pyarrow"),
         stat_ops,
     )
+    # any quarantine entry present now was written by THIS run's guard
+    # (stale entries for retried tiles were cleared before the write):
+    # a tile sorted across two blocks may have failed in one and written
+    # in the other — demote it so resume retries the whole tile
+    quarantined = man.quarantined_tiles()
+    if quarantined:
+        man.unmark_tiles(quarantined.keys())
+        summary = summary[~summary["tile_id"].isin(quarantined)]
     if os.environ.get("MKGMAP_BENCH_PHASES"):
         import sys
 
@@ -318,6 +338,7 @@ def write_tiles(
         "n_tiles": meta.num_rows,
         "written_tiles": len(summary),
         "skipped_tiles": len(done),
+        "quarantined_tiles": sorted(quarantined),
         "tree_digest": digest,
         "summary": pa.Table.from_pandas(summary, preserve_index=False),
     }

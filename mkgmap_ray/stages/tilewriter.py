@@ -68,6 +68,44 @@ def count_kind_stats(batch: pa.Table, uniq: np.ndarray,
     return out
 
 
+class QuarantineGuard:
+    """``--keep-going`` per-tile failure quarantine (the reference skips
+    a failed map and reports it, ``main/Main.java:566-575``): wraps any
+    per-batch transform over tile-assigned rows. A failing batch is
+    retried one TILE at a time; tiles that still fail are dropped from
+    THIS run and recorded as quarantine lineage entries in the manifest
+    (``RunManifest.write_quarantine``) so the run completes and a later
+    run retries them (quarantined tiles never get ``_done`` markers).
+    The guard runs inside the task, so the recovery is per-partition
+    and parallel — no driver round trip."""
+
+    def __init__(self, fn, out_dir: str, tile_col: str = "tile_id"):
+        self.fn = fn
+        self.out_dir = out_dir
+        self.tile_col = tile_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        try:
+            return self.fn(batch)
+        except Exception:
+            from ..state.manifest import RunManifest
+
+            man = RunManifest(self.out_dir)
+            tid = np.asarray(batch[self.tile_col].combine_chunks(), np.int64)
+            goods: list[pa.Table] = []
+            for t in np.unique(tid):
+                sub = batch.filter(pa.array(tid == t))
+                try:
+                    goods.append(self.fn(sub))
+                except Exception as e:  # noqa: BLE001 — quarantine & go on
+                    man.write_quarantine(int(t), repr(e))
+            if goods:
+                return pa.concat_tables(goods)
+            # every tile failed: derive the output schema from an empty
+            # probe so the stream's schema stays stable
+            return self.fn(batch.slice(0, 0))
+
+
 class BlockTileWriter:
     """map_batches callable over a tile_id-sorted stream: writes each
     block as one range file and emits per-tile partial aggregates.

@@ -85,6 +85,40 @@ class RunManifest:
             )
         os.replace(tmp, path)
 
+    # --- quarantine (--keep-going, main/Main.java:566-575) -----------------
+    def write_quarantine(self, tile_id: int, error: str) -> None:
+        """Record a failed tile's lineage entry: the run continues, the
+        tile's rows are dropped for THIS run, and a later run retries it
+        (quarantined tiles are never marked done)."""
+        path = os.path.join(self.done_dir, f"quarantine-{tile_id:08d}.json")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"tile_id": int(tile_id), "error": error}, f)
+        os.replace(tmp, path)
+
+    def quarantined_tiles(self) -> dict[int, str]:
+        out: dict[int, str] = {}
+        for name in sorted(os.listdir(self.done_dir)):
+            if not (name.startswith("quarantine-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self.done_dir, name)) as f:
+                    data = json.load(f)
+                out[int(data["tile_id"])] = data.get("error", "")
+            except (json.JSONDecodeError, OSError):
+                continue
+        return out
+
+    def clear_quarantine(self, tile_ids=None) -> None:
+        """Drop quarantine entries — all of them, or only the given tiles
+        (a successful rewrite clears the lineage record)."""
+        wanted = None if tile_ids is None else {int(t) for t in tile_ids}
+        for name in os.listdir(self.done_dir):
+            if not (name.startswith("quarantine-") and name.endswith(".json")):
+                continue
+            if wanted is None or int(name[11:-5]) in wanted:
+                os.remove(os.path.join(self.done_dir, name))
+
     def iter_block_markers(self):
         for name in sorted(os.listdir(self.done_dir)):
             if not (name.startswith("part-") and name.endswith(".json")):

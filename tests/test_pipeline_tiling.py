@@ -84,6 +84,51 @@ def test_resumable_write(tiled, tmp_path):
     assert r2["written_tiles"] == 0
 
 
+def test_keep_going_quarantines_failed_tile(ray_session, tmp_path):
+    """--keep-going (main/Main.java:566-575): a tile whose per-tile
+    transform raises is quarantined with a lineage entry and the run
+    COMPLETES; the quarantined tile is never marked done, and a later
+    run (poison gone) retries and clears it."""
+    import ray.data as rd
+
+    from mkgmap_ray.stages.tilewriter import QuarantineGuard
+    from mkgmap_ray.state.manifest import RunManifest
+
+    table = features_from_testdata(SF_DIR)
+    ds = rd.from_arrow(table)
+    assigned, meta, tree = build_tiles(ds, shift=0, clip=False)
+    out = str(tmp_path / "tiles_out")
+    # poison a tile that actually has features
+    s = tile_summary(assigned).to_pandas()
+    poison = int(s["tile_id"].iloc[1])
+
+    def poisoned_clip(batch):
+        tid = np.asarray(batch["tile_id"].combine_chunks(), np.int64)
+        if (tid == poison).any():
+            raise ValueError(f"poisoned clip for tile {poison}")
+        return batch
+
+    guarded = assigned.map_batches(
+        QuarantineGuard(poisoned_clip, out),
+        batch_format="pyarrow", batch_size=None,
+    )
+    r = write_tiles(guarded, meta, tree, out, resume=False,
+                    keep_going=True)
+    man = RunManifest(out)
+    q = man.quarantined_tiles()
+    assert list(q) == [poison]
+    assert "poisoned clip" in q[poison]
+    assert r["quarantined_tiles"] == [poison]
+    assert r["written_tiles"] > 0  # the run completed without the tile
+    assert poison not in man.completed_tiles()
+
+    # retry without the poison: the tile writes, quarantine clears
+    r2 = write_tiles(assigned, meta, tree, out)
+    assert poison in man.completed_tiles()
+    assert man.quarantined_tiles() == {}
+    assert r2["quarantined_tiles"] == []
+
+
 def test_overview_combiner_matches_manifest(ray_session, tmp_path):
     """OverviewBuilder analogue: re-read written tiles, counts must equal
     the lineage manifest totals."""
