@@ -135,7 +135,7 @@ QUERY_NAMES = [
     "estimated_sizes",
     "house_repair",
     "sea_gaps",
-    "label_cp932",
+    "label_multibyte",
     "mdr13_regions",
     "mdr29_countries",
     "mdr2x_streets",
@@ -144,6 +144,10 @@ QUERY_NAMES = [
     "mdr17_prefix",
     "mdr19_types",
     "predict_points",
+    "tile_refine",
+    "ann_cosine_pairs",
+    "overview_features",
+    "mp_routing",
 ]
 
 

@@ -91,6 +91,18 @@ def probe_plasma_put(obj_mb: int, n_per_worker: int, workers: int) -> dict:
 
 
 def main() -> None:
+    if "--quick" in sys.argv:
+        # the Ray-free subset (~15 s): substrate snapshot between the
+        # interleaved scaling legs (scripts/scaling_protocol.py) without
+        # spinning a Ray session up next to the one under test
+        out = [
+            probe_stream_pretouched(iters=10),
+            probe_fresh_alloc(200, iters=4),
+            probe_concurrent_faults(),
+        ]
+        for rec in out:
+            print(json.dumps(rec))
+        return
     out = [
         probe_stream_pretouched(),
         probe_fresh_alloc(16, iters=100),
