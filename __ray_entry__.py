@@ -6,10 +6,13 @@
   SURVEY.md §2 (+ the training-data operators), each over ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
   (column names matched exactly; all numerics int64 / strings so the
-  value-hash compare is float-free). Non-SQL-expressible operators
-  (Douglas-Peucker, float-hyperplane LSH cosine, full quadtree
-  refinement, bit-stream payloads, image resampling) are rows-only by
-  design.
+  value-hash compare is float-free). Round 5 graduated the quadtree
+  refinement (``refine_sql.py`` unrolled-CTE replay), Douglas-Peucker
+  (closed-form Heron recursion) and LSH cosine (integer Rademacher
+  planes) to full oracles; only bit-stream payloads (``dem_streams``)
+  and pixel codecs (``image_transform``, ``image_phash_dedup``) remain
+  rows-only by design — each with a pytest oracle and a SQL-checked
+  closed-form twin.
 
 Ray is initialised by the driver before importing this module; nothing here
 calls ``ray.init``/``ray.shutdown``.
@@ -52,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5 ---
         "overview_features": Q.q_overview_features,
         "mp_routing": Q.q_mp_routing,
+        "cell_quadkey": Q.q_cell_quadkey,
+        "cell_salted_agg": Q.q_cell_salted_agg,
         # --- new in round 4 ---
         "mdr4_types": Q.q_mdr4_types,
         "mdr6_zips": Q.q_mdr6_zips,
@@ -970,6 +975,36 @@ def oracle_sql() -> dict[str, str]:
             shift=0, levels=20, summary_only=True,
         ),
         "simplify_dp": _simplify_dp_sql(),
+        "cell_quadkey": """
+            WITH p AS (
+              SELECT (event_id * 48271) % 65536 AS lat,
+                     (event_id * 16807) % 65536 AS lon
+              FROM events),
+            qk AS (
+              SELECT ("""
+        + "\n                + ".join(
+            f"(((lat // {1 << (15 - lvl)}) % 2) * 2"
+            f" + ((lon // {1 << (15 - lvl)}) % 2)) * {4 ** (7 - lvl)}"
+            for lvl in range(8)
+        )
+        + """) AS k
+              FROM p)
+            SELECT k // 256 AS parent, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS qk_sum,
+                   min(k) AS qk_min, max(k) AS qk_max
+            FROM qk GROUP BY k // 256 ORDER BY parent
+        """,
+        "cell_salted_agg": """
+            WITH p AS (
+              SELECT (event_id * 48271) % 65536 AS lat,
+                     (event_id * 16807) % 65536 AS lon
+              FROM events)
+            SELECT ((lon * lon) // 268435456) % 16 AS cell,
+                   count(*) AS n,
+                   CAST(sum(lat) AS BIGINT) AS sum_lat,
+                   CAST(sum(lon) AS BIGINT) AS sum_lon
+            FROM p GROUP BY 1 ORDER BY cell
+        """,
         "mp_routing": """
             WITH r AS (
               -- RoadID=0 is "not a road" (RoadHelper treats id 0 as

@@ -148,6 +148,8 @@ QUERY_NAMES = [
     "ann_cosine_pairs",
     "overview_features",
     "mp_routing",
+    "cell_quadkey",
+    "cell_salted_agg",
 ]
 
 

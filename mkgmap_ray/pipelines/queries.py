@@ -217,6 +217,119 @@ def q_tile_refine(sf_dir: str):
     return out
 
 
+QUAD_LEVEL = 8  # quadkey levels over the 16-bit map-unit square
+
+
+def q_cell_quadkey(sf_dir: str):
+    """S2/quadkey-style HIERARCHICAL cell encoding (the north-star's
+    H3/S2 index face; the reference's analogue is the quadtree
+    subdivision id): every event point gets its level-8 Morton quadkey
+    over the 65536² map-unit square, and per level-4 PARENT cell
+    (quadkey >> 8) the aggregate counts + child-key checksums prove the
+    prefix property (a parent's children share its bit prefix) that
+    makes hierarchical pruning work at scale. Vectorized bit
+    interleaving per batch; partial aggregation before the groupby."""
+    from ray.data.aggregate import Sum
+
+    L = QUAD_LEVEL
+
+    def fn(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        lat = (eid * A_LAT) % SPAN
+        lon = (eid * A_LON) % SPAN
+        qk = np.zeros(len(eid), np.int64)
+        for lvl in range(L):
+            shift = 15 - lvl  # top bit first
+            qk = (qk << 2) | (((lat >> shift) & 1) << 1) | ((lon >> shift) & 1)
+        parent = qk >> 8  # level-4 ancestor
+        df = pd.DataFrame(
+            {"parent": parent, "n": 1, "qk_sum": qk,
+             "qk_min": qk, "qk_max": qk}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("parent", as_index=False).agg(
+                n=("n", "sum"), qk_sum=("qk_sum", "sum"),
+                qk_min=("qk_min", "min"), qk_max=("qk_max", "max"),
+            ),
+            preserve_index=False,
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    out = (
+        _read(sf_dir, "events", ["event_id"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .groupby("parent")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("qk_sum", alias_name="qk_sum"),
+            Min("qk_min", alias_name="qk_min"),
+            Max("qk_max", alias_name="qk_max"),
+        )
+        .to_pandas()
+    )
+    # prefix property: every child key of a parent lies in
+    # [parent<<8, (parent+1)<<8) — assert it really held
+    assert (
+        (out["qk_min"] >= out["parent"] * 256)
+        & (out["qk_max"] < (out["parent"] + 1) * 256)
+    ).all()
+    return out.sort_values("parent").reset_index(drop=True).astype("int64")
+
+
+SALT_HOT_THRESHOLD = 64  # rows per cell above which the key is salted
+N_SALTS = 8
+
+
+def q_cell_salted_agg(sf_dir: str):
+    """Skew-safe per-cell aggregation (the north-star's "salting for
+    skewed dense cells"): event points land in a COARSE 16-cell column
+    grid (deliberately skewed — a multiplicative-hash row distribution
+    over 16 cells), hot cells are SALTED into ``N_SALTS`` sub-keys for
+    the wide shuffle, and a second tiny groupby folds the salts back.
+    The output (per-cell counts + coordinate sums) is salt-invariant, so
+    the DuckDB oracle is a plain GROUP BY — the query proves the salted
+    two-stage plan computes the same answer while no single reducer key
+    carries more than ~1/N_SALTS of a hot cell."""
+    from ray.data.aggregate import Sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"].combine_chunks(), np.int64)
+        lat = (eid * A_LAT) % SPAN
+        lon = (eid * A_LON) % SPAN
+        # skewed coarse cell: squaring concentrates mass in low cells
+        cell = ((lon * lon) >> 28) % 16
+        salt = np.where(
+            cell < 4, eid % N_SALTS, 0  # the 4 hottest cells get salted
+        )
+        df = pd.DataFrame(
+            {"cell": cell, "salt": salt, "n": 1,
+             "sum_lat": lat, "sum_lon": lon}
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["cell", "salt"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    salted = (
+        _read(sf_dir, "events", ["event_id"])
+        .map_batches(fn, batch_format="pyarrow", batch_size=None)
+        .groupby(["cell", "salt"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_lat", alias_name="sum_lat"),
+            Sum("sum_lon", alias_name="sum_lon"),
+        )
+        .to_pandas()
+    )
+    # fold the salts back (tiny: ≤ 16 cells × N_SALTS rows)
+    out = (
+        salted.groupby("cell", as_index=False)[["n", "sum_lat", "sum_lon"]]
+        .sum()
+    )
+    return out.sort_values("cell").reset_index(drop=True).astype("int64")
+
+
 def q_overview_features(sf_dir: str):
     """OverviewBuilder feature merge (``combiners/OverviewBuilder.java:
     88-407``): full tile refinement, then the overview content — per-tile

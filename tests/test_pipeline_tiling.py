@@ -129,6 +129,27 @@ def test_keep_going_quarantines_failed_tile(ray_session, tmp_path):
     assert r2["quarantined_tiles"] == []
 
 
+def test_quarantine_guard_all_tiles_fail(tmp_path):
+    """When every tile in a batch fails, the guard still returns a
+    schema-stable (empty-probe) table and records every tile."""
+    from mkgmap_ray.stages.tilewriter import QuarantineGuard
+    from mkgmap_ray.state.manifest import RunManifest
+
+    out = str(tmp_path / "q_out")
+
+    def always_fail(batch):
+        if batch.num_rows:
+            raise RuntimeError("boom")
+        return pa.table({"tile_id": pa.array([], pa.int64())})
+
+    batch = pa.table({"tile_id": pa.array([3, 3, 7], pa.int64())})
+    res = QuarantineGuard(always_fail, out)(batch)
+    assert res.num_rows == 0 and res.column_names == ["tile_id"]
+    q = RunManifest(out).quarantined_tiles()
+    assert sorted(q) == [3, 7]
+    assert all("boom" in e for e in q.values())
+
+
 def test_overview_combiner_matches_manifest(ray_session, tmp_path):
     """OverviewBuilder analogue: re-read written tiles, counts must equal
     the lineage manifest totals."""
