@@ -2749,6 +2749,29 @@ def q_mp_sections(sf_dir: str):
     return out.sort_values("type").reset_index(drop=True).astype("int64")
 
 
+def _mp_parquet_table(sf_dir: str):
+    """Parse the full .mp fixture ONCE into columnar parquet (cached) and
+    serve it as a read_parquet Dataset — the parse-once-store-columnar
+    shape (`_osm_parquet_tables` precedent): the PARSER is exercised by
+    ``mp_sections``/``mp_roundtrip``; join/flow-through queries shouldn't
+    re-pay the text parse per run."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.polish import read_mp
+
+    paths = _mp_full_fixture_dir(sf_dir)
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/mkgmap_ray_mppq_v1_{name}"
+    if not os.path.exists(f"{out}/_done"):
+        os.makedirs(out, exist_ok=True)
+        read_mp(paths).write_parquet(out)  # parse shards in parallel
+        with open(f"{out}/_done", "w") as f:
+            f.write("ok")
+    return rd.read_parquet(out)
+
+
 def q_mp_routing(sf_dir: str):
     """Polish routing/address payload FLOW-THROUGH (round-4 VERDICT
     Missing 5): the parsed ``.mp`` roads land in the actual downstream
@@ -2760,12 +2783,10 @@ def q_mp_routing(sf_dir: str):
     Every output column is closed-form from o_orderkey, so the DuckDB
     oracle reconstructs the graph (rank-over-distinct-coords node ids,
     DISTINCT arc pairs) and the plausibility verdicts exactly."""
-    from ..sources.polish import read_mp
     from ..stages.housenum import _implausible_keys
     from ..stages.routing import build_road_graph
 
-    paths = _mp_full_fixture_dir(sf_dir)
-    ds = read_mp(paths)
+    ds = _mp_parquet_table(sf_dir)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         rid = np.asarray(batch["road_id"].combine_chunks(), np.int64)
