@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mp_routing": Q.q_mp_routing,
         "cell_quadkey": Q.q_cell_quadkey,
         "cell_salted_agg": Q.q_cell_salted_agg,
+        "doc_quality": Q.q_doc_quality,
         # --- new in round 4 ---
         "mdr4_types": Q.q_mdr4_types,
         "mdr6_zips": Q.q_mdr6_zips,
@@ -413,6 +414,46 @@ def _token_bpe_sql() -> str:
           CAST(coalesce(list_sum(list_transform(
                  regexp_extract_all(text, '{pat}'),
                  t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS n_pieces
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _doc_quality_sql() -> str:
+    """DuckDB mirror of the TextStats quality score: same float64
+    operations in numpy's association order; ``round_even`` matches
+    np.round's banker's rounding at 6 decimals."""
+    from mkgmap_ray.stages.text import PUNCT_CLASS, STOPWORDS
+
+    stop_all = sorted(set().union(*STOPWORDS.values()))
+    stop_re = r"\b(?:" + "|".join(stop_all) + r")\b"
+
+    def clip(x):
+        return f"least(greatest({x}, 0.0), 1.0)"
+
+    n = "CAST(length(text) AS DOUBLE)"
+    punct_lit = PUNCT_CLASS.replace("'", "''")
+    n_punct = (
+        f"CAST(length(regexp_extract_all(text, '{punct_lit}'))"
+        " AS DOUBLE)"
+    )
+    n_words = (
+        "CAST(length(regexp_extract_all(text,"
+        " '[\\p{L}\\p{N}_]+')) AS DOUBLE)"
+    )
+    stop_hits = (
+        f"CAST(length(regexp_extract_all(lower(text), '{stop_re}'))"
+        " AS DOUBLE)"
+    )
+    punct_ratio = f"({n_punct} / greatest({n}, 1.0))"
+    length_score = clip(f"{n} / 200.0")
+    stop_ratio = f"({stop_hits} / greatest({n_words}, 1.0))"
+    q = (
+        f"0.5 * {length_score}"
+        f" + 0.3 * (1.0 - {clip(f'{punct_ratio} * 5')})"
+        f" + 0.2 * {clip(f'{stop_ratio} * 4')}"
+    )
+    return f"""
+        SELECT doc_id, round_even({q}, 6) AS quality
         FROM documents ORDER BY doc_id
     """
 
@@ -975,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
             shift=0, levels=20, summary_only=True,
         ),
         "simplify_dp": _simplify_dp_sql(),
+        "doc_quality": _doc_quality_sql(),
         "cell_quadkey": """
             WITH p AS (
               SELECT (event_id * 48271) % 65536 AS lat,

@@ -150,6 +150,7 @@ QUERY_NAMES = [
     "mp_routing",
     "cell_quadkey",
     "cell_salted_agg",
+    "doc_quality",
 ]
 
 

@@ -838,6 +838,22 @@ def q_langid(sf_dir: str):
     return out[["doc_id", "lang_pred"]]
 
 
+def q_doc_quality(sf_dir: str):
+    """Document QUALITY SCORING (the training-data filter operator:
+    length / punctuation / stopword-ratio recipe, ``stages/text.py``) —
+    exposed to the gate with a float64 oracle: the SQL mirrors every
+    operation in the engine's association order and uses ``round_even``
+    (numpy's banker's rounding) so the 6-decimal scores compare
+    bit-for-bit."""
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    out = stateful_map_batches(
+        ds, TextStats, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    out = out[["doc_id", "quality"]].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_fingerprint(sf_dir: str):
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = stateful_map_batches(
