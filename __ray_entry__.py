@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_quadkey": Q.q_cell_quadkey,
         "cell_salted_agg": Q.q_cell_salted_agg,
         "doc_quality": Q.q_doc_quality,
+        "dedup_keeplist": Q.q_dedup_keeplist,
         # --- new in round 4 ---
         "mdr4_types": Q.q_mdr4_types,
         "mdr6_zips": Q.q_mdr6_zips,
@@ -1017,6 +1018,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simplify_dp": _simplify_dp_sql(),
         "doc_quality": _doc_quality_sql(),
+        "dedup_keeplist": f"""
+            WITH RECURSIVE pr AS ({_dedup_minhash_sql()}),
+            edges AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+            reach(s, t) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT reach.s, e.b FROM reach JOIN edges e ON e.a = reach.t
+            ),
+            cl AS (SELECT s AS doc_id, min(t) AS cluster
+                   FROM reach GROUP BY s)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster AS BIGINT) AS cluster,
+                   CAST(CASE WHEN cluster = doc_id THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM cl ORDER BY doc_id
+        """,
         "cell_quadkey": """
             WITH p AS (
               SELECT (event_id * 48271) % 65536 AS lat,

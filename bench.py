@@ -151,6 +151,7 @@ QUERY_NAMES = [
     "cell_quadkey",
     "cell_salted_agg",
     "doc_quality",
+    "dedup_keeplist",
 ]
 
 

@@ -801,6 +801,51 @@ def q_dedup_minhash(sf_dir: str):
     return out[["a", "b"]].astype("int64")
 
 
+def q_dedup_keeplist(sf_dir: str):
+    """The dedup DELIVERABLE a training pipeline actually consumes: a
+    per-document keep/drop list. MinHash-LSH near-dup pairs (the
+    ``dedup_minhash`` machinery) feed a driver union-find over the
+    SPARSE pairs only; the label map broadcasts via ``ray.put`` into a
+    ``map_batches`` over the documents (the ``phash_dedup`` join-back
+    pattern — per-doc rows never sit on the driver). Output per doc:
+    cluster (smallest linked doc_id; self when unlinked) and kept
+    (cluster representative flag). The DuckDB oracle chains the
+    signature arithmetic with a recursive-CTE transitive closure."""
+    import ray
+
+    from ..stages.imagestage import cluster_pairs
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidates(ds, threshold=0.5).to_pandas()
+    a = pairs["a"].to_numpy(np.int64)
+    b = pairs["b"].to_numpy(np.int64)
+    linked = np.unique(np.concatenate([a, b]))
+    labels = cluster_pairs(linked, a, b)
+    ref = ray.put((linked, labels))
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        ids_l, labs = ray.get(ref)
+        did = np.asarray(batch["doc_id"].combine_chunks(), np.int64)
+        cluster = did.copy()
+        if len(ids_l):
+            pos = np.minimum(np.searchsorted(ids_l, did), len(ids_l) - 1)
+            hit = ids_l[pos] == did
+            cluster[hit] = labs[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "cluster": pa.array(cluster, pa.int64()),
+                "kept": pa.array(
+                    (cluster == did).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _read_split(sf_dir, "documents", ["doc_id"]).map_batches(
+        add_cluster, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
     out = simhash_candidates(ds, max_hamming=3).to_pandas()
