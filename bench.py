@@ -365,11 +365,14 @@ def main() -> None:
     # goes to a file; the FINAL stdout line stays compact and parseable.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
-    try:
-        with open(full_path, "w") as f:
-            json.dump(out, f, indent=1)
-    except OSError:
-        pass
+    # --headline-only legs (e.g. the scaling protocol's subprocesses) must
+    # not clobber the committed full-catalogue record
+    if args.scaling or not args.headline_only:
+        try:
+            with open(full_path, "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
     compact = dict(out)
     q = compact.get("queries") or {}
     if q:
